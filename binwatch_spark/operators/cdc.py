@@ -1,0 +1,133 @@
+"""CDC dataflow operators, rebuilt as Spark column expressions / transforms.
+
+Each function mirrors one stage of the reference's binlog pipeline
+(SURVEY.md §2.1) but is expressed declaratively so Catalyst can reorder,
+push down and codegen it. All operators work identically on batch and
+streaming DataFrames (same envelope schema, FIXTURES.md).
+
+Reference stages covered here:
+- table allowlist filter  F1  (blreaderwork.go:247-250)
+- DML-operation decode    F2  (utils.go:74-90)
+- positional projection   P1  (blreaderwork.go:252-270)
+- before-image drop       P2  (blreaderwork.go:261-263)
+- row explode             P3  (blreaderwork.go:275-295)
+- route predicate         R2  (blsenderwork.go:183-184)
+- template render         T1  (tmpl.go:114-121)
+- monotonic sequencing    Q1  (pools.go:57-74)
+- checkpoint frontier     C1  (blsenderwork.go:204-213)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Binlog event-type → DML operation mapping (utils.go:22-24, 74-90). The
+# reference maps Write/Update/DeleteRows v0/v1/v2 event types; unknown → "".
+DEFAULT_DML_MAP: dict[str, str] = {
+    "WriteRowsEventV0": "INSERT",
+    "WriteRowsEventV1": "INSERT",
+    "WriteRowsEventV2": "INSERT",
+    "UpdateRowsEventV0": "UPDATE",
+    "UpdateRowsEventV1": "UPDATE",
+    "UpdateRowsEventV2": "UPDATE",
+    "DeleteRowsEventV0": "DELETE",
+    "DeleteRowsEventV1": "DELETE",
+    "DeleteRowsEventV2": "DELETE",
+}
+
+
+def dml_decode(event_type: Column, mapping: Mapping[str, str] | None = None) -> Column:
+    """CASE-map a raw event-type column to INSERT/UPDATE/DELETE, else ''.
+
+    Mirrors utils.go:74-90; a pure ``F.when`` chain so it stays inside
+    whole-stage codegen (no UDF).
+    """
+    mapping = dict(mapping or DEFAULT_DML_MAP)
+    expr: Column | None = None
+    for raw, op in mapping.items():
+        cond = event_type == raw
+        expr = F.when(cond, op) if expr is None else expr.when(cond, op)
+    assert expr is not None
+    return expr.otherwise(F.lit(""))
+
+
+def table_allowlist(
+    df: DataFrame, database: Column, table: Column, allowlist: Iterable[str]
+) -> DataFrame:
+    """Keep only events whose db.table is allowlisted (blreaderwork.go:247-250).
+
+    Expressed as an ``isin`` filter so it pushes into the source scan.
+    """
+    return df.filter(F.concat(database, F.lit("."), table).isin(list(allowlist)))
+
+
+def route_predicate(
+    operation: Column,
+    db_table: Column,
+    route_operations: Iterable[str],
+    route_db_table: str,
+) -> Column:
+    """Per-route match predicate (blsenderwork.go:183-184).
+
+    ``operation ∈ route.operations AND db.table == route.dbTable``. The
+    reference treats an empty ``dbTable`` as match-nothing (strict equality);
+    we follow the README's documented intent instead: empty == match-all
+    (divergence documented in SURVEY.md §7.3).
+    """
+    pred = operation.isin(list(route_operations))
+    if route_db_table:
+        pred = pred & (db_table == F.lit(route_db_table))
+    return pred
+
+
+def explode_rows(df: DataFrame, rows_col: str = "rows", out_col: str = "row") -> DataFrame:
+    """itemByRow=true: one event with N rows → N single-row events
+    (blreaderwork.go:275-295). Plain ``explode`` — Spark pipelines it without a
+    shuffle, so it scales linearly with input size.
+    """
+    return df.withColumn(out_col, F.explode(F.col(rows_col))).drop(rows_col)
+
+
+def drop_before_images(
+    df: DataFrame, rows_col: str = "rows", pos_col: str = "row_idx", out_col: str = "row"
+) -> DataFrame:
+    """MySQL UPDATE events carry (before, after) pairs; keep odd indices —
+    the after-images (blreaderwork.go:261-263)."""
+    exploded = df.select("*", F.posexplode(F.col(rows_col)).alias(pos_col, out_col))
+    return exploded.filter(F.col(pos_col) % 2 == 1).drop(rows_col)
+
+
+def render_json(*cols: Column | str) -> Column:
+    """The documented template output shape — a JSON object of selected fields
+    (tmpl.go:114-121, docs/binwatch.v1alpha2.yaml:69-75) — rendered natively
+    with ``to_json(struct(...))`` so it stays JVM-side."""
+    return F.to_json(F.struct(*cols))
+
+
+def monotonic_item_ids(
+    df: DataFrame, order_by: list[Column], out_col: str = "item_id"
+) -> DataFrame:
+    """Gapless monotonic sequence in stream order (pools.go:57-74).
+
+    Batch shape uses ``row_number`` over a global ordering. NOTE (scale): a
+    single unpartitioned window serializes through one task; at 100 TB use the
+    two-phase form — per-partition row_number + cumulative partition offsets
+    (see streaming source, which carries the offset natively instead).
+    """
+    w = Window.orderBy(*order_by)
+    return df.withColumn(out_col, F.row_number().over(w).cast("bigint"))
+
+
+def checkpoint_frontier(
+    df: DataFrame, file_col: str, pos_col: str
+) -> DataFrame:
+    """Highest storable position per binlog file (blsenderwork.go:204-213):
+    the at-least-once commit frontier. Map-side partial aggregation makes this
+    one cheap shuffle of pre-aggregated partials at any scale."""
+    return df.groupBy(file_col).agg(
+        F.max(pos_col).alias("max_position"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32 threads), but
+every knob here is chosen for cluster scale:
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting, and
+  dynamic join-strategy switches survive a 100× scale-up without retuning.
+- ``spark.sql.shuffle.partitions`` defaults to a small local value; at cluster
+  scale AQE's ``advisoryPartitionSizeInBytes`` governs real partition sizing,
+  so the static number only caps local parallelism.
+- Arrow execution for any Pandas-UDF path (the slow path we keep narrow).
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def cpu_count() -> str:
+    return os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "binwatch-spark") -> SparkSession:
+    """Build (or reuse) the tuned SparkSession."""
+    builder = (
+        SparkSession.builder.master(f"local[{cpu_count()}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # The events fixture stores ts as parquet TIMESTAMP(NANOS) which the
+        # Spark reader rejects; read as raw nanos and convert in tables.load.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    return builder.getOrCreate()

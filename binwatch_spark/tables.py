@@ -1,0 +1,49 @@
+"""Fixture-table loader.
+
+The driver-generated parquet tables (TESTDATA.md) are the engine's only test
+inputs. ``load`` returns a plain ``spark.read.parquet`` DataFrame — no caching,
+no schema overrides — so Catalyst keeps full pushdown freedom: a downstream
+``select``/``filter`` lands in the scan node as ``ReadSchema``/``PushedFilters``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS,false): read as nanos-long
+        # (session.py sets spark.sql.legacy.parquet.nanosAsLong) and convert
+        # to timestamp_ntz at microsecond precision — lossless for this data
+        # (no sub-µs components) and identical to DuckDB's NTZ reading.
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
