@@ -1,0 +1,127 @@
+"""Deterministic text hashing shared between Spark plans and DuckDB oracles.
+
+The near-dup family (MinHash-LSH, SimHash, hyperplane LSH) is normally
+impossible to oracle-check because engines disagree on hash functions. We
+make them checkable by building everything on one primitive both engines can
+evaluate identically: a polynomial rolling hash over character codes,
+
+    h = fold(chars, 0, (acc, c) -> (acc * 131 + ascii(c)) mod 1_000_000_007)
+
+expressed as Spark higher-order functions (JVM codegen, no UDF) and as the
+equivalent DuckDB ``list_reduce`` — same integer arithmetic, same result.
+All randomized parameters (MinHash permutations, LSH hyperplanes) are fixed
+seeded constants embedded in BOTH the Spark plan and the generated SQL.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+POLY_PRIME = 1_000_000_007
+POLY_MULT = 131
+
+# MinHash: K affine permutations h_i(x) = (A[i]*x + B[i]) mod POLY_PRIME over
+# token polyhashes, banded as N_BANDS bands of BAND_ROWS rows (LSH for
+# Jaccard ~>= 0.8: P(candidate) = 1-(1-s^4)^8 ≈ 0.986 at s=0.8).
+MINHASH_K = 32
+N_BANDS = 8
+BAND_ROWS = 4
+_rnd = random.Random(42)
+MINHASH_A = [_rnd.randrange(1, POLY_PRIME) for _ in range(MINHASH_K)]
+MINHASH_B = [_rnd.randrange(0, POLY_PRIME) for _ in range(MINHASH_K)]
+
+# SimHash uses the low SIMHASH_BITS bits of the token polyhash.
+SIMHASH_BITS = 24
+
+# Random-hyperplane LSH for cosine: N_PLANES fixed planes over 64-dim
+# embeddings; bucket = sign-bit integer. Values rounded to 6 decimals so the
+# literals embedded in SQL are exactly the doubles Spark uses.
+N_PLANES = 8
+EMBED_DIM = 64
+_planes = np.random.RandomState(42).randn(N_PLANES, EMBED_DIM)
+HYPERPLANES: list[list[float]] = [
+    [round(float(v), 6) for v in row] for row in _planes
+]
+
+# Minimal public stopword lists for the language-ID heuristic (language code →
+# high-frequency function words). Deliberately tiny: the operator contract is
+# the scoring shape, not lexicon quality.
+STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "zu"],
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour"],
+}
+
+
+def polyhash(col: Column) -> Column:
+    """Polynomial char hash of a string column (Spark side, pure HOFs)."""
+    codes = F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("bigint"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * POLY_MULT + x) % POLY_PRIME,
+    )
+
+
+def polyhash_sql(expr: str) -> str:
+    """The identical hash as DuckDB SQL over an expression yielding VARCHAR."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * {POLY_MULT} + b) % {POLY_PRIME})"
+    )
+
+
+def minhash_col(token_hashes: Column, i: int) -> Column:
+    """i-th MinHash value over an array<bigint> of token hashes."""
+    a, b = MINHASH_A[i], MINHASH_B[i]
+    return F.array_min(
+        F.transform(token_hashes, lambda h: (F.lit(a) * h + F.lit(b)) % POLY_PRIME)
+    )
+
+
+def minhash_sql(hashes_expr: str, i: int) -> str:
+    a, b = MINHASH_A[i], MINHASH_B[i]
+    return (
+        f"list_min(list_transform({hashes_expr}, "
+        f"h -> ({a} * h + {b}) % {POLY_PRIME}))"
+    )
+
+
+def _plane_lit(j: int) -> Column:
+    return F.array(*[F.lit(v) for v in HYPERPLANES[j]])
+
+
+def lsh_bucket(embedding: Column) -> Column:
+    """Sign-bit bucket id of an array<float|double> embedding: bit j set iff
+    dot(embedding, plane_j) >= 0. Pure zip_with/aggregate — JVM-side, and the
+    sequential fold matches DuckDB's list_dot_product associativity."""
+    bucket = F.lit(0).cast("bigint")
+    for j in range(N_PLANES):
+        dot = F.aggregate(
+            F.zip_with(
+                embedding, _plane_lit(j), lambda x, p: x.cast("double") * p
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucket_sql(emb_expr: str) -> str:
+    parts = []
+    for j in range(N_PLANES):
+        plane = (
+            "CAST([" + ", ".join(repr(v) for v in HYPERPLANES[j]) + "] AS DOUBLE[])"
+        )
+        parts.append(
+            f"CASE WHEN list_dot_product(CAST({emb_expr} AS DOUBLE[]), {plane}) >= 0"
+            f" THEN {1 << j} ELSE 0 END"
+        )
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"

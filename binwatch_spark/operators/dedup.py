@@ -1,0 +1,192 @@
+"""Deduplication operators: exact, hash-keyed, n-gram Jaccard, MinHash-LSH,
+SimHash — the dedup ladder a 100 TB training-data pipeline needs.
+
+Scale posture per rung:
+- exact:        shuffle on sha2(text) (32-byte key, not the document).
+- jaccard:      blocked pairwise — only within a blocking key; exact arrays.
+- MinHash-LSH:  signatures map-side; the only shuffle is the tiny
+                (band_idx, band_key) exchange; candidate pairs then verified
+                exactly. This is the 100 TB near-dup path.
+- SimHash:      64→24-bit fingerprints map-side; hamming-distance pairing
+                within blocks.
+
+All hashing uses functions.texthash so each operator has a bit-exact DuckDB
+oracle (see plans/dedup_queries.py) — no UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from binwatch_spark.functions.texthash import (
+    BAND_ROWS,
+    MINHASH_K,
+    N_BANDS,
+    SIMHASH_BITS,
+    minhash_col,
+    polyhash,
+)
+from binwatch_spark.operators.text import distinct_tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Collapse exact duplicates, keeping the lowest id per text group."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias("keeper_" + id_col),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def hash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup keyed on sha2-256 of the text: at scale the shuffle moves
+    32-byte digests instead of documents."""
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("text_sha256"))
+        .groupBy("text_sha256")
+        .agg(
+            F.min(id_col).alias("keeper_" + id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def _with_token_sets(df: DataFrame, text_col: str) -> DataFrame:
+    return df.withColumn("_toks", distinct_tokens(F.col(text_col)))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact token-set Jaccard over pairs sharing a blocking key.
+
+    Blocking bounds the quadratic term to within-block pairs; at 100 TB the
+    blocking key comes from LSH (see minhash_lsh_pairs) instead of metadata.
+    Output: (i, j, jac) with i < j.
+    """
+    left = _with_token_sets(df, text_col).select(
+        F.col(id_col).alias("i"), F.col(block_col).alias("_blk"), F.col("_toks").alias("_ti")
+    )
+    right = _with_token_sets(df, text_col).select(
+        F.col(id_col).alias("j"), F.col(block_col).alias("_blk"), F.col("_toks").alias("_tj")
+    )
+    pairs = left.join(right, on="_blk").filter(F.col("i") < F.col("j"))
+    inter = F.size(F.array_intersect(F.col("_ti"), F.col("_tj")))
+    union = F.size(F.col("_ti")) + F.size(F.col("_tj")) - inter
+    jac = inter.cast("double") / union
+    return pairs.select("i", "j", jac.alias("jac")).filter(F.col("jac") >= threshold)
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """MinHash signature columns mh0..mh{K-1} per document (map-side only)."""
+    hashed = _with_token_sets(df, text_col).withColumn(
+        "_th", F.transform(F.col("_toks"), polyhash)
+    )
+    sig_cols = [minhash_col(F.col("_th"), i).alias(f"mh{i}") for i in range(MINHASH_K)]
+    return hashed.select(F.col(id_col), F.col("_toks"), *sig_cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact Jaccard verification.
+
+    Bands hash 4-row slices of the signature; documents sharing any band key
+    become candidates (one shuffle on the small (band_idx, band_key) pair),
+    then candidates are verified with exact Jaccard — no false positives,
+    banded recall ≈ 0.99 at the target threshold.
+    Output: (i, j, jac) with i < j.
+    """
+    sigs = minhash_signatures(df, text_col, id_col)
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col(f"mh{b * BAND_ROWS + r}")
+                                for r in range(BAND_ROWS)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_key")
+
+    cands = (
+        bands.alias("a")
+        .join(bands.alias("b"), on=["band_idx", "band_key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("i"), F.col(f"b.{id_col}").alias("j")
+        )
+        .distinct()
+    )
+
+    toks = _with_token_sets(df, text_col).select(
+        F.col(id_col).alias("_id"), F.col("_toks")
+    )
+    joined = (
+        cands.join(toks.withColumnRenamed("_toks", "_ti"), cands.i == F.col("_id"))
+        .drop("_id")
+        .join(toks.withColumnRenamed("_toks", "_tj"), cands.j == F.col("_id"))
+        .drop("_id")
+    )
+    inter = F.size(F.array_intersect(F.col("_ti"), F.col("_tj")))
+    union = F.size(F.col("_ti")) + F.size(F.col("_tj")) - inter
+    jac = inter.cast("double") / union
+    return joined.select("i", "j", jac.alias("jac")).filter(
+        F.col("jac") >= threshold
+    )
+
+
+def simhash(text: Column) -> Column:
+    """SimHash fingerprint over the low SIMHASH_BITS bits of token polyhashes:
+    bit b of the fingerprint is set iff the signed bit-b vote over all tokens
+    is positive."""
+    th = F.transform(distinct_tokens(text), polyhash)
+
+    def bit_vote(mask: int):
+        # Two-arg lambda required: pyspark maps every named parameter of the
+        # callable to a lambda variable, so constants must close over, not
+        # default-bind.
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, 1
+        ).otherwise(-1)
+
+    fp = F.lit(0).cast("bigint")
+    for b in range(SIMHASH_BITS):
+        vote = F.aggregate(th, F.lit(0).cast("bigint"), bit_vote(1 << b))
+        fp = fp + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return fp
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, block_col: str, max_hamming: int
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance within a block.
+    Output: (i, j, hamming) with i < j."""
+    fps = df.select(
+        F.col(id_col), F.col(block_col).alias("_blk"), simhash(F.col(text_col)).alias("_fp")
+    )
+    a = fps.select(
+        F.col(id_col).alias("i"), F.col("_blk"), F.col("_fp").alias("_fi")
+    )
+    b = fps.select(
+        F.col(id_col).alias("j"), F.col("_blk"), F.col("_fp").alias("_fj")
+    )
+    pairs = a.join(b, on="_blk").filter(F.col("i") < F.col("j"))
+    hamming = F.bit_count(F.col("_fi").bitwiseXOR(F.col("_fj")))
+    return pairs.select(
+        "i", "j", hamming.cast("bigint").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,85 @@
+"""Text-analysis operators for large-scale corpus processing: tokenization,
+language-ID, quality scoring, token counting, document fingerprinting.
+
+Everything here is built-in Spark expressions (split/transform/aggregate/
+regexp) — no Python UDFs — so the hot path stays inside whole-stage codegen
+and scales linearly with one scan and zero shuffles per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from binwatch_spark.functions.texthash import (
+    POLY_MULT,
+    POLY_PRIME,
+    STOPWORDS,
+    polyhash,
+)
+
+# BPE-ish word/number/symbol-run tokenizer (shared with the DuckDB oracle;
+# plain RE2-compatible character classes so Java and RE2 agree).
+BPE_TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of lowercased text."""
+    return F.split(F.lower(text), " ")
+
+
+def distinct_tokens(text: Column) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of `lang` (array filter, no join)."""
+    stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+
+
+def language_id(text: Column) -> Column:
+    """Heuristic language-ID: stopword-hit score per language, argmax with
+    alphabetical tiebreak. Returns the language code column."""
+    toks = tokens(text)
+    scores = {lang: stopword_hits(toks, lang) for lang in sorted(STOPWORDS)}
+    best = F.greatest(*scores.values())
+    expr = None
+    for lang in sorted(scores):
+        cond = scores[lang] >= best
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return expr.otherwise(F.lit("und"))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Deterministic quality features: token count, average token length,
+    stopword ratio, and a bounded composite score."""
+    toks = tokens(text)
+    n_tokens = F.size(toks).cast("bigint")
+    n_chars = F.length(text).cast("bigint")
+    avg_token_len = (n_chars - (n_tokens - 1)) / n_tokens
+    stop_ratio = stopword_hits(toks, "en").cast("double") / n_tokens
+    quality = F.round(
+        F.least(n_tokens / F.lit(50.0), F.lit(1.0)) * 0.5 + stop_ratio * 0.5, 6
+    )
+    return {
+        "n_tokens": n_tokens,
+        "avg_token_len": avg_token_len,
+        "stop_ratio": stop_ratio,
+        "quality": quality,
+    }
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_TOKEN_PATTERN), 0))
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Whole-document rolling hash (polynomial over char codes)."""
+    return polyhash(text)
+
+
+def min_token_fingerprint(text: Column) -> Column:
+    """Smallest token polyhash — a 1-permutation MinHash, the building block
+    the dedup operator banks into signatures."""
+    return F.array_min(F.transform(distinct_tokens(text), polyhash))

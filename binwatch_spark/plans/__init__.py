@@ -4,7 +4,14 @@ Importing this package registers every query. Use :func:`all_queries` /
 :func:`all_oracles` from ``registry``.
 """
 
-from binwatch_spark.plans import cdc_queries, northstar, relational  # noqa: F401
+from binwatch_spark.plans import (  # noqa: F401
+    cdc_queries,
+    dedup_queries,
+    northstar,
+    relational,
+    similarity_queries,
+    text_queries,
+)
 from binwatch_spark.plans.registry import REGISTRY, all_oracles, all_queries
 
 __all__ = ["REGISTRY", "all_queries", "all_oracles"]

@@ -1,0 +1,158 @@
+"""Deduplication query inventory (q23–q26, q34). Every query — including
+MinHash-LSH and SimHash — has a full DuckDB oracle because all hashing is the
+shared polynomial hash (functions.texthash) with fixed seeded constants,
+generated into the SQL below from the same Python values the Spark plan uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binwatch_spark.functions.texthash import (
+    BAND_ROWS,
+    N_BANDS,
+    SIMHASH_BITS,
+    minhash_sql,
+    polyhash_sql,
+)
+from binwatch_spark.operators import dedup
+from binwatch_spark.plans.registry import register
+from binwatch_spark.tables import load
+
+JACCARD_THRESHOLD = 0.8
+SIMHASH_MAX_HAMMING = 3
+COSINE_NEARDUP_THRESHOLD = 0.4
+
+_TOKS = "list_distinct(string_split(lower(text), ' '))"
+_JAC = (
+    "CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE) / "
+    "(len(x.toks) + len(y.toks) - len(list_intersect(x.toks, y.toks)))"
+)
+
+
+def _minhash_lsh_sql() -> str:
+    sig_cols = ", ".join(
+        f"{minhash_sql('hs', i)} AS mh{i}" for i in range(N_BANDS * BAND_ROWS)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, concat_ws('-', {cols}) AS band_key FROM sig".format(
+            b=b,
+            cols=", ".join(f"mh{b * BAND_ROWS + r}" for r in range(BAND_ROWS)),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), th AS (
+  SELECT doc_id, list_transform(toks, t -> {polyhash_sql('t')}) AS hs FROM base
+), sig AS (
+  SELECT doc_id, {sig_cols} FROM th
+), bands AS (
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT i, j, jac FROM (
+  SELECT c.i, c.j, {_JAC} AS jac
+  FROM cand c JOIN base x ON c.i = x.doc_id JOIN base y ON c.j = y.doc_id)
+WHERE jac >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("q23_minhash_lsh_dedup", oracle=_minhash_lsh_sql())
+def q23_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH banding (8×4) near-dup candidate generation with
+    exact-Jaccard verification — the 100 TB near-dup path: signatures are
+    map-side, the only shuffle is the small (band_idx, band_key) exchange."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "text", "doc_id", JACCARD_THRESHOLD)
+
+
+@register(
+    "q24_token_jaccard_dedup",
+    oracle=f"""
+WITH s AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents)
+SELECT i, j, jac FROM (
+  SELECT x.doc_id AS i, y.doc_id AS j, {_JAC} AS jac
+  FROM s x JOIN s y ON x.source = y.source AND x.doc_id < y.doc_id)
+WHERE jac >= {JACCARD_THRESHOLD}
+""",
+)
+def q24_token_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs, blocked by source — the
+    blocked-pairwise rung of the dedup ladder (quadratic only within block)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, "text", "doc_id", "source", JACCARD_THRESHOLD)
+
+
+def _simhash_sql() -> str:
+    fp_bits = " + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h // {1 << b}) % 2 = 1"
+        f" THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH th AS (
+  SELECT doc_id, source, list_transform({_TOKS}, t -> {polyhash_sql('t')}) AS hs
+  FROM documents
+), fp AS (
+  SELECT doc_id, source, CAST({fp_bits} AS BIGINT) AS fp FROM th
+)
+SELECT a.doc_id AS i, b.doc_id AS j,
+  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+@register("q25_simhash_dedup", oracle=_simhash_sql())
+def q25_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(24-bit) fingerprints, near-dup = hamming <= 3 within a source
+    block. Fingerprints are map-side; pairing shuffles only (id, fp)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(
+        docs, "text", "doc_id", "source", SIMHASH_MAX_HAMMING
+    )
+
+
+_COS = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+
+@register(
+    "q26_embedding_neardup",
+    oracle=f"""
+SELECT i, j, sim FROM (
+  SELECT a.vec_id AS i, b.vec_id AS j, {_COS} AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+WHERE sim >= {COSINE_NEARDUP_THRESHOLD}
+""",
+)
+def q26_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact, broadcast nested-loop). The
+    LSH-bucketed variant (q33) is the scale path for the same predicate."""
+    from binwatch_spark.operators.similarity import neardup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return neardup_pairs(emb, "vec_id", "embedding", COSINE_NEARDUP_THRESHOLD)
+
+
+@register(
+    "q34_hash_dedup",
+    oracle=(
+        "SELECT sha256(text) AS text_sha256, min(doc_id) AS keeper_doc_id,"
+        " count(*) AS dup_count FROM documents GROUP BY sha256(text)"
+    ),
+)
+def q34_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on sha2-256: the at-scale form of q18 — the shuffle
+    carries 32-byte digests, not documents."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.hash_dedup(docs, "text", "doc_id")

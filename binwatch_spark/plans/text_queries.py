@@ -1,0 +1,138 @@
+"""Text-analysis and multimodal query inventory (q27–q30, q32)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binwatch_spark.functions.texthash import STOPWORDS, polyhash_sql
+from binwatch_spark.operators import multimodal, text
+from binwatch_spark.plans.registry import register
+from binwatch_spark.tables import load
+
+
+def _stop_list_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+def _hits_sql(lang: str) -> str:
+    return (
+        f"CAST(len(list_filter(toks, t -> list_contains({_stop_list_sql(lang)}, t)))"
+        " AS BIGINT)"
+    )
+
+
+def _langid_sql() -> str:
+    langs = sorted(STOPWORDS)
+    scores = ", ".join(f"{_hits_sql(lang)} AS s_{lang}" for lang in langs)
+    all_scores = ", ".join(f"s_{lang}" for lang in langs)
+    case = " ".join(
+        f"WHEN s_{lang} >= greatest({all_scores}) THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+s AS (SELECT doc_id, {scores} FROM t)
+SELECT doc_id, CASE {case} ELSE 'und' END AS pred_lang, s_en AS en_hits FROM s
+"""
+
+
+@register("q27_language_id", oracle=_langid_sql())
+def q27_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by stopword-hit argmax (alphabetical tiebreak) — one scan,
+    zero shuffles, pure array expressions."""
+    docs = load(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        text.language_id(F.col("text")).alias("pred_lang"),
+        text.stopword_hits(toks, "en").cast("bigint").alias("en_hits"),
+    )
+
+
+@register(
+    "q28_quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+    len(string_split(lower(text), ' ')) AS n_tokens,
+    len(list_filter(string_split(lower(text), ' '),
+        t -> list_contains({_stop_list_sql("en")}, t))) AS hits
+  FROM documents)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+  CAST(hits AS DOUBLE) / n_tokens AS stop_ratio,
+  round(least(CAST(n_tokens AS DOUBLE) / 50, CAST(1 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+    + (CAST(hits AS DOUBLE) / n_tokens) * CAST(0.5 AS DOUBLE), 6) AS quality
+FROM t
+""",
+)
+def q28_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token count, average token length,
+    stopword ratio, bounded composite score."""
+    docs = load(spark, sf_dir, "documents")
+    feats = text.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["stop_ratio"].alias("stop_ratio"),
+        feats["quality"].alias("quality"),
+    )
+
+
+@register(
+    "q29_token_stats",
+    oracle=(
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,"
+        " CAST(len(regexp_extract_all(lower(text),"
+        r" '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT) AS bpe_tokens"
+        " FROM documents"
+    ),
+)
+def q29_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens and a BPE-ish regex tokenizer
+    (word / number / symbol runs) — both as JVM regexp expressions."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("ws_tokens"),
+        text.bpe_token_count(F.col("text")).cast("bigint").alias("bpe_tokens"),
+    )
+
+
+@register(
+    "q30_doc_fingerprint",
+    oracle=f"""
+SELECT doc_id, {polyhash_sql("text")} AS doc_hash,
+  list_min(list_transform(list_distinct(string_split(lower(text), ' ')),
+           t -> {polyhash_sql("t")})) AS min_token_hash
+FROM documents
+""",
+)
+def q30_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-text rolling hash + min token hash
+    (1-permutation MinHash) — the primitive under the q23 signatures."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.doc_fingerprint(F.col("text")).alias("doc_hash"),
+        text.min_token_fingerprint(F.col("text")).alias("min_token_hash"),
+    )
+
+
+@register(
+    "q32_multimodal_decode",
+    oracle=(
+        "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,"
+        " sha256(text) AS content_sha256 FROM documents"
+    ),
+)
+def q32_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: text bytes stand in for an opaque
+    media payload → binary column + metadata → Arrow-batched mapInPandas
+    decode (stub featurizer) → metadata out. The oracle checks the
+    metadata columns; the feature vector is exercised by unit tests."""
+    docs = load(spark, sf_dir, "documents")
+    payload = multimodal.with_binary_payload(docs, "text", "doc_id")
+    decoded = multimodal.decode_features(payload)
+    return decoded.select("doc_id", "byte_len", "content_sha256")

@@ -1,0 +1,101 @@
+"""Sharding property tests — ported from the reference's only test file
+(blsenderwork_test.go:42-190) onto DataFrames:
+
+- known-vector parity with Go hash/fnv (FNV-1a 64),
+- totality + disjointness: every event lands on exactly one of N shards,
+- balance within 20% over the event fixture,
+- even byte-step positions still balance (regression for pos%count pathology),
+- key affinity: the same key always routes to the same shard.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from binwatch_spark.operators.sharding import (
+    fnv1a64_bytes,
+    make_shard_key_udf,
+    make_shard_udf,
+)
+from binwatch_spark.tables import load
+from tests.conftest import SF_SMALL
+
+
+def test_fnv1a64_known_vectors():
+    # Published FNV-1a 64 test vectors (offset basis / "a" / "foobar").
+    assert fnv1a64_bytes(b"") == 14695981039346656037
+    assert fnv1a64_bytes(b"a") == 0xAF63DC4C8601EC8C
+    assert fnv1a64_bytes(b"foobar") == 0x85944171F73967E8
+
+
+def test_shard_totality_and_disjointness(spark):
+    ev = load(spark, SF_SMALL, "events")
+    n = ev.count()
+    shard = make_shard_udf(4)(F.col("event_id"))
+    counts = (
+        ev.select(shard.alias("shard")).groupBy("shard").count().collect()
+    )
+    assert sum(r["count"] for r in counts) == n  # totality: each event → one shard
+    assert {r["shard"] for r in counts} <= {0, 1, 2, 3}
+
+
+def test_shard_balance_within_20pct(spark):
+    # blsenderwork_test.go:53-83: load balanced within 20% of even split.
+    ev = load(spark, SF_SMALL, "events")
+    n = ev.count()
+    shard = make_shard_udf(4)(F.col("event_id"))
+    counts = [
+        r["count"]
+        for r in ev.select(shard.alias("shard")).groupBy("shard").count().collect()
+    ]
+    expected = n / 4
+    for c in counts:
+        assert abs(c - expected) / expected < 0.2
+
+
+def test_even_byte_step_positions_balance(spark):
+    # blsenderwork_test.go:90-121: positions 150*i with count=2 must still
+    # balance after FNV-1a (guards raw pos%count pathology).
+    df = spark.range(3000).select((F.col("id") * 150).alias("pos"))
+    shard = make_shard_udf(2)(F.col("pos"))
+    counts = [
+        r["count"]
+        for r in df.select(shard.alias("shard")).groupBy("shard").count().collect()
+    ]
+    assert len(counts) == 2
+    for c in counts:
+        assert abs(c - 1500) / 1500 < 0.2
+
+
+def test_key_affinity(spark):
+    # blsenderwork_test.go:125-190: the same rendered key always lands on the
+    # same shard, and the key space spreads across shards.
+    ev = load(spark, SF_SMALL, "events")
+    shard = make_shard_key_udf(4)(F.col("user_id").cast("string"))
+    per_key = (
+        ev.select("user_id", shard.alias("shard"))
+        .groupBy("user_id")
+        .agg(F.count_distinct("shard").alias("n_shards"))
+        .collect()
+    )
+    assert all(r["n_shards"] == 1 for r in per_key)
+    all_shards = {
+        r["shard"] for r in ev.select(shard.alias("shard")).distinct().collect()
+    }
+    assert len(all_shards) >= 2  # ids spread across shards
+
+
+def test_shard_matches_python_reference(spark):
+    # Cross-check the vectorized numpy path against the scalar bytes path.
+    import struct
+
+    rows = (
+        load(spark, SF_SMALL, "events")
+        .select("event_id", make_shard_udf(4)(F.col("event_id")).alias("shard"))
+        .limit(50)
+        .collect()
+    )
+    for r in rows:
+        expect = fnv1a64_bytes(struct.pack("<Q", r["event_id"])) % 4
+        assert r["shard"] == expect
