@@ -55,6 +55,44 @@ def _with_token_sets(df: DataFrame, text_col: str) -> DataFrame:
     return df.withColumn("_toks", distinct_tokens(F.col(text_col)))
 
 
+def _vocab(df: DataFrame, text_col: str) -> list[str]:
+    """Global token dictionary (one distinct pass; at scale this is the
+    standard dictionary-encoding build)."""
+    return [
+        r[0]
+        for r in df.select(
+            F.explode(distinct_tokens(F.col(text_col))).alias("t")
+        )
+        .distinct()
+        .orderBy("t")
+        .collect()
+    ]
+
+
+def _mask_expr(toks: Column, vocab: list[str]) -> Column:
+    """Token set → int64 bitmask under a ≤63-word dictionary (map literal of
+    per-token single-bit masks folded with bitwise OR)."""
+    entries: list[Column] = []
+    for idx, w in enumerate(vocab):
+        entries.append(F.lit(w))
+        entries.append(F.lit(1 << idx).cast("bigint"))
+    bit_map = F.create_map(*entries)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc.bitwiseOR(F.element_at(bit_map, t)),
+    )
+
+
+def _mask_jaccard(mi: Column, mj: Column) -> Column:
+    """Jaccard from bitmasks: identical integer inter/union counts as the
+    array form, but popcount is whole-stage-codegen integer work instead of
+    interpreted array intersection."""
+    inter = F.bit_count(mi.bitwiseAND(mj))
+    union = F.bit_count(mi.bitwiseOR(mj))
+    return inter.cast("double") / union
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -68,6 +106,27 @@ def jaccard_pairs(
     blocking key comes from LSH (see minhash_lsh_pairs) instead of metadata.
     Output: (i, j, jac) with i < j.
     """
+    vocab = _vocab(df, text_col)
+    if len(vocab) <= 63:
+        # Dictionary-encoded bitmask path: token sets become one int64 per
+        # doc, so the pair stage shuffles 16 bytes/row and verifies with
+        # popcount in codegen instead of interpreted array intersection.
+        sets = _with_token_sets(df, text_col).select(
+            F.col(id_col),
+            F.col(block_col).alias("_blk"),
+            _mask_expr(F.col("_toks"), vocab).alias("_mask"),
+        )
+        a = sets.select(
+            F.col(id_col).alias("i"), "_blk", F.col("_mask").alias("_mi")
+        )
+        b = sets.select(
+            F.col(id_col).alias("j"), "_blk", F.col("_mask").alias("_mj")
+        )
+        pairs = a.join(b, on="_blk").filter(F.col("i") < F.col("j"))
+        jac = _mask_jaccard(F.col("_mi"), F.col("_mj"))
+        return pairs.select("i", "j", jac.alias("jac")).filter(
+            F.col("jac") >= threshold
+        )
     left = _with_token_sets(df, text_col).select(
         F.col(id_col).alias("i"), F.col(block_col).alias("_blk"), F.col("_toks").alias("_ti")
     )
@@ -133,6 +192,30 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
+    vocab = _vocab(df, text_col)
+    if len(vocab) <= 63:
+        # Verify with dictionary-encoded bitmasks (see jaccard_pairs): two
+        # broadcast joins of an int64 per doc + codegen popcount.
+        masks = _with_token_sets(df, text_col).select(
+            F.col(id_col).alias("_id"),
+            _mask_expr(F.col("_toks"), vocab).alias("_mask"),
+        )
+        joined = (
+            cands.join(
+                F.broadcast(masks.withColumnRenamed("_mask", "_mi")),
+                cands.i == F.col("_id"),
+            )
+            .drop("_id")
+            .join(
+                F.broadcast(masks.withColumnRenamed("_mask", "_mj")),
+                cands.j == F.col("_id"),
+            )
+            .drop("_id")
+        )
+        jac = _mask_jaccard(F.col("_mi"), F.col("_mj"))
+        return joined.select("i", "j", jac.alias("jac")).filter(
+            F.col("jac") >= threshold
+        )
     toks = _with_token_sets(df, text_col).select(
         F.col(id_col).alias("_id"), F.col("_toks")
     )

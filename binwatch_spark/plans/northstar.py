@@ -57,22 +57,6 @@ def q19_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cosine_cols(a: str, b: str):
-    """Deterministic cosine similarity between two float-array columns.
-
-    Both sides cast to double element-wise, then a *sequential* left-to-right
-    fold (F.aggregate) — the same association DuckDB's list_dot_product uses —
-    so the doubles match the oracle bit-for-bit."""
-    def dot(x: str, y: str):
-        return F.aggregate(
-            F.zip_with(F.col(x), F.col(y), lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
-
-
 @register(
     "q20_similarity_knn",
     oracle=(
@@ -96,6 +80,8 @@ def q20_similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the correct *baseline* at any scale. The LSH-bucketed variant
     (operators.similarity) is the 100 TB path: it prunes candidates per
     bucket before scoring."""
+    from binwatch_spark.operators.similarity import brute_force_knn
+
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -103,12 +89,6 @@ def q20_similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = emb.filter(F.col("vec_id") >= 5).select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
     )
-    pairs = cands.crossJoin(F.broadcast(queries))
-    sim = _cosine_cols("q_emb", "c_emb")
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
-    return (
-        pairs.select("query_id", "cand_id", sim.alias("sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("query_id", "cand_id", F.col("rn").alias("rank"))
+    return brute_force_knn(queries, cands, 3).select(
+        "query_id", "cand_id", "rank"
     )
