@@ -1,0 +1,279 @@
+"""YAML job-spec loader — the reference's config surface on dataclasses.
+
+Mirrors api/v1alpha2/config.go:22-167 (same YAML keys), the ``${ENV:X}$``
+pre-parse expansion (internal/utils/utils.go:28-39: unset vars are left
+as-is, not errors) and the construction-time validation:
+
+- non-empty server id, IP-parseable host, registered port 1024-49151
+  (binwatch.go:62-76, utils.go:41-44)
+- sharding: count > 0, index < count (blsenderwork.go:63-79)
+- every route references a declared connector (blsenderwork.go:97-100)
+
+Spark-specific extension: ``checkpoint_dir`` (the Structured Streaming
+offset log replaces the reference's local-file/Redis cache backends —
+cache.go:14-48; the local/redis settings are accepted and mapped onto it).
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import os
+import re
+from dataclasses import dataclass, field
+
+try:
+    import yaml
+except ImportError:  # pragma: no cover - pyyaml is available in this env
+    yaml = None
+
+_ENV_RE = re.compile(r"\$\{ENV:([A-Za-z_][A-Za-z0-9_]*)\}\$")
+
+DML_OPERATIONS = ("INSERT", "UPDATE", "DELETE")
+
+
+def expand_env(text: str) -> str:
+    """``${ENV:NAME}$`` substitution; unset variables are left untouched
+    (utils.go:32-36 semantics)."""
+
+    def sub(m: re.Match[str]) -> str:
+        value = os.environ.get(m.group(1))
+        return value if value is not None else m.group(0)
+
+    return _ENV_RE.sub(sub, text)
+
+
+class ConfigError(ValueError):
+    pass
+
+
+@dataclass
+class Location:
+    file: str = ""
+    position: int = 0
+
+
+@dataclass
+class SourceConfig:
+    flavor: str = "mysql"
+    server_id: int = 100
+    host: str = "127.0.0.1"
+    port: int = 3306
+    user: str = ""
+    password: str = ""
+    db_tables: dict[str, list[str]] = field(default_factory=dict)
+    read_timeout: str = "90s"
+    heartbeat_period: str = "60s"
+    start_location: Location | None = None
+    # Spark extension: replay a recorded envelope stream instead of a live
+    # binlog (sources/envelope.py) — used by tests and dev.
+    replay_dir: str = ""
+
+    @property
+    def allowlist(self) -> list[str]:
+        return [f"{db}.{tbl}" for db, tables in self.db_tables.items() for tbl in tables]
+
+
+@dataclass
+class ShardingConfig:
+    enabled: bool = False
+    count: int = 1
+    index: int = 0
+    key_template: str = ""
+
+
+@dataclass
+class WebhookConfig:
+    url: str = ""
+    method: str = "POST"
+    headers: dict[str, str] = field(default_factory=dict)
+    username: str = ""
+    password: str = ""
+    tls_skip_verify: bool = False
+
+
+@dataclass
+class PubsubConfig:
+    project_id: str = ""
+    topic_id: str = ""
+
+
+@dataclass
+class ConnectorConfig:
+    name: str
+    type: str  # webhook | google_pubsub | memory | file
+    webhook: WebhookConfig = field(default_factory=WebhookConfig)
+    pubsub: PubsubConfig = field(default_factory=PubsubConfig)
+    # Spark extension for tests: file connector target
+    path: str = ""
+
+
+@dataclass
+class RouteConfig:
+    name: str
+    connector: str
+    operations: list[str] = field(default_factory=lambda: list(DML_OPERATIONS))
+    db_table: str = ""  # empty = match all (documented divergence, SURVEY §7.3)
+    template: str = ""  # JSON-shape template; empty = whole-item to_json
+
+
+@dataclass
+class ServerConfig:
+    id: str = ""
+    host: str = "0.0.0.0"
+    port: int = 8080
+    stop_in_error: bool = False
+    restart_syncer_on_error: bool = False
+    sender_workers: int = 1
+    pool_size: int = 20
+    item_by_row: bool = False
+    checkpoint_dir: str = ""
+
+
+@dataclass
+class JobConfig:
+    server: ServerConfig
+    source: SourceConfig
+    sharding: ShardingConfig
+    connectors: list[ConnectorConfig]
+    routes: list[RouteConfig]
+
+    def connector_by_name(self, name: str) -> ConnectorConfig:
+        for conn in self.connectors:
+            if conn.name == name:
+                return conn
+        raise KeyError(name)
+
+
+def _validate(cfg: JobConfig) -> None:
+    if not cfg.server.id:
+        raise ConfigError("empty server id")
+    try:
+        ipaddress.ip_address(cfg.server.host)
+    except ValueError:
+        raise ConfigError("malformed server host, invalid ip form") from None
+    if not 1024 <= cfg.server.port <= 49151:
+        raise ConfigError(f"invalid '{cfg.server.port}' port number in server")
+    if cfg.sharding.enabled:
+        if cfg.sharding.count == 0:
+            raise ConfigError("sharding enabled but 'sharding.count' is zero")
+        if cfg.sharding.index >= cfg.sharding.count:
+            raise ConfigError(
+                f"sharding 'index' ({cfg.sharding.index}) must be lower than"
+                f" 'count' ({cfg.sharding.count})"
+            )
+    names = {c.name for c in cfg.connectors}
+    for route in cfg.routes:
+        if route.connector not in names:
+            raise ConfigError(
+                f"error creating '{route.name}' route: no '{route.connector}'"
+                " connector in connector list"
+            )
+        for op in route.operations:
+            if op not in DML_OPERATIONS:
+                raise ConfigError(
+                    f"route '{route.name}': unknown operation {op!r}"
+                )
+
+
+def parse(doc: dict) -> JobConfig:
+    server_d = doc.get("server", {}) or {}
+    pool_d = server_d.get("pool", {}) or {}
+    cache_d = server_d.get("cache", {}) or {}
+    source_d = doc.get("source", {}) or {}
+    sharding_d = doc.get("sharding", {}) or {}
+
+    start = None
+    if source_d.get("startLocation"):
+        start = Location(
+            file=source_d["startLocation"].get("file", ""),
+            position=int(source_d["startLocation"].get("position", 0)),
+        )
+
+    connectors = []
+    for c in doc.get("connectors", []) or []:
+        webhook_d = c.get("webhook", {}) or {}
+        creds = webhook_d.get("credentials", {}) or {}
+        pubsub_d = c.get("pubsub", {}) or {}
+        connectors.append(
+            ConnectorConfig(
+                name=c.get("name", ""),
+                type=c.get("type", ""),
+                webhook=WebhookConfig(
+                    url=webhook_d.get("url", ""),
+                    method=webhook_d.get("method", "POST"),
+                    headers=dict(webhook_d.get("headers", {}) or {}),
+                    username=creds.get("username", ""),
+                    password=creds.get("password", ""),
+                    tls_skip_verify=bool(webhook_d.get("tlsSkipVerify", False)),
+                ),
+                pubsub=PubsubConfig(
+                    project_id=pubsub_d.get("projectID", ""),
+                    topic_id=pubsub_d.get("topicID", ""),
+                ),
+                path=c.get("path", ""),
+            )
+        )
+
+    routes = [
+        RouteConfig(
+            name=r.get("name", ""),
+            connector=r.get("connector", ""),
+            operations=list(r.get("operations", list(DML_OPERATIONS))),
+            db_table=r.get("dbTable", ""),
+            template=r.get("template", ""),
+        )
+        for r in doc.get("routes", []) or []
+    ]
+
+    cfg = JobConfig(
+        server=ServerConfig(
+            id=server_d.get("id", ""),
+            host=server_d.get("host", "0.0.0.0"),
+            port=int(server_d.get("port", 8080)),
+            stop_in_error=bool(server_d.get("stopInError", False)),
+            restart_syncer_on_error=bool(
+                server_d.get("restartSyncerOnError", False)
+            ),
+            sender_workers=int(server_d.get("senderWorkers", 1)),
+            pool_size=int(pool_d.get("size", 20)),
+            item_by_row=bool(pool_d.get("itemByRow", False)),
+            checkpoint_dir=(
+                server_d.get("checkpointDir", "")
+                or (cache_d.get("local", {}) or {}).get("path", "")
+            ),
+        ),
+        source=SourceConfig(
+            flavor=source_d.get("flavor", "mysql"),
+            server_id=int(source_d.get("serverID", 100)),
+            host=source_d.get("host", "127.0.0.1"),
+            port=int(source_d.get("port", 3306)),
+            user=source_d.get("user", ""),
+            password=source_d.get("password", ""),
+            db_tables={
+                db: list(tables)
+                for db, tables in (source_d.get("dbTables", {}) or {}).items()
+            },
+            read_timeout=str(source_d.get("readTimeout", "90s")),
+            heartbeat_period=str(source_d.get("heartbeatPeriod", "60s")),
+            start_location=start,
+            replay_dir=source_d.get("replayDir", ""),
+        ),
+        sharding=ShardingConfig(
+            enabled=bool(sharding_d.get("enabled", False)),
+            count=int(sharding_d.get("count", 1)),
+            index=int(sharding_d.get("index", 0)),
+            key_template=sharding_d.get("keyTemplate", ""),
+        ),
+        connectors=connectors,
+        routes=routes,
+    )
+    _validate(cfg)
+    return cfg
+
+
+def load(path: str) -> JobConfig:
+    if yaml is None:  # pragma: no cover
+        raise ImportError("pyyaml is required for YAML config loading")
+    with open(path, encoding="utf-8") as fh:
+        text = expand_env(fh.read())
+    return parse(yaml.safe_load(text) or {})

@@ -1,0 +1,273 @@
+"""MySQL binlog streaming source — the reference's reader stage (S1/S2/S4)
+as a Spark 4 Python DataSource.
+
+Offsets are ``{"file": str, "position": int}`` — exactly the reference's
+``BinlogLocation`` checkpoint token (internal/cache/cache.go:19-30). Spark's
+streaming offset log replaces the local-file/Redis cache backends (C2) and
+commits per-batch monotonically, which also fixes the checkpoint-regression
+race the reference has with >1 sender workers (blsenderwork.go:204-213,
+SURVEY §7.3).
+
+Start-offset resolution preserves the reference's priority order
+(blreaderwork.go:76-109): explicit startLocation > checkpoint (Spark only
+calls initialOffset on a fresh stream — a restored stream resumes from its
+offset log, matching the cache-priority rule README.md:94-97) > live master
+position.
+
+The binlog client is injectable:
+- ``ReplayBinlogClient`` — reads recorded envelope JSONL (with per-record
+  binlog_file/position) so the full source machinery (offsets, partitions,
+  rotate/file ordering, commit) is testable without a MySQL server.
+- ``MySQLBinlogClient`` — live replication client over the public
+  ``python-mysql-replication`` package (the PyPI equivalent of go-mysql's
+  ``replication``, go.mod:9). Import-gated: this container does not ship it.
+  ROW format only (README.md:106-108).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Any, Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+
+from binwatch_spark.sources.envelope import ENVELOPE_SCHEMA
+
+
+@dataclass(frozen=True, order=True)
+class BinlogLocation:
+    """Comparable (file, position) offset; binlog file names order
+    lexicographically (mysql-bin.000001 < mysql-bin.000002)."""
+
+    file: str
+    position: int
+
+    def as_offset(self) -> dict:
+        return {"file": self.file, "position": self.position}
+
+    @classmethod
+    def from_offset(cls, offset: dict) -> "BinlogLocation":
+        return cls(file=offset["file"], position=int(offset["position"]))
+
+
+class ReplayBinlogClient:
+    """Replays envelope records from JSONL files under ``replay_dir``.
+
+    Each record carries the envelope fields (sources/envelope.py) including
+    binlog_file/binlog_position; (file, position) must be unique per record.
+    """
+
+    def __init__(self, replay_dir: str):
+        self.replay_dir = replay_dir
+
+    def _records(self) -> list[dict[str, Any]]:
+        records: list[dict[str, Any]] = []
+        for name in sorted(os.listdir(self.replay_dir)):
+            if not name.endswith((".json", ".jsonl")):
+                continue
+            with open(os.path.join(self.replay_dir, name), encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        records.append(json.loads(line))
+        return records
+
+    def master_location(self) -> BinlogLocation:
+        """Earliest location minus one — a fresh replay starts at the top
+        (the live client returns SHOW MASTER STATUS instead, utils.go:60-71)."""
+        records = self._records()
+        if not records:
+            return BinlogLocation("", 0)
+        first = min(
+            BinlogLocation(r["binlog_file"], int(r["binlog_position"]))
+            for r in records
+        )
+        return BinlogLocation(first.file, first.position - 1)
+
+    def latest_location(self) -> BinlogLocation:
+        records = self._records()
+        if not records:
+            return BinlogLocation("", 0)
+        return max(
+            BinlogLocation(r["binlog_file"], int(r["binlog_position"]))
+            for r in records
+        )
+
+    def read_range(
+        self, start: BinlogLocation, end: BinlogLocation
+    ) -> Iterator[dict[str, Any]]:
+        """Records with start < (file, position) <= end, in binlog order."""
+        selected = [
+            (BinlogLocation(r["binlog_file"], int(r["binlog_position"])), r)
+            for r in self._records()
+        ]
+        for loc, rec in sorted(selected, key=lambda x: x[0]):
+            if start < loc <= end:
+                yield rec
+
+
+class MySQLBinlogClient:  # pragma: no cover - requires a live MySQL server
+    """Live replication client. ROW binlog format only."""
+
+    def __init__(self, options: dict[str, str]):
+        try:
+            from pymysqlreplication import BinLogStreamReader  # noqa: F401
+        except ImportError as exc:
+            raise ImportError(
+                "MySQL binlog source requires the 'python-mysql-replication'"
+                " package (not available in this environment); use the"
+                " replayDir option for a recorded stream instead"
+            ) from exc
+        self._options = options
+
+    def _connection_settings(self) -> dict:
+        return {
+            "host": self._options.get("host", "127.0.0.1"),
+            "port": int(self._options.get("port", 3306)),
+            "user": self._options.get("user", ""),
+            "passwd": self._options.get("password", ""),
+        }
+
+    def master_location(self) -> BinlogLocation:
+        import pymysql
+
+        conn = pymysql.connect(**self._connection_settings())
+        try:
+            with conn.cursor() as cur:
+                cur.execute("SHOW MASTER STATUS")
+                row = cur.fetchone()
+                return BinlogLocation(row[0], int(row[1]))
+        finally:
+            conn.close()
+
+    def latest_location(self) -> BinlogLocation:
+        return self.master_location()
+
+    def read_range(
+        self, start: BinlogLocation, end: BinlogLocation
+    ) -> Iterator[dict[str, Any]]:
+        from pymysqlreplication import BinLogStreamReader
+        from pymysqlreplication.row_event import (
+            DeleteRowsEvent,
+            UpdateRowsEvent,
+            WriteRowsEvent,
+        )
+
+        op_of = {
+            WriteRowsEvent: ("WriteRowsEventV2", "INSERT"),
+            UpdateRowsEvent: ("UpdateRowsEventV2", "UPDATE"),
+            DeleteRowsEvent: ("DeleteRowsEventV2", "DELETE"),
+        }
+        stream = BinLogStreamReader(
+            connection_settings=self._connection_settings(),
+            server_id=int(self._options.get("serverid", 100)),
+            resume_stream=True,
+            log_file=start.file or None,
+            log_pos=start.position or None,
+            only_events=list(op_of),
+            blocking=False,
+        )
+        try:
+            for event in stream:
+                loc = BinlogLocation(stream.log_file, int(stream.log_pos))
+                if not start < loc <= end:
+                    if loc > end:
+                        break
+                    continue
+                etype, op = next(
+                    v for k, v in op_of.items() if isinstance(event, k)
+                )
+                rows = []
+                for row in event.rows:
+                    values = row.get("values") or row.get("after_values") or {}
+                    rows.append({str(k): str(v) for k, v in values.items()})
+                yield {
+                    "event_type": etype,
+                    "binlog_file": loc.file,
+                    "binlog_position": loc.position,
+                    "database": event.schema,
+                    "table": event.table,
+                    "operation": op,
+                    "rows": rows,
+                }
+        finally:
+            stream.close()
+
+
+def _make_client(options: dict[str, str]):
+    replay_dir = options.get("replaydir") or options.get("replayDir")
+    if replay_dir:
+        return ReplayBinlogClient(replay_dir)
+    return MySQLBinlogClient(options)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: dict, end: dict):
+        self.start = start
+        self.end = end
+
+
+class BinlogStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict[str, str]):
+        self._options = dict(options)
+        self._client = _make_client(self._options)
+
+    def initialOffset(self) -> dict:
+        # S2 priority: explicit startLocation beats everything; Spark itself
+        # handles the checkpoint case (this method is only called on a fresh
+        # stream); otherwise live master position.
+        file = self._options.get("startfile") or self._options.get("startFile")
+        pos = self._options.get("startposition") or self._options.get("startPosition")
+        if file:
+            return BinlogLocation(file, int(pos or 0)).as_offset()
+        return self._client.master_location().as_offset()
+
+    def latestOffset(self) -> dict:
+        return self._client.latest_location().as_offset()
+
+    def partitions(self, start: dict, end: dict):
+        # One ordered partition per micro-batch: binlog order is global order
+        # (senderWorkers:1 parity, README.md:38). Parallelism comes after the
+        # source via repartition in the pipeline.
+        return [_RangePartition(start, end)]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        start = BinlogLocation.from_offset(partition.start)
+        end = BinlogLocation.from_offset(partition.end)
+        client = _make_client(self._options)
+        for rec in client.read_range(start, end):
+            yield (
+                rec.get("event_type"),
+                rec.get("binlog_file"),
+                int(rec.get("binlog_position", 0)),
+                rec.get("database"),
+                rec.get("table"),
+                rec.get("operation"),
+                rec.get("rows"),
+            )
+
+    def commit(self, end: dict) -> None:
+        # At-least-once: Spark's offset log is the checkpoint store (C1);
+        # nothing to acknowledge source-side.
+        return
+
+
+class BinlogDataSource(DataSource):
+    """``spark.readStream.format("mysql-binlog")`` — options: replayDir (or
+    host/port/user/password/serverID), startFile/startPosition."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "mysql-binlog"
+
+    def schema(self):
+        return ENVELOPE_SCHEMA
+
+    def streamReader(self, schema):
+        return BinlogStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(BinlogDataSource)

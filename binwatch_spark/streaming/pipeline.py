@@ -1,0 +1,215 @@
+"""The end-to-end CDC pipeline: config → readStream → transforms → routes →
+connector sinks.
+
+Topology parity with the reference (binwatch.go:118-144, SURVEY §3.2):
+
+    source (S1/S2/S4)                     readStream (binlog DataSource or
+      → allowlist filter (F1)               envelope replay stream)
+      → operation decode (F2)             column expressions (cdc.py)
+      → itemByRow explode (P3)
+      → item sequencing (Q1)              row_number per micro-batch
+      → shard filter (R1)                 FNV-1a64 UDF (sharding.py)
+      → per route: predicate (R2),        foreachBatch: filter → render →
+        template render (T1),               repartition(senderWorkers) →
+        connector send (K1/K2)              foreachPartition send
+      → checkpoint commit (C1)            streaming offset log, per batch
+
+Semantics preserved: at-least-once (send happens inside the batch, the
+offset commits after — crash between send and commit ⇒ redelivery,
+blsenderwork.go:193-213); ordering guaranteed only with senderWorkers=1
+(README.md:38) — we sort the batch by (binlog_file, binlog_position) and
+coalesce to one partition in that case; first route error aborts the batch
+(→ retry) like the reference aborts remaining routes (blsenderwork.go:197).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from binwatch_spark.config import JobConfig
+from binwatch_spark.operators import cdc
+from binwatch_spark.operators.sharding import make_shard_key_udf, make_shard_udf
+from binwatch_spark.sinks.connectors import make_connector
+from binwatch_spark.sources.envelope import read_envelope_stream
+from binwatch_spark.streaming.templates import compile_template, item_from_row
+
+
+@dataclass
+class CompiledRoute:
+    name: str
+    connector_name: str
+    operations: list[str]
+    db_table: str
+    template: str  # compiled lazily executor-side (callables don't pickle)
+
+
+def compile_routes(cfg: JobConfig) -> list[CompiledRoute]:
+    routes = []
+    for r in cfg.routes:
+        cfg.connector_by_name(r.connector)  # existence check (blsenderwork.go:97-100)
+        if r.template:
+            compile_template(r.template)  # fail fast at build time
+        routes.append(
+            CompiledRoute(r.name, r.connector, list(r.operations), r.db_table, r.template)
+        )
+    return routes
+
+
+def source_stream(spark: SparkSession, cfg: JobConfig) -> DataFrame:
+    """S1: the envelope stream. replayDir → file stream; otherwise the
+    mysql-binlog DataSource."""
+    if cfg.source.replay_dir:
+        return read_envelope_stream(
+            spark, cfg.source.replay_dir, max_files_per_trigger=cfg.server.pool_size
+        )
+    from binwatch_spark.sources import binlog
+
+    binlog.register(spark)
+    reader = spark.readStream.format("mysql-binlog").options(
+        host=cfg.source.host,
+        port=str(cfg.source.port),
+        user=cfg.source.user,
+        password=cfg.source.password,
+        serverID=str(cfg.source.server_id),
+    )
+    if cfg.source.start_location:
+        reader = reader.options(
+            startFile=cfg.source.start_location.file,
+            startPosition=str(cfg.source.start_location.position),
+        )
+    return reader.load()
+
+
+def envelope_transform(df: DataFrame, cfg: JobConfig) -> DataFrame:
+    """F1 + F2 + P3 on the envelope stream — pure column expressions, valid
+    for both batch and streaming DataFrames."""
+    if cfg.source.allowlist:
+        df = cdc.table_allowlist(
+            df, F.col("database"), F.col("table"), cfg.source.allowlist
+        )
+    # F2: trust a source-decoded operation, else decode from the raw event
+    # type (utils.go:74-90).
+    df = df.withColumn(
+        "operation",
+        F.when(
+            F.col("operation").isNotNull() & (F.col("operation") != ""),
+            F.col("operation"),
+        ).otherwise(cdc.dml_decode(F.col("event_type"))),
+    )
+    if cfg.server.item_by_row:
+        # P3: one item per row; rows stays an array (of one) so the item
+        # shape is unchanged (blreaderwork.go:275-295).
+        df = df.withColumn("row", F.explode("rows")).withColumn(
+            "rows", F.array("row")
+        ).drop("row")
+    return df
+
+
+def _sequence_batch(batch_df: DataFrame) -> DataFrame:
+    """Q1: gapless item ids in binlog order within the micro-batch (the
+    stream offset carries cross-batch ordering)."""
+    w = Window.orderBy("binlog_file", "binlog_position")
+    return batch_df.withColumn("item_id", F.row_number().over(w).cast("bigint"))
+
+
+def _shard_filter(df: DataFrame, cfg: JobConfig) -> DataFrame:
+    """R1 (blsenderwork.go:126-149): key template if set, else position."""
+    if not cfg.sharding.enabled or cfg.sharding.count <= 1:
+        return df
+    count, index = cfg.sharding.count, cfg.sharding.index
+    if cfg.sharding.key_template:
+        template = cfg.sharding.key_template
+
+        @F.pandas_udf("string")
+        def render_key(rows_json: pd.Series) -> pd.Series:
+            import json as _json
+
+            render = compile_template(template)
+            out = []
+            for payload in rows_json:
+                row = _json.loads(payload)
+                try:
+                    out.append(render(item_from_row(row, row.get("item_id", 0))))
+                except Exception:
+                    out.append(None)  # template error → position fallback
+            return pd.Series(out)
+
+        key = render_key(F.to_json(F.struct("*")))
+        by_key = make_shard_key_udf(count)(key)
+        by_pos = make_shard_udf(count)(F.col("binlog_position"))
+        # blsenderwork.go:135-141: template failure falls back to position,
+        # deterministically across replicas.
+        shard = F.when(key.isNotNull(), by_key).otherwise(by_pos)
+    else:
+        shard = make_shard_udf(count)(F.col("binlog_position"))
+    return df.filter(shard == F.lit(index))
+
+
+def make_batch_processor(cfg: JobConfig) -> Callable[[DataFrame, int], None]:
+    """The R2→T1→K1 stage as a foreachBatch function: route fan-out, template
+    render, connector send, with senderWorkers parallelism."""
+    routes = compile_routes(cfg)
+    connector_cfgs = {c.name: c for c in cfg.connectors}
+    workers = max(1, cfg.server.sender_workers)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = _sequence_batch(batch_df)
+        batch_df = _shard_filter(batch_df, cfg)
+        for route in routes:  # R3: routes evaluated in declared order
+            pred = cdc.route_predicate(
+                F.col("operation"),
+                F.concat(F.col("database"), F.lit("."), F.col("table")),
+                route.operations,
+                route.db_table,
+            )
+            matched = batch_df.filter(pred)
+            if workers == 1:
+                # ordered delivery: one partition, binlog order
+                matched = matched.orderBy("binlog_file", "binlog_position").coalesce(1)
+            else:
+                matched = matched.repartition(workers)
+            conn_cfg = connector_cfgs[route.connector_name]
+            template = route.template
+
+            def send_partition(rows, _conn_cfg=conn_cfg, _template=template):
+                import json as _json
+
+                connector = make_connector(_conn_cfg)
+                render = compile_template(_template) if _template else None
+                for row in rows:
+                    d = row.asDict(recursive=True)
+                    item = item_from_row(d, d.get("item_id", 0))
+                    if render is not None:
+                        payload = render(item)
+                    else:
+                        payload = _json.dumps(
+                            item, separators=(",", ":"), default=str
+                        )
+                    connector.send(payload.encode("utf-8"))
+
+            matched.foreachPartition(send_partition)
+
+    return process_batch
+
+
+def run_pipeline(
+    spark: SparkSession,
+    cfg: JobConfig,
+    available_now: bool = False,
+):
+    """Wire source → transforms → foreachBatch sink; returns the
+    StreamingQuery. The checkpoint dir is the C1/C2 store."""
+    stream = envelope_transform(source_stream(spark, cfg), cfg)
+    writer = (
+        stream.writeStream.foreachBatch(make_batch_processor(cfg))
+        .option("checkpointLocation", cfg.server.checkpoint_dir)
+        .queryName(cfg.server.id)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

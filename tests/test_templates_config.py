@@ -1,0 +1,95 @@
+"""Unit tests: config loader parity (env expansion, validation) and the
+template renderer (the documented template surface, tmpl.go/docs parity)."""
+
+from __future__ import annotations
+
+import pytest
+
+from binwatch_spark.config import ConfigError, expand_env, parse
+from binwatch_spark.streaming.templates import compile_template, item_from_row
+
+BASE_DOC = {
+    "server": {"id": "s1", "host": "0.0.0.0", "port": 8080},
+    "source": {"dbTables": {"testdb": ["users"]}},
+    "connectors": [{"name": "c1", "type": "memory"}],
+    "routes": [{"name": "r1", "connector": "c1", "operations": ["INSERT"]}],
+}
+
+
+def test_expand_env(monkeypatch):
+    monkeypatch.setenv("BW_PORT", "9090")
+    monkeypatch.delenv("BW_MISSING", raising=False)
+    # set vars substitute; unset vars stay verbatim (utils.go:32-36)
+    assert expand_env("port: ${ENV:BW_PORT}$") == "port: 9090"
+    assert expand_env("x: ${ENV:BW_MISSING}$") == "x: ${ENV:BW_MISSING}$"
+
+
+def test_config_parse_and_allowlist():
+    cfg = parse(BASE_DOC)
+    assert cfg.server.id == "s1"
+    assert cfg.source.allowlist == ["testdb.users"]
+    assert cfg.routes[0].operations == ["INSERT"]
+
+
+@pytest.mark.parametrize(
+    "patch,msg",
+    [
+        ({"server": {"id": "", "host": "0.0.0.0", "port": 8080}}, "empty server id"),
+        ({"server": {"id": "s", "host": "nope", "port": 8080}}, "invalid ip"),
+        ({"server": {"id": "s", "host": "0.0.0.0", "port": 80}}, "port"),
+        (
+            {"sharding": {"enabled": True, "count": 2, "index": 2}},
+            "lower than",
+        ),
+        (
+            {"routes": [{"name": "r", "connector": "ghost"}]},
+            "no 'ghost' connector",
+        ),
+    ],
+)
+def test_config_validation(patch, msg):
+    doc = {**BASE_DOC, **patch}
+    with pytest.raises(ConfigError, match=msg):
+        parse(doc)
+
+
+ITEM = item_from_row(
+    {
+        "event_type": "WriteRowsEventV2",
+        "binlog_file": "mysql-bin.000001",
+        "binlog_position": 4,
+        "database": "testdb",
+        "table": "users",
+        "operation": "INSERT",
+        "rows": [{"id": "7", "name": "ada"}],
+    },
+    item_id=42,
+)
+
+
+def test_template_reference_example():
+    # the exact documented template (docs/binwatch.v1alpha2.yaml:69-75)
+    template = (
+        '{\n  "index": "testdb-users-v1",\n  "itemID":"{{ .ItemID }}",\n'
+        '  "operation":"{{ .Data.Operation }}",\n'
+        '  "rows": {{- .Data.Rows | toJson }}\n}'
+    )
+    out = compile_template(template)(ITEM)
+    assert '"itemID":"42"' in out
+    assert '"operation":"INSERT"' in out
+    assert '"rows":[{"id":"7","name":"ada"}]' in out
+
+
+def test_template_key_index():
+    # key-template shape (docs/binwatch.v1alpha2.yaml:48)
+    assert compile_template("{{ (index .Data.Rows 0).id }}")(ITEM) == "7"
+
+
+def test_template_log_fields():
+    out = compile_template("{{ .Log.BinlogFile }}/{{ .Log.BinlogPosition }}")(ITEM)
+    assert out == "mysql-bin.000001/4"
+
+
+def test_template_unsupported_raises():
+    with pytest.raises(ValueError, match="unsupported"):
+        compile_template("{{ uuidv4 }}")
