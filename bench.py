@@ -25,6 +25,13 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark("binwatch-spark-bench")
 
+    # Warm up the JVM/codegen and the file-system cache once so the first
+    # timed query doesn't absorb session startup (~4 s otherwise).
+    from binwatch_spark.tables import TABLE_NAMES, load
+
+    for name in TABLE_NAMES:
+        load(spark, sf_dir, name).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name, fn in all_queries().items():
         t0 = time.perf_counter()

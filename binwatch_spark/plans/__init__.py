@@ -8,6 +8,7 @@ from binwatch_spark.plans import (  # noqa: F401
     cdc_queries,
     dedup_queries,
     northstar,
+    pipeline_queries,
     relational,
     similarity_queries,
     text_queries,

@@ -1,0 +1,73 @@
+"""Physical-plan regression tests: the scale properties we rely on must be
+visible in the plan — filters reaching the parquet scan, column pruning,
+broadcast joins for dimensions, two-phase aggregation. A refactor that
+silently turns a broadcast join into a sort-merge join or un-pushes a filter
+fails here, not at 100 TB.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from binwatch_spark.plans.registry import REGISTRY
+from tests.conftest import SF_SMALL
+
+
+def plan_of(spark, name: str, mode: str = "formatted") -> str:
+    df = REGISTRY[name].fn(spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q01_filter_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q01_source_scan")
+    assert "PushedFilters" in plan
+    assert "GreaterThan(value,100.0)" in plan
+    # column pruning: the scan must not read props/ts
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "props" not in read_schema and "user_id" not in read_schema
+
+
+def test_q02_isin_pushdown(spark):
+    plan = plan_of(spark, "q02_table_filter")
+    assert "In(event_type" in plan
+
+
+def test_q12_broadcasts_dimension(spark):
+    plan = plan_of(spark, "q12_join_orders_customer")
+    assert "BroadcastHashJoin" in plan
+    # the dimension filter reaches the customer scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_q13_pushdown_both_fact_filters(spark):
+    plan = plan_of(spark, "q13_multijoin_pricing")
+    assert "BroadcastHashJoin" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+
+
+def test_q14_two_phase_aggregation(spark):
+    plan = plan_of(spark, "q14_groupby_rollup", mode="simple")
+    # partial + final HashAggregate (map-side combine before the shuffle)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q19_partial_agg_before_shuffle(spark):
+    plan = plan_of(spark, "q19_text_analysis", mode="simple")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_q20_broadcast_queries_side(spark):
+    plan = plan_of(spark, "q20_similarity_knn", mode="simple")
+    assert "Broadcast" in plan  # broadcast nested loop / exchange of queries
+
+
+def test_q33_equijoin_on_bucket_not_crossjoin(spark):
+    plan = plan_of(spark, "q33_ann_lsh", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
