@@ -18,6 +18,7 @@ from __future__ import annotations
 import random
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -56,6 +57,76 @@ STOPWORDS: dict[str, list[str]] = {
     "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
     "fr": ["le", "la", "de", "et", "un", "est", "que", "pour"],
 }
+
+
+def _polyhash_py(token: str) -> int:
+    """Python twin of polyhash() — identical integer arithmetic (exact, so
+    Spark HOF / this / DuckDB all agree bit-for-bit)."""
+    acc = 0
+    for c in token:
+        acc = (acc * POLY_MULT + ord(c)) % POLY_PRIME
+    return acc
+
+
+# Worker-lifetime token→hash memo: vocabulary is tiny relative to token
+# occurrences (dictionary-encoding assumption), so each distinct token is
+# hashed once per executor, not once per occurrence.
+_token_hash_cache: dict[str, int] = {}
+
+
+def _hash_tokens(tokens) -> "np.ndarray":
+    cache = _token_hash_cache
+    out = np.empty(len(tokens), dtype=np.int64)
+    for k, t in enumerate(tokens):
+        v = cache.get(t)
+        if v is None:
+            cache[t] = v = _polyhash_py(t)
+        out[k] = v
+    return out
+
+
+_MINHASH_A_COL = np.array(MINHASH_A, dtype=np.int64)[:, None]
+_MINHASH_B_COL = np.array(MINHASH_B, dtype=np.int64)[:, None]
+
+
+def make_minhash_sig_udf():
+    """Arrow-vectorized MinHash signature: array<string> tokens → array<bigint>
+    of MINHASH_K values. Same affine-permutation math as minhash_col (all
+    int64, max |A*h+B| < 2^63, exact) — the HOF form is kept as the spec and
+    for SQL generation; this form exists because Catalyst's project collapse
+    would otherwise inline the token-hash array into all K signature columns
+    and re-run the interpreted per-char fold K times per row."""
+    @F.pandas_udf("array<bigint>")
+    def minhash_sig(tokens: pd.Series) -> pd.Series:
+        def sig(ts):
+            if ts is None or len(ts) == 0:
+                return None
+            h = _hash_tokens(ts)[None, :]
+            return ((_MINHASH_A_COL * h + _MINHASH_B_COL) % POLY_PRIME).min(axis=1)
+
+        return tokens.apply(sig)
+
+    return minhash_sig
+
+
+def make_simhash_fp_udf():
+    """Arrow-vectorized SimHash fingerprint: array<string> tokens → bigint.
+    Bit b set iff the ±1 vote over token-hash bit b is positive — exactly
+    operators.dedup.simhash's HOF semantics (null/empty token list → 0)."""
+    bits = np.arange(SIMHASH_BITS, dtype=np.int64)
+
+    @F.pandas_udf("bigint")
+    def simhash_fp(tokens: pd.Series) -> pd.Series:
+        def fp(ts):
+            if ts is None or len(ts) == 0:
+                return 0
+            h = _hash_tokens(ts)
+            votes = (((h[:, None] >> bits) & 1) * 2 - 1).sum(axis=0)
+            return int(((votes > 0).astype(np.int64) << bits).sum())
+
+        return tokens.apply(fp)
+
+    return simhash_fp
 
 
 def polyhash(col: Column) -> Column:
