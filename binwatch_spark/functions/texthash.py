@@ -129,6 +129,58 @@ def make_simhash_fp_udf():
     return simhash_fp
 
 
+def make_shingles_udf(k: int):
+    """Arrow-vectorized distinct character k-gram extraction: string →
+    array<string>. Exact twin of operators.text.char_shingles — exists
+    because the HOF spelling inlines lower(text) into every one of the
+    ~len(text) substr lambda evaluations (O(len²) string copying per row).
+    Order of first appearance matches array_distinct/list_distinct."""
+
+    @F.pandas_udf("array<string>")
+    def shingles(texts: pd.Series) -> pd.Series:
+        def sh(t):
+            if t is None:
+                return None
+            low = t.lower()
+            if len(low) < k:
+                return []
+            return list(dict.fromkeys(low[i : i + k] for i in range(len(low) - k + 1)))
+
+        return texts.apply(sh)
+
+    return shingles
+
+
+def make_set_jaccard_udf():
+    """Arrow-vectorized exact set Jaccard over two array<string> columns,
+    with ids for a per-batch id→frozenset memo (each doc's set is built once
+    per batch, intersections run at C speed). Bit-identical to
+    len(list_intersect)/len(union) on distinct arrays."""
+
+    @F.pandas_udf("double")
+    def set_jaccard(
+        i: pd.Series, ti: pd.Series, j: pd.Series, tj: pd.Series
+    ) -> pd.Series:
+        memo: dict[int, frozenset] = {}
+
+        def get(doc_id, toks):
+            s = memo.get(doc_id)
+            if s is None:
+                memo[doc_id] = s = frozenset(toks)
+            return s
+
+        out = np.empty(len(i), dtype=np.float64)
+        iv, jv = i.to_numpy(), j.to_numpy()
+        tiv, tjv = ti.to_numpy(), tj.to_numpy()
+        for n in range(len(out)):
+            a, b = get(iv[n], tiv[n]), get(jv[n], tjv[n])
+            inter = len(a & b)
+            out[n] = inter / (len(a) + len(b) - inter)
+        return pd.Series(out)
+
+    return set_jaccard
+
+
 def polyhash(col: Column) -> Column:
     """Polynomial char hash of a string column (Spark side, pure HOFs)."""
     codes = F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("bigint"))

@@ -11,7 +11,11 @@ Scale posture per rung:
                 within blocks.
 
 All hashing uses functions.texthash so each operator has a bit-exact DuckDB
-oracle (see plans/dedup_queries.py) — no UDFs anywhere.
+oracle (see plans/dedup_queries.py). Hot kernels (MinHash signatures, SimHash
+fingerprints, shingle extraction, exact-set verification) run as
+Arrow-vectorized pandas UDFs with integer/set math identical to the HOF
+spelling — Catalyst's project collapse re-evaluates shared interpreted
+subexpressions otherwise (see each function's docstring).
 """
 
 from __future__ import annotations
@@ -27,7 +31,11 @@ from binwatch_spark.functions.texthash import (
     minhash_col,
     polyhash,
 )
-from binwatch_spark.operators.text import distinct_tokens
+from binwatch_spark.operators.text import char_shingles, distinct_tokens
+
+# A "tokenizer" below is any Column->Column producing array<string> dedup
+# units from the text column: distinct_tokens (order-insensitive) or
+# char_shingles (order-aware).
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -51,17 +59,17 @@ def hash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _with_token_sets(df: DataFrame, text_col: str) -> DataFrame:
-    return df.withColumn("_toks", distinct_tokens(F.col(text_col)))
+def _with_token_sets(df: DataFrame, text_col: str, tokenizer=distinct_tokens) -> DataFrame:
+    return df.withColumn("_toks", tokenizer(F.col(text_col)))
 
 
-def _vocab(df: DataFrame, text_col: str) -> list[str]:
+def _vocab(df: DataFrame, text_col: str, tokenizer=distinct_tokens) -> list[str]:
     """Global token dictionary (one distinct pass; at scale this is the
     standard dictionary-encoding build)."""
     return [
         r[0]
         for r in df.select(
-            F.explode(distinct_tokens(F.col(text_col))).alias("t")
+            F.explode(tokenizer(F.col(text_col))).alias("t")
         )
         .distinct()
         .orderBy("t")
@@ -140,7 +148,9 @@ def jaccard_pairs(
     return pairs.select("i", "j", jac.alias("jac")).filter(F.col("jac") >= threshold)
 
 
-def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, tokenizer=distinct_tokens
+) -> DataFrame:
     """MinHash signature columns mh0..mh{K-1} per document (map-side only).
 
     The K values come from one Arrow-vectorized kernel returning an
@@ -152,13 +162,20 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     from binwatch_spark.functions.texthash import make_minhash_sig_udf
 
     sig_udf = make_minhash_sig_udf()
-    sigs = _with_token_sets(df, text_col).withColumn("_sig", sig_udf(F.col("_toks")))
+    sigs = _with_token_sets(df, text_col, tokenizer).withColumn(
+        "_sig", sig_udf(F.col("_toks"))
+    )
     sig_cols = [F.col("_sig")[i].alias(f"mh{i}") for i in range(MINHASH_K)]
     return sigs.select(F.col(id_col), F.col("_toks"), *sig_cols)
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, text_col: str, id_col: str, threshold: float
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    tokenizer=distinct_tokens,
+    verify: str = "auto",
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact Jaccard verification.
 
@@ -168,7 +185,7 @@ def minhash_lsh_pairs(
     banded recall ≈ 0.99 at the target threshold.
     Output: (i, j, jac) with i < j.
     """
-    sigs = minhash_signatures(df, text_col, id_col)
+    sigs = minhash_signatures(df, text_col, id_col, tokenizer)
     bands = sigs.select(
         F.col(id_col),
         F.explode(
@@ -200,11 +217,34 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    vocab = _vocab(df, text_col)
+    if verify == "vectorized":
+        # Exact set Jaccard in an Arrow-vectorized kernel with a per-batch
+        # id→frozenset memo — for tokenizers whose vocabulary is known to be
+        # large (shingles), where the bitmask path can't apply and the
+        # interpreted array_intersect dominates the query.
+        from binwatch_spark.functions.texthash import make_set_jaccard_udf
+
+        toks = _with_token_sets(df, text_col, tokenizer).select(
+            F.col(id_col).alias("_id"), F.col("_toks")
+        )
+        joined = (
+            cands.join(toks.withColumnRenamed("_toks", "_ti"), cands.i == F.col("_id"))
+            .drop("_id")
+            .join(toks.withColumnRenamed("_toks", "_tj"), cands.j == F.col("_id"))
+            .drop("_id")
+        )
+        jac = make_set_jaccard_udf()(
+            F.col("i"), F.col("_ti"), F.col("j"), F.col("_tj")
+        )
+        return joined.select("i", "j", jac.alias("jac")).filter(
+            F.col("jac") >= threshold
+        )
+
+    vocab = _vocab(df, text_col, tokenizer)
     if len(vocab) <= 63:
         # Verify with dictionary-encoded bitmasks (see jaccard_pairs): two
         # broadcast joins of an int64 per doc + codegen popcount.
-        masks = _with_token_sets(df, text_col).select(
+        masks = _with_token_sets(df, text_col, tokenizer).select(
             F.col(id_col).alias("_id"),
             _mask_expr(F.col("_toks"), vocab).alias("_mask"),
         )
@@ -224,7 +264,7 @@ def minhash_lsh_pairs(
         return joined.select("i", "j", jac.alias("jac")).filter(
             F.col("jac") >= threshold
         )
-    toks = _with_token_sets(df, text_col).select(
+    toks = _with_token_sets(df, text_col, tokenizer).select(
         F.col(id_col).alias("_id"), F.col("_toks")
     )
     joined = (
@@ -276,3 +316,26 @@ def simhash_pairs(
     return pairs.select(
         "i", "j", hamming.cast("bigint").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def shingle_minhash_lsh_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float, k: int = 5
+) -> DataFrame:
+    """Near-dup pairs over character k-gram shingles — the order-aware rung
+    of the dedup ladder (token-set MinHash treats reordered text as
+    identical; shingling doesn't). Same banding + exact-Jaccard verify as
+    minhash_lsh_pairs; shingle extraction runs as an Arrow kernel (the HOF
+    spelling re-lowercases the text for every gram position) and the shingle
+    vocabulary is naturally large, so verification takes the vectorized
+    exact-set path rather than the ≤63-word bitmask."""
+    from binwatch_spark.functions.texthash import make_shingles_udf
+
+    shingles_udf = make_shingles_udf(k)
+    return minhash_lsh_pairs(
+        df,
+        text_col,
+        id_col,
+        threshold,
+        tokenizer=lambda c: shingles_udf(c),
+        verify="vectorized",
+    )

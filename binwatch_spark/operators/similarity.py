@@ -134,6 +134,65 @@ def lsh_knn(
     return _topk(pairs, sim, k, query_id, cand_id)
 
 
+def _assign_cells(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    centroids: DataFrame,
+    n_probe: int,
+) -> DataFrame:
+    """Attach the n_probe nearest centroid ids (by cosine, tiebreak on
+    centroid id) to each row. Centroids are broadcast; assignment is map-side
+    except the tiny per-id top-n window."""
+    pairs = df.crossJoin(F.broadcast(centroids))
+    sim = _pair_dot(F.col(emb_col), F.col("_cent_emb"), EMBED_DIM) / (
+        F.col(f"_norm_{emb_col}") * F.col("_cent_norm")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cent_sim").desc(), F.col("_cid"))
+    return (
+        pairs.withColumn("_cent_sim", sim)
+        .withColumn("_cell_rank", F.row_number().over(w))
+        .filter(F.col("_cell_rank") <= n_probe)
+        .drop("_cent_emb", "_cent_norm", "_cent_sim", "_cell_rank")
+    )
+
+
+def ivf_knn(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    n_probe: int = 2,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+    q_emb: str = "q_emb",
+    c_emb: str = "c_emb",
+    cent_id: str = "cent_id",
+    cent_emb: str = "cent_emb",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: candidates are partitioned into
+    cells by nearest centroid (map-side, centroids broadcast); each query
+    scores only the cells of its n_probe nearest centroids.
+
+    This is the coarse-quantizer scale path past LSH: cell count grows with
+    data (√n rule), the candidate list per query is n_probe/n_cells of the
+    corpus, and the only shuffle is the equi-join on cell id. Centroids here
+    are caller-provided (deterministic subsampling in the query layer; k-means
+    at scale) so the whole query stays oracle-checkable."""
+    cents = _prep(centroids, cent_emb).select(
+        F.col(cent_id).alias("_cid"),
+        F.col(cent_emb).alias("_cent_emb"),
+        F.col(f"_norm_{cent_emb}").alias("_cent_norm"),
+    )
+    c = _assign_cells(_prep(candidates, c_emb), cand_id, c_emb, cents, 1)
+    q = _assign_cells(_prep(queries, q_emb), query_id, q_emb, cents, n_probe)
+    pairs = c.join(F.broadcast(q), on="_cid")
+    sim = _pair_dot(F.col(q_emb), F.col(c_emb), EMBED_DIM) / (
+        F.col(f"_norm_{q_emb}") * F.col(f"_norm_{c_emb}")
+    )
+    return _topk(pairs, sim, k, query_id, cand_id)
+
+
 def neardup_pairs(
     df: DataFrame, id_col: str, emb_col: str, threshold: float
 ) -> DataFrame:

@@ -74,6 +74,21 @@ def bpe_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_TOKEN_PATTERN), 0))
 
 
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct character k-gram shingles of lowercased text (order-aware
+    dedup unit: token sets ignore word order, shingles don't). Guarded so
+    texts shorter than k yield an empty array — F.sequence would otherwise
+    produce a DESCENDING range for them."""
+    low = F.lower(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(low) - (k - 1)),
+        lambda i: F.substr(low, i, F.lit(k)),
+    )
+    return F.when(F.length(low) >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Whole-document rolling hash (polynomial over char codes)."""
     return polyhash(text)

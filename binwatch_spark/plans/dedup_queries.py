@@ -119,6 +119,57 @@ def q25_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHINGLE_K = 5
+_SHINGLES = (
+    f"list_distinct(list_transform(range(1, length(text) - {SHINGLE_K - 2}), "
+    f"i -> substr(lower(text), CAST(i AS INTEGER), {SHINGLE_K})))"
+)
+
+
+def _shingle_lsh_sql() -> str:
+    sig_cols = ", ".join(
+        f"{minhash_sql('hs', i)} AS mh{i}" for i in range(N_BANDS * BAND_ROWS)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, concat_ws('-', {cols}) AS band_key FROM sig".format(
+            b=b,
+            cols=", ".join(f"mh{b * BAND_ROWS + r}" for r in range(BAND_ROWS)),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_SHINGLES} AS toks FROM documents
+), th AS (
+  SELECT doc_id, list_transform(toks, t -> {polyhash_sql('t')}) AS hs FROM base
+), sig AS (
+  SELECT doc_id, {sig_cols} FROM th
+), bands AS (
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT i, j, jac FROM (
+  SELECT c.i, c.j, {_JAC} AS jac
+  FROM cand c JOIN base x ON c.i = x.doc_id JOIN base y ON c.j = y.doc_id)
+WHERE jac >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("q37_shingle_minhash_dedup", oracle=_shingle_lsh_sql())
+def q37_shingle_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 5-gram shingle MinHash-LSH near-dup pairs — the order-aware
+    dedup rung (token-set MinHash q23 treats reordered text as identical;
+    shingling doesn't). Shingles capture local order, so the candidate set is
+    far more selective than token sets on templated corpora."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.shingle_minhash_lsh_pairs(
+        docs, "text", "doc_id", JACCARD_THRESHOLD, k=SHINGLE_K
+    )
+
+
 _COS = (
     "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
     " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"

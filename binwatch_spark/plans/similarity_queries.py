@@ -91,6 +91,125 @@ WHERE rn <= 3
 """
 
 
+IVF_STRIDE = 25
+IVF_NPROBE = 2
+
+_DOT = "list_dot_product({a}, {b})"
+
+
+def _cos_sql(a: str, b: str, bnorm: str) -> str:
+    return (
+        f"list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a})) * {bnorm})"
+    )
+
+
+def _ivf_sql() -> str:
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS cnorm
+  FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0),
+c0 AS (
+  SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS c_emb
+  FROM embeddings WHERE vec_id >= 20),
+q0 AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+  FROM embeddings WHERE vec_id < 20),
+cassign AS (
+  SELECT cand_id, c_emb, cid FROM (
+    SELECT c0.cand_id, c0.c_emb, cent.cid,
+      row_number() OVER (PARTITION BY c0.cand_id
+        ORDER BY {_cos_sql('c0.c_emb', 'cent.cemb', 'cent.cnorm')} DESC, cent.cid) AS rn
+    FROM c0 CROSS JOIN cent) WHERE rn = 1),
+qassign AS (
+  SELECT query_id, q_emb, cid FROM (
+    SELECT q0.query_id, q0.q_emb, cent.cid,
+      row_number() OVER (PARTITION BY q0.query_id
+        ORDER BY {_cos_sql('q0.q_emb', 'cent.cemb', 'cent.cnorm')} DESC, cent.cid) AS rn
+    FROM q0 CROSS JOIN cent) WHERE rn <= {IVF_NPROBE}),
+p AS (
+  SELECT query_id, cand_id,
+    list_dot_product(q_emb, c_emb)
+      / (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(c_emb, c_emb))) AS sim
+  FROM qassign JOIN cassign USING (cid))
+SELECT query_id, cand_id, sim, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT query_id, cand_id, sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
+  FROM p)
+WHERE rn <= 3
+"""
+
+
+@register("q38_ann_ivf", oracle=_ivf_sql())
+def q38_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: candidates partitioned into cells
+    by nearest centroid (broadcast centroids, map-side assignment); each
+    query probes its 2 nearest cells. The coarse-quantizer scale path past
+    LSH (q33): per-query work is n_probe/n_cells of the corpus and the only
+    shuffle is the cell-id equi-join. Centroids are a deterministic stride
+    subsample so the whole query is oracle-checkable."""
+    from binwatch_spark.operators.similarity import ivf_knn
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cands = emb.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    cents = emb.filter(F.col("vec_id") % IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    res = ivf_knn(queries, cands, cents, 3, n_probe=IVF_NPROBE)
+    return res.select(
+        "query_id", "cand_id", "sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@register(
+    "q40_embedding_centroid",
+    oracle="""
+WITH x AS (
+  SELECT label, vec_id,
+         unnest(CAST(embedding AS DOUBLE[])) AS v,
+         unnest(range(1, len(embedding) + 1)) AS dim
+  FROM embeddings)
+SELECT label, dim,
+  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(v ORDER BY vec_id)),
+              (a, b) -> a + b) / count(*) AS centroid_v,
+  count(*) AS n_vecs
+FROM x GROUP BY label, dim
+""",
+)
+def q40_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class centroid). Floats stay deterministic
+    under parallelism by sorting each (label, dim) group's values by vec_id
+    and summing with a sequential fold — exact same IEEE order as the
+    oracle's ordered list_reduce, no decimal rounding anywhere. At scale the
+    sort-collect happens per group after one shuffle on (label, dim)."""
+    emb = load(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda v: v.cast("double"))
+        ).alias("pos", "v"),
+    )
+    g = exploded.groupBy("label", (F.col("pos") + 1).cast("bigint").alias("dim")).agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("_sorted"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+    total = F.aggregate(
+        F.transform(F.col("_sorted"), lambda s: s.getField("v")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return g.select(
+        "label", "dim", (total / F.col("n_vecs")).alias("centroid_v"), "n_vecs"
+    )
+
+
 @register("q33_ann_lsh", oracle=_ann_sql())
 def q33_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via random-hyperplane LSH buckets:

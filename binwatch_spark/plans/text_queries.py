@@ -121,6 +121,61 @@ def q30_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q39_tfidf",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+    round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+SELECT doc_id, token, tf, tfidf, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT doc_id, token, tf, tfidf,
+    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+  FROM scored)
+WHERE rn <= 3
+""",
+)
+def q39_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Classic two-phase shape: per-doc term
+    frequencies (one shuffle on (doc, token)), document frequencies derived
+    from the tf relation (map-side partial aggs), idf joined back broadcast —
+    the doc-frequency side is |vocabulary| rows, tiny at any corpus scale.
+    tfidf rounded to 6 decimals so Java/libm ln ulp differences can't flip
+    the hash."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tf", "tfidf", "rank")
+    )
+
+
+@register(
     "q32_multimodal_decode",
     oracle=(
         "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,"
