@@ -222,3 +222,114 @@ def q22_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("user_id")).alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "q41_semi_anti_join",
+    oracle="""
+SELECT c_custkey, c_mktsegment, 'has_orders' AS kind FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT c_custkey, c_mktsegment, 'no_orders' AS kind FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def q41_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join pair (EXISTS / NOT EXISTS): customers with and without
+    orders, tagged and unioned. Both run as one broadcast/shuffled hash join
+    each with no fact-side duplication — the join *type* prunes, not a
+    distinct afterwards."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    cond = customer.c_custkey == orders.o_custkey
+    semi = customer.join(orders, cond, "left_semi").select(
+        "c_custkey", "c_mktsegment", F.lit("has_orders").alias("kind")
+    )
+    anti = customer.join(orders, cond, "left_anti").select(
+        "c_custkey", "c_mktsegment", F.lit("no_orders").alias("kind")
+    )
+    return semi.unionByName(anti)
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q42_pivot_events",
+    oracle=(
+        "SELECT user_id % 10 AS user_bucket, "
+        + ", ".join(
+            f"count(*) FILTER (WHERE event_type = '{t}') AS {t}"
+            for t in EVENT_TYPES
+        )
+        + " FROM events GROUP BY user_id % 10"
+    ),
+)
+def q42_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per user bucket, one count column per event type.
+    Explicit pivot values keep the schema static (no extra distinct pass and
+    a plan Catalyst compiles to a single aggregate with conditional counts)."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+@register(
+    "q43_percentiles",
+    oracle="""
+SELECT l_returnflag,
+  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+  count(*) AS cnt
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group. Spark's percentile
+    and DuckDB's quantile_cont share the (n-1)*p interpolation rule; a final
+    round(6) absorbs last-ulp arithmetic differences. At 100 TB swap in
+    approx_percentile (t-digest sketch, q21-style rows-only check) — exact
+    percentiles need a per-group sort."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.99)), 6).alias("p99"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "q44_event_interarrival",
+    oracle="""
+SELECT event_id, user_id, prev_event_id, gap_us FROM (
+  SELECT event_id, user_id,
+    lag(event_id) OVER w AS prev_event_id,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+WHERE prev_event_id IS NOT NULL
+""",
+)
+def q44_event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event inter-arrival gaps via lag() — the sequence-analytics
+    primitive under sessionization (q35). One shuffle on user_id; the window
+    sort is per-partition. Total order (ts, event_id) makes lag deterministic
+    under duplicate timestamps."""
+    events = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            F.lag("event_id").over(w).alias("prev_event_id"),
+            (us - F.lag(us).over(w)).alias("gap_us"),
+        )
+        .filter(F.col("prev_event_id").isNotNull())
+    )

@@ -1,0 +1,71 @@
+"""Event-time streaming analytics: watermarked windowed aggregation and
+streaming deduplication.
+
+The reference is purely arrival-order processing — no event time, no
+watermarks, no late-data handling anywhere (SURVEY §2.2). These operators are
+the derived-layer extensions a CDC consumer needs the moment it aggregates:
+each is the streaming twin of a batch query in the verified inventory
+(q16 windowed counts, q18/q34 dedup), same DataFrame expressions, so batch
+results oracle-check the logic and these wrappers only add the streaming
+state policy (watermark = state-eviction horizon).
+
+Scale posture: windowed aggregation state is bounded by (watermark horizon /
+window size) windows per key; dedup state by the id cardinality inside the
+horizon. Both shuffle once on their key — identical to the batch twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling-window event counts with a late-data watermark.
+
+    Batch twin: q16_sliding_window_agg (same window() expression — on a batch
+    DataFrame the watermark is a no-op and results match the oracle).
+    Late rows beyond the watermark are dropped; window state older than the
+    horizon is evicted, so state size is bounded at any input rate.
+    """
+    keys: list[Column | str] = [F.window(F.col(ts_col), window).alias("win")]
+    keys += list(extra_keys or [])
+    out = df
+    if df.isStreaming:
+        out = out.withWatermark(ts_col, watermark)
+    return (
+        out.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            *(extra_keys or []),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Drop duplicate events by key within the watermark horizon.
+
+    Batch twin: q18/q34 exact dedup (dropDuplicates on the same keys).
+    Streaming uses dropDuplicatesWithinWatermark so the key-set state is
+    evicted past the horizon — unbounded-state dedup is not a 100 TB/day
+    plan; at-least-once replays (SURVEY §2.2) land inside the horizon and
+    are collapsed, which is exactly the idempotence window the reference's
+    delivery contract needs.
+    """
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)

@@ -1,0 +1,106 @@
+"""Streaming twins of the windowed-agg and dedup batch queries: same
+expressions, plus watermark state policy (binwatch_spark/streaming/analytics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from binwatch_spark.streaming.analytics import dedup_stream, windowed_counts
+
+SCHEMA = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING"
+RAW_SCHEMA = "event_id LONG, ts STRING, user_id LONG, event_type STRING"
+
+ROWS = [
+    # (event_id, ts, user_id, event_type)
+    (1, "2026-01-01 10:05:00", 7, "click"),
+    (2, "2026-01-01 10:20:00", 7, "view"),
+    (3, "2026-01-01 11:10:00", 8, "click"),
+    (4, "2026-01-01 11:40:00", 7, "click"),
+    (5, "2026-01-01 12:01:00", 8, "error"),
+    # duplicate delivery of event 3 (at-least-once replay inside horizon)
+    (3, "2026-01-01 11:10:00", 8, "click"),
+]
+
+SENTINEL = [(99, "2026-01-02 10:00:00", 9, "view")]
+
+
+def batch_df(spark):
+    return spark.createDataFrame(list(ROWS), RAW_SCHEMA).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def write_rows(dirpath: str, rows, filename: str) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, filename), "w", encoding="utf-8") as fh:
+        for eid, ts, uid, et in rows:
+            fh.write(
+                json.dumps(
+                    {"event_id": eid, "ts": ts, "user_id": uid, "event_type": et}
+                )
+                + "\n"
+            )
+
+
+def stream(spark, tmp: str):
+    return spark.readStream.schema(SCHEMA).json(f"{tmp}/in")
+
+
+def run_to_parquet(df, tmp: str, name: str):
+    query = (
+        df.writeStream.format("parquet")
+        .option("path", f"{tmp}/out-{name}")
+        .option("checkpointLocation", f"{tmp}/ckpt-{name}")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+
+
+def read_out(spark, tmp: str, name: str):
+    try:
+        return spark.read.parquet(f"{tmp}/out-{name}")
+    except Exception:
+        return None
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path):
+    """Append mode emits a window only once the watermark passes its end:
+    the first availableNow run (watermark starts at 0, advances to 10:01
+    only after its single batch) emits nothing; the next run restores the
+    checkpointed watermark, ingests a sentinel past the horizon, and its
+    closing no-data batch flushes all three closed windows."""
+    tmp = str(tmp_path)
+    write_rows(f"{tmp}/in", ROWS, "b1.jsonl")
+    run_to_parquet(windowed_counts(stream(spark, tmp), window="1 hour"), tmp, "wc")
+    assert read_out(spark, tmp, "wc") is None or read_out(spark, tmp, "wc").count() == 0
+
+    write_rows(f"{tmp}/in", SENTINEL, "b2.jsonl")
+    run_to_parquet(windowed_counts(stream(spark, tmp), window="1 hour"), tmp, "wc")
+    got = {
+        (str(r["win_start"]), r["n_events"])
+        for r in read_out(spark, tmp, "wc").collect()
+    }
+    want = {
+        (str(r["win_start"]), r["n_events"])
+        for r in windowed_counts(batch_df(spark), window="1 hour").collect()
+    }
+    assert got == want  # sentinel's own window is still open in the stream
+    assert len(got) == 3  # 10:00 →2, 11:00 →3 (incl. replay dup), 12:00 →1
+
+
+def test_dedup_stream_collapses_replay(spark, tmp_path):
+    tmp = str(tmp_path)
+    write_rows(f"{tmp}/in", ROWS, "b1.jsonl")
+    run_to_parquet(dedup_stream(stream(spark, tmp), keys=["event_id"]), tmp, "dd")
+    ids = sorted(r["event_id"] for r in read_out(spark, tmp, "dd").collect())
+    assert ids == [1, 2, 3, 4, 5]  # duplicate event 3 collapsed
+
+
+def test_dedup_batch_twin(spark):
+    assert dedup_stream(batch_df(spark), keys=["event_id"]).count() == 5
