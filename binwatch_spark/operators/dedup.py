@@ -20,6 +20,7 @@ subexpressions otherwise (see each function's docstring).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -32,6 +33,7 @@ from binwatch_spark.functions.texthash import (
     polyhash,
 )
 from binwatch_spark.operators.text import char_shingles, distinct_tokens
+from binwatch_spark.tables import spread
 
 # A "tokenizer" below is any Column->Column producing array<string> dedup
 # units from the text column: distinct_tokens (order-insensitive) or
@@ -162,7 +164,7 @@ def minhash_signatures(
     from binwatch_spark.functions.texthash import make_minhash_sig_udf
 
     sig_udf = make_minhash_sig_udf()
-    sigs = _with_token_sets(df, text_col, tokenizer).withColumn(
+    sigs = _with_token_sets(spread(df, id_col), text_col, tokenizer).withColumn(
         "_sig", sig_udf(F.col("_toks"))
     )
     sig_cols = [F.col("_sig")[i].alias(f"mh{i}") for i in range(MINHASH_K)]
@@ -186,58 +188,84 @@ def minhash_lsh_pairs(
     Output: (i, j, jac) with i < j.
     """
     sigs = minhash_signatures(df, text_col, id_col, tokenizer)
-    bands = sigs.select(
+    # One band-key column per band (no explode): candidates come from
+    # N_BANDS per-band self-joins, and a pair is emitted ONLY from the first
+    # band where it collides (codegen filter on the earlier bands' keys).
+    # This makes candidate pairs unique by construction — the naive
+    # explode-join form emits each pair once per colliding band and needs a
+    # distinct() afterwards, which at sf0.1 shuffles 25M duplicated pairs to
+    # keep 8M. Per-band joins also broadcast/shuffle only |docs| rows of
+    # (id, 8 keys), not |docs|×N_BANDS exploded rows.
+    # Materialize the signature table: it feeds both sides of all N_BANDS
+    # joins (aliasing defeats exchange reuse), and at real scale an LSH
+    # pipeline persists its signature table for exactly this reason. Tiny:
+    # (id, N_BANDS keys) per document.
+    keyed = sigs.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.concat_ws(
-                            "-",
-                            *[
-                                F.col(f"mh{b * BAND_ROWS + r}")
-                                for r in range(BAND_ROWS)
-                            ],
-                        ).alias("band_key"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_key")
-
-    cands = (
-        bands.alias("a")
-        .join(bands.alias("b"), on=["band_idx", "band_key"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("i"), F.col(f"b.{id_col}").alias("j")
-        )
-        .distinct()
+        *[
+            F.concat_ws(
+                "-", *[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+            ).alias(f"bk{b}")
+            for b in range(N_BANDS)
+        ],
+    ).persist()
+    # Eager materialization: the N_BANDS join stages launch concurrently and
+    # would otherwise ALL recompute the signature pipeline before the lazy
+    # cache fills (8× the UDF cost, observed 43 s vs 11 s at sf0.1).
+    keyed.count()
+    a = keyed.select(
+        F.col(id_col).alias("i"), *[F.col(f"bk{b}").alias(f"ak{b}") for b in range(N_BANDS)]
     )
+    b_side = keyed.select(
+        F.col(id_col).alias("j"), *[F.col(f"bk{b}").alias(f"jk{b}") for b in range(N_BANDS)]
+    )
+    per_band = []
+    for b in range(N_BANDS):
+        cond = F.col(f"ak{b}") == F.col(f"jk{b}")
+        matched = a.join(b_side, cond).filter(F.col("i") < F.col("j"))
+        for k in range(b):
+            matched = matched.filter(F.col(f"ak{k}") != F.col(f"jk{k}"))
+        per_band.append(matched.select("i", "j"))
+    cands = per_band[0]
+    for part in per_band[1:]:
+        cands = cands.unionByName(part)
 
     if verify == "vectorized":
-        # Exact set Jaccard in an Arrow-vectorized kernel with a per-batch
-        # id→frozenset memo — for tokenizers whose vocabulary is known to be
-        # large (shingles), where the bitmask path can't apply and the
-        # interpreted array_intersect dominates the query.
-        from binwatch_spark.functions.texthash import make_set_jaccard_udf
+        # Exact set Jaccard against a broadcast id→frozenset dictionary —
+        # for tokenizers whose vocabulary is known to be large (shingles),
+        # where the bitmask path can't apply. Joining the token arrays onto
+        # the pairs instead would ship ~|pairs| × 2 × |set| strings through
+        # the shuffle and Arrow (hundreds of MB at sf0.1); the broadcast
+        # moves each document's set ONCE and the pair stream stays 16 B/row.
+        # Scale note: assumes the token-set dictionary fits in executor
+        # memory (same trade as similarity.neardup_pairs); past that, tile
+        # the dictionary or fall back to the join form.
+        rows = (
+            _with_token_sets(df, text_col, tokenizer)
+            .select(F.col(id_col), F.col("_toks"))
+            .collect()
+        )
+        sets = {r[0]: frozenset(r[1]) for r in rows}
+        bc = df.sparkSession.sparkContext.broadcast(sets)
 
-        toks = _with_token_sets(df, text_col, tokenizer).select(
-            F.col(id_col).alias("_id"), F.col("_toks")
-        )
-        joined = (
-            cands.join(toks.withColumnRenamed("_toks", "_ti"), cands.i == F.col("_id"))
-            .drop("_id")
-            .join(toks.withColumnRenamed("_toks", "_tj"), cands.j == F.col("_id"))
-            .drop("_id")
-        )
-        jac = make_set_jaccard_udf()(
-            F.col("i"), F.col("_ti"), F.col("j"), F.col("_tj")
-        )
-        return joined.select("i", "j", jac.alias("jac")).filter(
-            F.col("jac") >= threshold
+        @F.pandas_udf("double")
+        def pair_jaccard(i: pd.Series, j: pd.Series) -> pd.Series:
+            lookup = bc.value
+
+            def jac_of(a, b):
+                sa, sb = lookup[a], lookup[b]
+                inter = len(sa & sb)
+                return inter / (len(sa) + len(sb) - inter)
+
+            return pd.Series(
+                [jac_of(a, b) for a, b in zip(i.to_numpy(), j.to_numpy())],
+                dtype="float64",
+            )
+
+        return (
+            cands.withColumn("jac", pair_jaccard(F.col("i"), F.col("j")))
+            .filter(F.col("jac") >= threshold)
+            .select("i", "j", "jac")
         )
 
     vocab = _vocab(df, text_col, tokenizer)
@@ -247,7 +275,7 @@ def minhash_lsh_pairs(
         masks = _with_token_sets(df, text_col, tokenizer).select(
             F.col(id_col).alias("_id"),
             _mask_expr(F.col("_toks"), vocab).alias("_mask"),
-        )
+        ).persist()
         joined = (
             cands.join(
                 F.broadcast(masks.withColumnRenamed("_mask", "_mi")),
@@ -266,7 +294,7 @@ def minhash_lsh_pairs(
         )
     toks = _with_token_sets(df, text_col, tokenizer).select(
         F.col(id_col).alias("_id"), F.col("_toks")
-    )
+    ).persist()
     joined = (
         cands.join(toks.withColumnRenamed("_toks", "_ti"), cands.i == F.col("_id"))
         .drop("_id")
@@ -302,7 +330,7 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance within a block.
     Output: (i, j, hamming) with i < j."""
-    fps = df.select(
+    fps = spread(df, id_col).select(
         F.col(id_col), F.col(block_col).alias("_blk"), simhash(F.col(text_col)).alias("_fp")
     )
     a = fps.select(

@@ -333,3 +333,129 @@ def q44_event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("prev_event_id").isNotNull())
     )
+
+
+@register(
+    "q45_regional_revenue",
+    oracle=(
+        "SELECT n_name,"
+        f" {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,"
+        " count(*) AS n_items"
+        " FROM customer"
+        " JOIN orders ON c_custkey = o_custkey"
+        " JOIN lineitem ON l_orderkey = o_orderkey"
+        " JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey"
+        " JOIN nation ON c_nationkey = n_nationkey"
+        " JOIN region ON n_regionkey = r_regionkey"
+        " WHERE r_name = 'ASIA'"
+        "   AND o_orderdate >= TIMESTAMP '1996-01-01'"
+        "   AND o_orderdate < TIMESTAMP '1997-01-01'"
+        " GROUP BY n_name"
+    ),
+)
+def q45_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the full star schema in one query — local-supplier
+    revenue per nation in one region and year. All four dimension sides
+    (region→nation pruned first, supplier, filtered orders span) broadcast;
+    the single big shuffle is lineitem⋈orders on orderkey. Join order is
+    left to Catalyst (CBO/AQE) — the declared plan only pins which sides are
+    broadcastable."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    lineitem = load(spark, sf_dir, "lineitem")
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q46_hopping_window",
+    oracle=(
+        "SELECT win_start, win_start + INTERVAL 2 HOUR AS win_end, event_type,"
+        " count(*) AS n_events FROM ("
+        "   SELECT date_trunc('hour', ts) - to_hours(k) AS win_start, event_type"
+        "   FROM events, unnest([0, 1]) AS t(k))"
+        " GROUP BY win_start, event_type"
+    ),
+)
+def q46_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows: 2-hour windows every 1 hour, so
+    each event lands in exactly two windows. F.window handles the expansion
+    natively (epoch-aligned starts, same as the oracle's shifted
+    date_trunc); the streaming twin is the same expression under a
+    watermark."""
+    ev = load(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "2 hours", "1 hour")
+    return (
+        ev.groupBy(win.alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "q47_regex_extract",
+    oracle="""
+SELECT doc_id, CAST(idx - 1 AS INTEGER) AS pos, num FROM (
+  SELECT doc_id,
+    unnest(regexp_extract_all(text, '[0-9]+')) AS num,
+    generate_subscripts(regexp_extract_all(text, '[0-9]+'), 1) AS idx
+  FROM documents)
+""",
+)
+def q47_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information extraction: all digit runs per document with their
+    positions — regexp_extract_all + posexplode, one scan, zero shuffles,
+    all inside whole-stage codegen."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)).alias(
+            "pos", "num"
+        ),
+    )
+
+
+@register(
+    "q48_cube_agg",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus,"
+        f" {_dsum_sql('l_extendedprice')} AS sum_price,"
+        " count(*) AS cnt"
+        " FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
+    ),
+)
+def q48_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all four margin combinations) — Catalyst expands
+    to one Expand + single aggregate, not four scans; decimal accumulation
+    keeps the double margins deterministic."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+        F.count(F.lit(1)).alias("cnt"),
+    )

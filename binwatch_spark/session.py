@@ -39,6 +39,13 @@ def get_spark(app_name: str = "binwatch-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Split small file scans to at least the core count so per-row
+        # kernels (Arrow UDF stages) parallelize even on MB-sized inputs —
+        # a 1.5 MB parquet otherwise scans as ONE partition and serializes
+        # every downstream map stage on one core. Advisory only: inputs
+        # bigger than cores × maxPartitionBytes are unaffected, so this is
+        # a no-op at cluster scale.
+        .config("spark.sql.files.minPartitionNum", cpu_count())
         # The events fixture stores ts as parquet TIMESTAMP(NANOS) which the
         # Spark reader rejects; read as raw nanos and convert in tables.load.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -47,3 +47,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition a DataFrame up to the session's default parallelism when
+    its scan would otherwise under-parallelize downstream compute stages.
+
+    The test fixtures are single-row-group parquet files, so a scan is ONE
+    task and every map-side kernel (Arrow UDF hashing, decimal partial
+    aggregation) runs on one core until the first shuffle. Compute-heavy
+    operators call spread() on their input to buy full parallelism for the
+    cost of shuffling the (small) input once. No-op when the input already
+    has enough partitions — at cluster scale inputs arrive with hundreds of
+    splits and this never fires."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)
