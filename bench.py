@@ -37,6 +37,11 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # Isolate queries from each other: some operators persist()
+        # intermediates (LSH signature/candidate tables) that are only
+        # meaningful within their own query; dropping them between
+        # measurements keeps executor memory flat across the run.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

@@ -26,11 +26,17 @@ POLY_PRIME = 1_000_000_007
 POLY_MULT = 131
 
 # MinHash: K affine permutations h_i(x) = (A[i]*x + B[i]) mod POLY_PRIME over
-# token polyhashes, banded as N_BANDS bands of BAND_ROWS rows (LSH for
-# Jaccard ~>= 0.8: P(candidate) = 1-(1-s^4)^8 ≈ 0.986 at s=0.8).
-MINHASH_K = 32
-N_BANDS = 8
-BAND_ROWS = 4
+# token polyhashes, banded as N_BANDS bands of BAND_ROWS rows. Tuned for the
+# Jaccard >= 0.8 dedup threshold: the S-curve midpoint is (1/b)^(1/r) =
+# (1/16)^(1/8) ≈ 0.71, giving P(candidate) ≈ 0.95 at s=0.8 (→1 above 0.85)
+# while pairs at s=0.5 collide at ~6% — the previous (8, 4) banding had its
+# midpoint at 0.59 and emitted 40% of s=0.5 pairs as candidates, which on a
+# templated corpus made exact verification the dominant cost (159k
+# candidates for 256 true pairs at sf0.1). Banding params are embedded in
+# the generated oracle SQL too, so both engines see the same candidate set.
+MINHASH_K = 128
+N_BANDS = 16
+BAND_ROWS = 8
 _rnd = random.Random(42)
 MINHASH_A = [_rnd.randrange(1, POLY_PRIME) for _ in range(MINHASH_K)]
 MINHASH_B = [_rnd.randrange(0, POLY_PRIME) for _ in range(MINHASH_K)]
@@ -127,6 +133,41 @@ def make_simhash_fp_udf():
         return tokens.apply(fp)
 
     return simhash_fp
+
+
+def make_shingle_minhash_sig_udf(k: int):
+    """Fused text → MinHash signature for character k-gram shingles:
+    lowercase, rolling polyhash over every gram position, then the K affine
+    permutations — all numpy, one Arrow pass, no shingle strings ever
+    materialized. Bit-identical to make_minhash_sig_udf(make_shingles_udf(k))
+    because (a) the rolling hash (acc*131+ord)%P per window equals
+    _polyhash_py of the substring, and (b) min over the multiset of window
+    hashes equals min over the distinct set, so skipping dedup is exact.
+    This is the 100 TB signature kernel: the unfused path ships ~len(text)
+    short strings per document through Arrow twice and hashes them in
+    interpreted Python (shingle vocabulary is too large for the token-hash
+    memo to help)."""
+
+    @F.pandas_udf("array<bigint>")
+    def shingle_sig(texts: pd.Series) -> pd.Series:
+        def sig(t):
+            if t is None:
+                return None
+            low = t.lower()
+            n = len(low) - k + 1
+            if n <= 0:
+                return None
+            codes = np.fromiter(map(ord, low), dtype=np.int64, count=len(low))
+            acc = codes[:n].copy()
+            for j in range(1, k):
+                acc = (acc * POLY_MULT + codes[j : j + n]) % POLY_PRIME
+            return ((_MINHASH_A_COL * acc[None, :] + _MINHASH_B_COL) % POLY_PRIME).min(
+                axis=1
+            )
+
+        return texts.apply(sig)
+
+    return shingle_sig
 
 
 def make_shingles_udf(k: int):

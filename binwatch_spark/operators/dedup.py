@@ -178,57 +178,91 @@ def minhash_lsh_pairs(
     threshold: float,
     tokenizer=distinct_tokens,
     verify: str = "auto",
+    sig_fn=None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact Jaccard verification.
 
-    Bands hash 4-row slices of the signature; documents sharing any band key
-    become candidates (one shuffle on the small (band_idx, band_key) pair),
-    then candidates are verified with exact Jaccard — no false positives,
-    banded recall ≈ 0.99 at the target threshold.
+    Bands hash BAND_ROWS-row slices of the signature; documents sharing any
+    band key become candidates (one shuffle on the small (band_idx,
+    band_key) pair), then candidates are verified with exact Jaccard — no
+    false positives, banded recall ≈ 0.95 at the 0.8 threshold (→1 above
+    0.85; see the banding-parameter note in functions.texthash).
     Output: (i, j, jac) with i < j.
+
+    sig_fn: optional fused Column->Column producing the array<bigint>
+    signature straight from the text column (make_shingle_minhash_sig_udf),
+    bypassing tokenizer + make_minhash_sig_udf. The tokenizer is still used
+    for exact verification of candidates.
     """
-    sigs = minhash_signatures(df, text_col, id_col, tokenizer)
-    # One band-key column per band (no explode): candidates come from
-    # N_BANDS per-band self-joins, and a pair is emitted ONLY from the first
-    # band where it collides (codegen filter on the earlier bands' keys).
-    # This makes candidate pairs unique by construction — the naive
-    # explode-join form emits each pair once per colliding band and needs a
-    # distinct() afterwards, which at sf0.1 shuffles 25M duplicated pairs to
-    # keep 8M. Per-band joins also broadcast/shuffle only |docs| rows of
-    # (id, 8 keys), not |docs|×N_BANDS exploded rows.
-    # Materialize the signature table: it feeds both sides of all N_BANDS
-    # joins (aliasing defeats exchange reuse), and at real scale an LSH
+    if sig_fn is not None:
+        sigs = spread(df, id_col).withColumn("_sig", sig_fn(F.col(text_col)))
+        sigs = sigs.select(
+            F.col(id_col),
+            *[F.col("_sig")[i].alias(f"mh{i}") for i in range(MINHASH_K)],
+        )
+    else:
+        sigs = minhash_signatures(df, text_col, id_col, tokenizer)
+    # Materialize the signature table: it feeds both sides of the candidate
+    # self-join (aliasing defeats exchange reuse), and at real scale an LSH
     # pipeline persists its signature table for exactly this reason. Tiny:
-    # (id, N_BANDS keys) per document.
+    # (id, N_BANDS keys) per document. Eager count so concurrent join
+    # stages don't race to fill the lazy cache (each recomputing the UDF
+    # pipeline; observed 43 s vs 11 s at sf0.1). Band keys are the raw
+    # array<bigint> slices of the signature — equality matches the oracle's
+    # concat_ws form exactly (non-negative ints, unambiguous encoding) and
+    # shuffles 8 ints instead of a ~80-byte formatted string.
     keyed = sigs.select(
         F.col(id_col),
         *[
-            F.concat_ws(
-                "-", *[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+            F.array(
+                *[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
             ).alias(f"bk{b}")
             for b in range(N_BANDS)
         ],
     ).persist()
-    # Eager materialization: the N_BANDS join stages launch concurrently and
-    # would otherwise ALL recompute the signature pipeline before the lazy
-    # cache fills (8× the UDF cost, observed 43 s vs 11 s at sf0.1).
     keyed.count()
-    a = keyed.select(
-        F.col(id_col).alias("i"), *[F.col(f"bk{b}").alias(f"ak{b}") for b in range(N_BANDS)]
+    # Candidates: explode to (band_idx, band_key) and self-join on the band
+    # key — the canonical LSH bucket join, ONE shuffle. Each exploded row
+    # also carries its document's full key vector so a pair is emitted ONLY
+    # from the first band where it collides (codegen conjunction over the
+    # earlier bands): candidate pairs are unique BY CONSTRUCTION, with no
+    # distinct() stage. That matters because near-identical documents
+    # collide in nearly all N_BANDS bands — on an exact-dup-heavy corpus
+    # (documents at sf0.1: 2.9M true pairs) a distinct() would shuffle
+    # ~16× the candidate count (90M rows) to collapse duplicates. The
+    # carried key vectors cost N_BANDS× the band-row width, a fixed
+    # insurance premium independent of corpus degeneracy.
+    bands = keyed.select(
+        F.col(id_col),
+        *[F.col(f"bk{b}") for b in range(N_BANDS)],
+        F.posexplode(F.array(*[F.col(f"bk{b}") for b in range(N_BANDS)])).alias(
+            "band_idx", "band_key"
+        ),
     )
-    b_side = keyed.select(
-        F.col(id_col).alias("j"), *[F.col(f"bk{b}").alias(f"jk{b}") for b in range(N_BANDS)]
+    a_side = bands.select(
+        F.col(id_col).alias("i"),
+        *[F.col(f"bk{b}").alias(f"ak{b}") for b in range(N_BANDS)],
+        "band_idx",
+        "band_key",
     )
-    per_band = []
-    for b in range(N_BANDS):
-        cond = F.col(f"ak{b}") == F.col(f"jk{b}")
-        matched = a.join(b_side, cond).filter(F.col("i") < F.col("j"))
-        for k in range(b):
-            matched = matched.filter(F.col(f"ak{k}") != F.col(f"jk{k}"))
-        per_band.append(matched.select("i", "j"))
-    cands = per_band[0]
-    for part in per_band[1:]:
-        cands = cands.unionByName(part)
+    b_side = bands.select(
+        F.col(id_col).alias("j"),
+        *[F.col(f"bk{b}").alias(f"jk{b}") for b in range(N_BANDS)],
+        "band_idx",
+        "band_key",
+    )
+    first_collision = F.lit(True)
+    for k in range(N_BANDS - 1):
+        first_collision = first_collision & (
+            (F.lit(k) >= F.col("band_idx"))
+            | (F.col(f"ak{k}") != F.col(f"jk{k}"))
+        )
+    cands = (
+        a_side.join(b_side, ["band_idx", "band_key"])
+        .filter((F.col("i") < F.col("j")) & first_collision)
+        .select("i", "j")
+        .persist()
+    )
 
     if verify == "vectorized":
         # Exact set Jaccard against a broadcast id→frozenset dictionary —
@@ -237,11 +271,22 @@ def minhash_lsh_pairs(
         # the pairs instead would ship ~|pairs| × 2 × |set| strings through
         # the shuffle and Arrow (hundreds of MB at sf0.1); the broadcast
         # moves each document's set ONCE and the pair stream stays 16 B/row.
-        # Scale note: assumes the token-set dictionary fits in executor
-        # memory (same trade as similarity.neardup_pairs); past that, tile
-        # the dictionary or fall back to the join form.
+        # Only documents that actually appear in a candidate pair are
+        # collected (semi-join) — the dictionary scales with the candidate
+        # set, not the corpus. Past executor memory, tile the dictionary or
+        # fall back to the join form.
+        cand_ids = (
+            cands.select(F.col("i").alias("_cid"))
+            .union(cands.select(F.col("j")))
+            .distinct()
+        )
         rows = (
-            _with_token_sets(df, text_col, tokenizer)
+            _with_token_sets(spread(df, id_col), text_col, tokenizer)
+            .join(
+                F.broadcast(cand_ids),
+                F.col(id_col) == F.col("_cid"),
+                "left_semi",
+            )
             .select(F.col(id_col), F.col("_toks"))
             .collect()
         )
@@ -352,11 +397,16 @@ def shingle_minhash_lsh_pairs(
     """Near-dup pairs over character k-gram shingles — the order-aware rung
     of the dedup ladder (token-set MinHash treats reordered text as
     identical; shingling doesn't). Same banding + exact-Jaccard verify as
-    minhash_lsh_pairs; shingle extraction runs as an Arrow kernel (the HOF
-    spelling re-lowercases the text for every gram position) and the shingle
-    vocabulary is naturally large, so verification takes the vectorized
-    exact-set path rather than the ≤63-word bitmask."""
-    from binwatch_spark.functions.texthash import make_shingles_udf
+    minhash_lsh_pairs; signatures come from the fused text→signature numpy
+    kernel (make_shingle_minhash_sig_udf — shingle strings never
+    materialize), and because the shingle vocabulary is naturally large,
+    candidate verification takes the vectorized exact-set path rather than
+    the ≤63-word bitmask (shingle extraction runs as an Arrow kernel only
+    for the verified candidates)."""
+    from binwatch_spark.functions.texthash import (
+        make_shingle_minhash_sig_udf,
+        make_shingles_udf,
+    )
 
     shingles_udf = make_shingles_udf(k)
     return minhash_lsh_pairs(
@@ -366,4 +416,5 @@ def shingle_minhash_lsh_pairs(
         threshold,
         tokenizer=lambda c: shingles_udf(c),
         verify="vectorized",
+        sig_fn=make_shingle_minhash_sig_udf(k),
     )
