@@ -32,6 +32,15 @@ def main() -> None:
     for name in TABLE_NAMES:
         load(spark, sf_dir, name).write.format("noop").mode("overwrite").save()
 
+    # Also spawn the Python UDF workers once (numpy/pandas import + Arrow
+    # handshake, ~2 s) so it isn't attributed to the first UDF query.
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    _warm = F.pandas_udf(lambda x: x, "long")
+    spark.range(1000, numPartitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
+        _warm(F.col("id"))
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name, fn in all_queries().items():
         t0 = time.perf_counter()

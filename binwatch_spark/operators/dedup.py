@@ -280,13 +280,15 @@ def minhash_lsh_pairs(
             .union(cands.select(F.col("j")))
             .distinct()
         )
+        # Semi-join BEFORE tokenizing: Catalyst does not push a join below
+        # a Python UDF projection, so tokenize-then-filter would run the
+        # Arrow kernel over the whole corpus to keep ~|candidate docs|
+        # rows (observed 3.7 s vs 0.3 s at sf0.1).
+        survivors = spread(df, id_col).join(
+            F.broadcast(cand_ids), F.col(id_col) == F.col("_cid"), "left_semi"
+        )
         rows = (
-            _with_token_sets(spread(df, id_col), text_col, tokenizer)
-            .join(
-                F.broadcast(cand_ids),
-                F.col(id_col) == F.col("_cid"),
-                "left_semi",
-            )
+            _with_token_sets(survivors, text_col, tokenizer)
             .select(F.col(id_col), F.col("_toks"))
             .collect()
         )

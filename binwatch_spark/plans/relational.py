@@ -106,19 +106,67 @@ def q13_multijoin_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q14_groupby_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape with ROLLUP subtotals. Two-phase (partial+final)
-    aggregation is automatic; decimal accumulation keeps doubles deterministic
-    under any partial-agg order."""
+    """TPC-H Q1 shape with ROLLUP subtotals, computed as one finest-level
+    aggregate plus margins re-aggregated FROM THE PARTIALS — Catalyst's
+    native rollup() expands every input row once per grouping set (3× the
+    scan feeding the aggregate), which at 100 TB triples the dominant
+    stage; decimal partial sums are exactly re-aggregable, so the subtotal
+    levels cost one extra pass over the handful of finest-level groups.
+    Group keys are non-null in this schema, so NULL unambiguously marks
+    subtotal rows (else grouping_id disambiguation is needed). Decimal
+    accumulation keeps doubles deterministic under any partial-agg order."""
     li = load(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            dsum(F.col("l_quantity")).alias("sum_qty"),
-            dsum(F.col("l_extendedprice")).alias("sum_price"),
-            (dsum(F.col("l_discount")) / F.count(F.lit(1))).alias("avg_disc"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
+    return _rollup_from_partials(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        sets=[
+            ("l_returnflag", "l_linestatus"),
+            ("l_returnflag",),
+            (),
+        ],
+        measures={
+            "_q": F.col("l_quantity"),
+            "_p": F.col("l_extendedprice"),
+            "_d": F.col("l_discount"),
+        },
+        project=lambda: [
+            F.col("_q").cast("double").alias("sum_qty"),
+            F.col("_p").cast("double").alias("sum_price"),
+            (F.col("_d").cast("double") / F.col("cnt")).alias("avg_disc"),
+            F.col("cnt"),
+        ],
     )
+
+
+def _rollup_from_partials(df, key_cols, sets, measures, project):
+    """Grouping sets from re-aggregable decimal partials: ONE aggregation at
+    the finest level (the only pass over the fact rows), then each coarser
+    set re-aggregates the finest-level groups (tiny). Exactly equals the
+    Expand-based rollup/cube because decimal sums and counts are
+    associative; requires non-null group keys so NULL can mark subtotals."""
+    finest = max(sets, key=len)
+    partials = [
+        F.sum(expr.cast("decimal(18,4)")).alias(name)
+        for name, expr in measures.items()
+    ] + [F.count(F.lit(1)).alias("cnt")]
+    base = df.groupBy(*finest).agg(*partials)
+    outs = []
+    for keep in sets:
+        lvl = base
+        if set(keep) != set(finest):
+            lvl = base.groupBy(*keep).agg(
+                *[F.sum(name).alias(name) for name in measures],
+                F.sum("cnt").alias("cnt"),
+            )
+        keys = [
+            F.col(k).alias(k) if k in keep else F.lit(None).cast("string").alias(k)
+            for k in key_cols
+        ]
+        outs.append(lvl.select(*keys, *project()))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 @register(
@@ -296,11 +344,23 @@ def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile (t-digest sketch, q21-style rows-only check) — exact
     percentiles need a per-group sort."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.9)), 6).alias("p90"),
-        F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.99)), 6).alias("p99"),
-        F.count(F.lit(1)).alias("cnt"),
+    # One percentile buffer evaluating all three fractions: three separate
+    # F.percentile aggregates each buffer the full group's values (3× the
+    # aggregation-state memory and sort work — observed 3.2 s vs 1.2 s at
+    # sf0.1 for the scalar spelling).
+    pcts = F.percentile(
+        F.col("l_extendedprice"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pcts.alias("_p"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("_p")[0], 6).alias("p50"),
+            F.round(F.col("_p")[1], 6).alias("p90"),
+            F.round(F.col("_p")[2], 6).alias("p99"),
+            "cnt",
+        )
     )
 
 
@@ -451,11 +511,24 @@ def q47_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q48_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets (all four margin combinations) — Catalyst expands
-    to one Expand + single aggregate, not four scans; decimal accumulation
-    keeps the double margins deterministic."""
+    """CUBE grouping sets (all four margin combinations) from re-aggregated
+    finest-level partials (see q14) — the native cube() Expand feeds 4× the
+    input rows into the aggregate; here the fact rows are aggregated once
+    and the three margin sets re-aggregate the tiny group table. Decimal
+    accumulation keeps the double margins deterministic."""
     li = load(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        dsum(F.col("l_extendedprice")).alias("sum_price"),
-        F.count(F.lit(1)).alias("cnt"),
+    return _rollup_from_partials(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        sets=[
+            ("l_returnflag", "l_linestatus"),
+            ("l_returnflag",),
+            ("l_linestatus",),
+            (),
+        ],
+        measures={"_p": F.col("l_extendedprice")},
+        project=lambda: [
+            F.col("_p").cast("double").alias("sum_price"),
+            F.col("cnt"),
+        ],
     )
