@@ -1,0 +1,77 @@
+"""Storage-layout operators: bucketing and partitioned writes.
+
+These are the at-rest half of the 100 TB posture. The reference streams
+events and never stores data at rest (no file formats anywhere in
+/root/reference — SURVEY.md §2.3), but an analytics engine over the same
+event/document tables lives or dies by layout:
+
+- **Bucketing** pre-shuffles a table ONCE at write time on its join/agg key.
+  Two tables bucketed on the same key with the same bucket count join with
+  NO exchange on either side — at 100 TB that removes the dominant cost of
+  every fact-fact join (a fact-dim join should broadcast instead). Spark's
+  native parquet bucketing (saveAsTable + bucketBy) is enough; no Hive.
+- **Partitioned writes** (directory partitioning on a low-cardinality
+  column) give partition PRUNING: a filter on the partition column skips
+  whole directories at planning time — the scan never opens the files.
+
+Both are verified by plan-shape tests (tests/test_storage.py): the bucketed
+join plan contains no shuffle, and the pruned scan's `partitionFilters`
+carries the predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Write df as a bucketed (and bucket-sorted) parquet table.
+
+    Sorting within buckets additionally enables sort-merge joins without a
+    per-task sort, and keeps row-group min/max stats tight for the bucket
+    key. The table registers in the session catalog (external when `path`
+    is given); bucket metadata only survives via the catalog, so readers
+    must use spark.table(table), not spark.read.parquet(path).
+    """
+    writer = df.write.format("parquet").mode("overwrite").bucketBy(
+        num_buckets, bucket_col
+    )
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str | list[str]
+) -> DataFrame:
+    """Join two same-bucketed catalog tables on their bucket key.
+
+    With both sides bucketed identically this plans as a zero-exchange
+    sort-merge join: each task reads bucket i of both tables. The helper is
+    trivial by design — the work happened at write time; asserting the
+    no-shuffle plan is the test's job.
+    """
+    return spark.table(left_table).join(spark.table(right_table), on=on)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Directory-partitioned parquet write (hive-style key=value layout).
+
+    Partition columns must be low-cardinality (date, event_type, shard):
+    each distinct combination is a directory, and a filter on any
+    partition column prunes at planning time. High-cardinality layout
+    belongs in bucketing instead — a directory per key would melt the
+    file listing.
+    """
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
