@@ -532,3 +532,55 @@ def q48_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt"),
         ],
     )
+
+
+@register(
+    "q49_range_join",
+    oracle=(
+        "SELECT a.event_id, count(b.event_id) AS n_next_hour"
+        " FROM events a LEFT JOIN events b"
+        "   ON a.user_id = b.user_id AND b.ts > a.ts"
+        "  AND b.ts <= a.ts + INTERVAL 1 HOUR"
+        " GROUP BY a.event_id"
+    ),
+)
+def q49_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range self-join — per event, how many same-user events land
+    in the following hour. Spark has no native range-join strategy (a naive
+    inequality join plans as a per-key nested loop), so this uses the
+    standard bin-bucketing rewrite: both sides get a 1-hour bin key, the
+    probe side is replicated into the two bins its match window can touch,
+    and the join is a plain EQUI-join on (user_id, bin) with the range
+    predicate as a post-filter. Each true pair matches in exactly one bin
+    (the probe row's replica bin must equal the anchor's bin), so no
+    dedup is needed. Scale: candidate pairs are bounded by co-bin
+    density, the join shuffles on (user, bin) like any equi-join, and bin
+    width should track the range width (1 replica per width-multiple)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # session timezone is UTC, so NTZ→instant cast is unambiguous
+    bin_of = (
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3_600_000_000)
+    ).cast("bigint")
+    a = ev.withColumn("_bin", bin_of)
+    b = (
+        ev.withColumn("_bin0", bin_of)
+        .select(
+            F.col("event_id").alias("b_event_id"),
+            F.col("user_id").alias("b_user_id"),
+            F.col("ts").alias("b_ts"),
+            F.explode(
+                F.array(F.col("_bin0"), F.col("_bin0") - 1)
+            ).alias("_bbin"),
+        )
+    )
+    cond = (
+        (F.col("user_id") == F.col("b_user_id"))
+        & (F.col("_bin") == F.col("_bbin"))
+        & (F.col("b_ts") > F.col("ts"))
+        & (F.col("b_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        a.join(b, cond, "left")
+        .groupBy("event_id")
+        .agg(F.count(F.col("b_event_id")).alias("n_next_hour"))
+    )

@@ -49,6 +49,15 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a session temp view so callers can
+    use plain ``spark.sql(...)`` against the same data the DataFrame API
+    sees (same nanos→timestamp normalization, same pushdown freedom —
+    temp views are lazy plans, not materializations)."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
 def spread(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition a DataFrame up to the session's default parallelism when
     its scan would otherwise under-parallelize downstream compute stages.
