@@ -135,6 +135,67 @@ def make_simhash_fp_udf():
     return simhash_fp
 
 
+def _band_fold(mins: "np.ndarray") -> "np.ndarray":
+    """Fold a MINHASH_K signature into N_BANDS one-int64 band keys: a
+    polynomial combine of each BAND_ROWS-row slice with natural int64
+    wraparound. Band-key equality is then equivalent to slice equality up
+    to 64-bit fold collisions, which downstream exact-Jaccard verification
+    removes — so the LSH bucket join can shuffle one int64 per band instead
+    of the slice (or the whole signature)."""
+    sl = mins.reshape(N_BANDS, BAND_ROWS)
+    out = np.zeros(N_BANDS, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for r in range(BAND_ROWS):
+            out = out * np.int64(1_000_003) + sl[:, r]
+    return out
+
+
+def make_minhash_band_udf():
+    """Arrow-vectorized fused tokens → LSH band keys: the MinHash signature
+    (same math as make_minhash_sig_udf) folded to N_BANDS int64 keys via
+    _band_fold, so the 128 signature values never leave the kernel."""
+
+    @F.pandas_udf("array<bigint>")
+    def minhash_bands(tokens: pd.Series) -> pd.Series:
+        def bands(ts):
+            if ts is None or len(ts) == 0:
+                return None
+            h = _hash_tokens(ts)[None, :]
+            mins = ((_MINHASH_A_COL * h + _MINHASH_B_COL) % POLY_PRIME).min(axis=1)
+            return _band_fold(mins)
+
+        return tokens.apply(bands)
+
+    return minhash_bands
+
+
+def make_shingle_minhash_band_udf(k: int):
+    """Fused text → LSH band keys for character k-gram shingles: the
+    make_shingle_minhash_sig_udf kernel with _band_fold applied in-kernel."""
+
+    @F.pandas_udf("array<bigint>")
+    def shingle_bands(texts: pd.Series) -> pd.Series:
+        def bands(t):
+            if t is None:
+                return None
+            low = t.lower()
+            n = len(low) - k + 1
+            if n <= 0:
+                return None
+            codes = np.fromiter(map(ord, low), dtype=np.int64, count=len(low))
+            acc = codes[:n].copy()
+            for j in range(1, k):
+                acc = (acc * POLY_MULT + codes[j : j + n]) % POLY_PRIME
+            mins = (
+                (_MINHASH_A_COL * acc[None, :] + _MINHASH_B_COL) % POLY_PRIME
+            ).min(axis=1)
+            return _band_fold(mins)
+
+        return texts.apply(bands)
+
+    return shingle_bands
+
+
 def make_shingle_minhash_sig_udf(k: int):
     """Fused text → MinHash signature for character k-gram shingles:
     lowercase, rolling polyhash over every gram position, then the K affine

@@ -179,6 +179,7 @@ def minhash_lsh_pairs(
     tokenizer=distinct_tokens,
     verify: str = "auto",
     sig_fn=None,
+    band_fn=None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact Jaccard verification.
 
@@ -193,8 +194,18 @@ def minhash_lsh_pairs(
     signature straight from the text column (make_shingle_minhash_sig_udf),
     bypassing tokenizer + make_minhash_sig_udf. The tokenizer is still used
     for exact verification of candidates.
+
+    band_fn: optional fused Column->Column producing the N_BANDS int64 band
+    keys straight from the input column (make_minhash_band_udf over the
+    tokenized column, make_shingle_minhash_band_udf over raw text) — the
+    preferred form: the K signature values never leave the kernel, so the
+    plan has no K-column extraction or re-hash stage at all.
     """
-    if sig_fn is not None:
+    if band_fn is not None:
+        keyed_src = spread(df, id_col).withColumn("_bks", band_fn(F.col(text_col)))
+        keyed_cols = [F.col("_bks")[b].alias(f"bk{b}") for b in range(N_BANDS)]
+        sigs = None
+    elif sig_fn is not None:
         sigs = spread(df, id_col).withColumn("_sig", sig_fn(F.col(text_col)))
         sigs = sigs.select(
             F.col(id_col),
@@ -207,19 +218,26 @@ def minhash_lsh_pairs(
     # pipeline persists its signature table for exactly this reason. Tiny:
     # (id, N_BANDS keys) per document. Eager count so concurrent join
     # stages don't race to fill the lazy cache (each recomputing the UDF
-    # pipeline; observed 43 s vs 11 s at sf0.1). Band keys are the raw
-    # array<bigint> slices of the signature — equality matches the oracle's
-    # concat_ws form exactly (non-negative ints, unambiguous encoding) and
-    # shuffles 8 ints instead of a ~80-byte formatted string.
-    keyed = sigs.select(
-        F.col(id_col),
-        *[
-            F.array(
-                *[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
-            ).alias(f"bk{b}")
-            for b in range(N_BANDS)
-        ],
-    ).persist()
+    # pipeline; observed 43 s vs 11 s at sf0.1). Each BAND_ROWS-row slice
+    # is collapsed to ONE bigint with xxhash64 (JVM codegen, variadic over
+    # the row columns): the bucket join shuffles 8 bytes per band instead
+    # of the 8-int slice (8× narrower rows through the exchange, and the
+    # first-collision conjunction below becomes integer compares instead
+    # of array compares). Hash-equality candidates are a superset only on
+    # 64-bit collisions (~2^-64); exact-Jaccard verification removes any
+    # such false positive, so the verified output is unchanged.
+    if band_fn is not None:
+        keyed = keyed_src.select(F.col(id_col), *keyed_cols).persist()
+    else:
+        keyed = sigs.select(
+            F.col(id_col),
+            *[
+                F.xxhash64(
+                    *[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+                ).alias(f"bk{b}")
+                for b in range(N_BANDS)
+            ],
+        ).persist()
     keyed.count()
     # Candidates: explode to (band_idx, band_key) and self-join on the band
     # key — the canonical LSH bucket join, ONE shuffle. Each exploded row
@@ -406,7 +424,7 @@ def shingle_minhash_lsh_pairs(
     the ≤63-word bitmask (shingle extraction runs as an Arrow kernel only
     for the verified candidates)."""
     from binwatch_spark.functions.texthash import (
-        make_shingle_minhash_sig_udf,
+        make_shingle_minhash_band_udf,
         make_shingles_udf,
     )
 
@@ -418,5 +436,5 @@ def shingle_minhash_lsh_pairs(
         threshold,
         tokenizer=lambda c: shingles_udf(c),
         verify="vectorized",
-        sig_fn=make_shingle_minhash_sig_udf(k),
+        band_fn=make_shingle_minhash_band_udf(k),
     )

@@ -67,9 +67,20 @@ WHERE jac >= {JACCARD_THRESHOLD}
 def q23_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH banding (8×4) near-dup candidate generation with
     exact-Jaccard verification — the 100 TB near-dup path: signatures are
-    map-side, the only shuffle is the small (band_idx, band_key) exchange."""
+    map-side (fused tokens→band-keys kernel, one int64 per band), the only
+    shuffle is the small (band_idx, band_key) exchange."""
+    from binwatch_spark.functions.texthash import make_minhash_band_udf
+    from binwatch_spark.operators.text import distinct_tokens
+
+    band_udf = make_minhash_band_udf()
     docs = load(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, "text", "doc_id", JACCARD_THRESHOLD)
+    return dedup.minhash_lsh_pairs(
+        docs,
+        "text",
+        "doc_id",
+        JACCARD_THRESHOLD,
+        band_fn=lambda c: band_udf(distinct_tokens(c)),
+    )
 
 
 @register(
