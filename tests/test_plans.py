@@ -71,3 +71,16 @@ def test_q33_equijoin_on_bucket_not_crossjoin(spark):
     plan = plan_of(spark, "q33_ann_lsh", mode="simple")
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan
+
+
+def test_register_views_sql_surface(spark):
+    from binwatch_spark.tables import TABLE_NAMES, register_views
+
+    register_views(spark, SF_SMALL)
+    # every fixture table is queryable through plain SQL...
+    for name in TABLE_NAMES:
+        assert spark.sql(f"SELECT * FROM {name} LIMIT 1").count() >= 0
+    # ...with the same normalized schema the DataFrame API sees (nanos ts
+    # already converted, so event-time SQL works unmodified)
+    row = spark.sql("SELECT max(ts) AS m FROM events").first()
+    assert row.m is not None
