@@ -32,6 +32,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # events.ts is parquet TIMESTAMP(NANOS,false), which Spark rejects unless
+    # nanosAsLong is set. Callers (the driver harness in particular) pass in
+    # their OWN SparkSession, so this must be set here at runtime — relying on
+    # session.get_spark() having configured it is not enough. The conf is
+    # runtime-settable and idempotent.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS,false): read as nanos-long
