@@ -253,34 +253,6 @@ def make_shingles_udf(k: int):
     return shingles
 
 
-def make_set_jaccard_udf():
-    """Arrow-vectorized exact set Jaccard over two array<string> columns,
-    with ids for a per-batch id→frozenset memo (each doc's set is built once
-    per batch, intersections run at C speed). Bit-identical to
-    len(list_intersect)/len(union) on distinct arrays."""
-
-    @F.pandas_udf("double")
-    def set_jaccard(
-        i: pd.Series, ti: pd.Series, j: pd.Series, tj: pd.Series
-    ) -> pd.Series:
-        memo: dict[int, frozenset] = {}
-
-        def get(doc_id, toks):
-            s = memo.get(doc_id)
-            if s is None:
-                memo[doc_id] = s = frozenset(toks)
-            return s
-
-        out = np.empty(len(i), dtype=np.float64)
-        iv, jv = i.to_numpy(), j.to_numpy()
-        tiv, tjv = ti.to_numpy(), tj.to_numpy()
-        for n in range(len(out)):
-            a, b = get(iv[n], tiv[n]), get(jv[n], tjv[n])
-            inter = len(a & b)
-            out[n] = inter / (len(a) + len(b) - inter)
-        return pd.Series(out)
-
-    return set_jaccard
 
 
 def polyhash(col: Column) -> Column:

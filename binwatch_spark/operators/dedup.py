@@ -65,18 +65,25 @@ def _with_token_sets(df: DataFrame, text_col: str, tokenizer=distinct_tokens) ->
     return df.withColumn("_toks", tokenizer(F.col(text_col)))
 
 
-def _vocab(df: DataFrame, text_col: str, tokenizer=distinct_tokens) -> list[str]:
-    """Global token dictionary (one distinct pass; at scale this is the
-    standard dictionary-encoding build)."""
-    return [
-        r[0]
-        for r in df.select(
-            F.explode(tokenizer(F.col(text_col))).alias("t")
-        )
-        .distinct()
-        .orderBy("t")
-        .collect()
-    ]
+def _small_vocab(
+    df: DataFrame, text_col: str, tokenizer=distinct_tokens
+) -> list[str] | None:
+    """Global token dictionary IF it fits the int64 bitmask path (≤63 words),
+    else None.
+
+    The *decision* must not itself be a scale-killer: at web scale the
+    distinct-token set is billions of strings, so an unconditional
+    distinct+collect dies on the driver before any pairing starts. A
+    single-pass map-side approx_count_distinct (one aggregate row to the
+    driver) gates the exact collect; only when the approximate count is
+    already near the 63-word bound do we pay the (then tiny, LIMIT-bounded)
+    distinct sort-collect."""
+    toks = df.select(F.explode(tokenizer(F.col(text_col))).alias("t"))
+    approx = toks.agg(F.approx_count_distinct("t").alias("n")).first()[0]
+    if approx > 80:  # approx err is ~2-5%; 80 is safely above the 63 bound
+        return None
+    vocab = [r[0] for r in toks.distinct().orderBy("t").limit(64).collect()]
+    return vocab if len(vocab) <= 63 else None
 
 
 def _mask_expr(toks: Column, vocab: list[str]) -> Column:
@@ -116,8 +123,8 @@ def jaccard_pairs(
     blocking key comes from LSH (see minhash_lsh_pairs) instead of metadata.
     Output: (i, j, jac) with i < j.
     """
-    vocab = _vocab(df, text_col)
-    if len(vocab) <= 63:
+    vocab = _small_vocab(df, text_col)
+    if vocab is not None:
         # Dictionary-encoded bitmask path: token sets become one int64 per
         # doc, so the pair stage shuffles 16 bytes/row and verifies with
         # popcount in codegen instead of interpreted array intersection.
@@ -180,6 +187,7 @@ def minhash_lsh_pairs(
     verify: str = "auto",
     sig_fn=None,
     band_fn=None,
+    vectorized_max_docs: int = 100_000,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact Jaccard verification.
 
@@ -289,66 +297,82 @@ def minhash_lsh_pairs(
         # the pairs instead would ship ~|pairs| × 2 × |set| strings through
         # the shuffle and Arrow (hundreds of MB at sf0.1); the broadcast
         # moves each document's set ONCE and the pair stream stays 16 B/row.
-        # Only documents that actually appear in a candidate pair are
-        # collected (semi-join) — the dictionary scales with the candidate
-        # set, not the corpus. Past executor memory, tile the dictionary or
-        # fall back to the join form.
-        cand_ids = (
-            cands.select(F.col("i").alias("_cid"))
-            .union(cands.select(F.col("j")))
-            .distinct()
-        )
-        # Semi-join BEFORE tokenizing: Catalyst does not push a join below
-        # a Python UDF projection, so tokenize-then-filter would run the
-        # Arrow kernel over the whole corpus to keep ~|candidate docs|
-        # rows (observed 3.7 s vs 0.3 s at sf0.1).
-        survivors = spread(df, id_col).join(
-            F.broadcast(cand_ids), F.col(id_col) == F.col("_cid"), "left_semi"
-        )
-        rows = (
-            _with_token_sets(survivors, text_col, tokenizer)
-            .select(F.col(id_col), F.col("_toks"))
-            .collect()
-        )
-        sets = {r[0]: frozenset(r[1]) for r in rows}
-        bc = df.sparkSession.sparkContext.broadcast(sets)
+        # The dictionary scales with the candidate set, not the corpus —
+        # but on a near-dup-heavy 100 TB corpus candidate docs ≈ corpus, so
+        # the branch is gated: ONE map-side approx aggregate over the
+        # persisted pair stream upper-bounds the candidate-doc count (no
+        # distinct shuffle just to decide), and anything over
+        # vectorized_max_docs auto-cuts over to the join form below.
+        bounds = cands.agg(
+            F.approx_count_distinct("i").alias("ni"),
+            F.approx_count_distinct("j").alias("nj"),
+        ).first()
+        if bounds["ni"] + bounds["nj"] <= vectorized_max_docs:
+            cand_ids = (
+                cands.select(F.col("i").alias("_cid"))
+                .union(cands.select(F.col("j")))
+                .distinct()
+            )
+            # Semi-join BEFORE tokenizing: Catalyst does not push a join
+            # below a Python UDF projection, so tokenize-then-filter would
+            # run the Arrow kernel over the whole corpus to keep
+            # ~|candidate docs| rows (observed 3.7 s vs 0.3 s at sf0.1).
+            survivors = spread(df, id_col).join(
+                cand_ids, F.col(id_col) == F.col("_cid"), "left_semi"
+            )
+            rows = (
+                _with_token_sets(survivors, text_col, tokenizer)
+                .select(F.col(id_col), F.col("_toks"))
+                .collect()
+            )
+            sets = {r[0]: frozenset(r[1]) for r in rows}
+            bc = df.sparkSession.sparkContext.broadcast(sets)
 
-        @F.pandas_udf("double")
-        def pair_jaccard(i: pd.Series, j: pd.Series) -> pd.Series:
-            lookup = bc.value
+            @F.pandas_udf("double")
+            def pair_jaccard(i: pd.Series, j: pd.Series) -> pd.Series:
+                lookup = bc.value
 
-            def jac_of(a, b):
-                sa, sb = lookup[a], lookup[b]
-                inter = len(sa & sb)
-                return inter / (len(sa) + len(sb) - inter)
+                def jac_of(a, b):
+                    sa, sb = lookup[a], lookup[b]
+                    inter = len(sa & sb)
+                    return inter / (len(sa) + len(sb) - inter)
 
-            return pd.Series(
-                [jac_of(a, b) for a, b in zip(i.to_numpy(), j.to_numpy())],
-                dtype="float64",
+                return pd.Series(
+                    [jac_of(a, b) for a, b in zip(i.to_numpy(), j.to_numpy())],
+                    dtype="float64",
+                )
+
+            return (
+                cands.withColumn("jac", pair_jaccard(F.col("i"), F.col("j")))
+                .filter(F.col("jac") >= threshold)
+                .select("i", "j", "jac")
             )
 
-        return (
-            cands.withColumn("jac", pair_jaccard(F.col("i"), F.col("j")))
-            .filter(F.col("jac") >= threshold)
-            .select("i", "j", "jac")
-        )
-
-    vocab = _vocab(df, text_col, tokenizer)
-    if len(vocab) <= 63:
+    # Join-form verify: token sets/masks are built in ONE linear map-side
+    # Arrow pass over the corpus (no driver materialization anywhere) and
+    # joined onto the pair stream — the spill-safe path that survives
+    # candidate-docs ≈ corpus. Shingle tokenizers land in the array branch
+    # (for verify="vectorized" overflow we skip the vocabulary probe
+    # entirely; otherwise _small_vocab's approx gate rejects large
+    # vocabularies in one map-side pass).
+    vocab = None if verify == "vectorized" else _small_vocab(df, text_col, tokenizer)
+    if vocab is not None:
         # Verify with dictionary-encoded bitmasks (see jaccard_pairs): two
-        # broadcast joins of an int64 per doc + codegen popcount.
+        # joins of an int64 per doc + codegen popcount. No broadcast hint:
+        # at 100 TB the mask table scales with the corpus — AQE broadcasts
+        # it at runtime when it is actually small.
         masks = _with_token_sets(df, text_col, tokenizer).select(
             F.col(id_col).alias("_id"),
             _mask_expr(F.col("_toks"), vocab).alias("_mask"),
         ).persist()
         joined = (
             cands.join(
-                F.broadcast(masks.withColumnRenamed("_mask", "_mi")),
+                masks.withColumnRenamed("_mask", "_mi"),
                 cands.i == F.col("_id"),
             )
             .drop("_id")
             .join(
-                F.broadcast(masks.withColumnRenamed("_mask", "_mj")),
+                masks.withColumnRenamed("_mask", "_mj"),
                 cands.j == F.col("_id"),
             )
             .drop("_id")

@@ -85,11 +85,19 @@ def make_shard_key_udf(count: int):
 
     @pandas_udf(LongType())
     def shard_of_key(key: pd.Series) -> pd.Series:
-        out = np.empty(len(key), dtype=np.int64)
-        for i, s in enumerate(key):
+        # Nulls map to None, not an exception: Spark evaluates extracted
+        # pandas-UDF branches of a when/otherwise unconditionally, so a null
+        # key (e.g. the key-template error fallback in pipeline._shard_filter)
+        # must not abort the batch — the when() then selects the position
+        # fallback, mirroring the reference (blsenderwork.go:135-147).
+        out: list[int | None] = []
+        for s in key:
+            if s is None or (isinstance(s, float) and pd.isna(s)):
+                out.append(None)
+                continue
             h = fnv1a64_bytes(s.encode("utf-8") if isinstance(s, str) else bytes(s))
-            out[i] = np.int64(np.uint64(h % u_count))
-        return pd.Series(out)
+            out.append(int(np.int64(np.uint64(h % u_count))))
+        return pd.Series(out, dtype="Int64")
 
     return shard_of_key
 

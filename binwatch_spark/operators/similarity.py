@@ -194,27 +194,28 @@ def ivf_knn(
 
 
 def neardup_pairs(
-    df: DataFrame, id_col: str, emb_col: str, threshold: float
+    df: DataFrame, id_col: str, emb_col: str, threshold: float, n_blocks: int = 16
 ) -> DataFrame:
     """All embedding pairs with cosine >= threshold (i < j). Exact.
 
-    Implemented as a block-broadcast similarity join: the comparison side is
-    broadcast as one dense matrix; each partition scores its rows against the
-    whole matrix with numpy, vectorized across pairs but accumulating
-    sequentially over dimensions — bit-identical to the fold/list_dot_product
-    order the oracle uses. No pair rows are ever materialized JVM-side, so
-    the only data movement is the broadcast (n×dim doubles) and the matches.
+    Triangle-blocked distributed all-pairs: rows are hashed into B blocks by
+    id, each row is routed (via a B-way explode) to every block-pair group
+    (p, q) it participates in, and each of the B(B+1)/2 groups scores its two
+    blocks against each other in one numpy kernel — vectorized across pairs
+    but accumulating sequentially over dimensions, bit-identical to the
+    fold/list_dot_product order the oracle uses. Cross-block pairs are
+    counted only in their (p, q) group and same-block pairs only in (p, p),
+    so every i<j pair is emitted exactly once.
 
-    Scale note: this assumes ONE side fits in executor memory (here both —
-    the query is all-pairs). Past that, tile the broadcast side into column
-    blocks, or use the LSH-bucketed variant (q33) which prunes candidates
-    before scoring; exact all-pairs at 100 TB is not a sane target."""
+    Nothing is ever collected to the driver. Per-task memory is bounded by
+    TWO blocks (~2n/B rows), independent of corpus size; the price is B×
+    row replication through one shuffle — the standard trade for exact
+    all-pairs. At 100 TB pick B ≈ n / rows-that-fit-per-task and prefer the
+    LSH-bucketed variant (q33) when approximate recall is acceptable; exact
+    all-pairs is O(n²) work no matter how it is scheduled."""
     import numpy as np
 
-    spark = df.sparkSession
-    rows = sorted(df.select(id_col, emb_col).collect(), key=lambda r: r[0])
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    B = n_blocks
 
     def seq_sq_norm(m: np.ndarray) -> np.ndarray:
         acc = np.zeros(m.shape[0], dtype=np.float64)
@@ -222,26 +223,38 @@ def neardup_pairs(
             acc = acc + m[:, d] * m[:, d]
         return np.sqrt(acc)
 
-    norms = seq_sq_norm(mat)
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    def block_pairs(key, pdf):
+        p, q = key
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        blks = pdf["_blk"].to_numpy()[order]
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["_emb"].iloc[order]]
+        )
+        acc = np.zeros((len(ids), len(ids)), dtype=np.float64)
+        for d in range(mat.shape[1]):
+            acc = acc + mat[:, d][:, None] * mat[:, d][None, :]
+        norms = seq_sq_norm(mat)
+        sim = acc / (norms[:, None] * norms[None, :])
+        mask = (ids[:, None] < ids[None, :]) & (sim >= threshold)
+        if p != q:
+            # Same-block pairs belong to this block's own (p, p) group.
+            mask &= blks[:, None] != blks[None, :]
+        ii, jj = np.nonzero(mask)
+        return pd.DataFrame({"i": ids[ii], "j": ids[jj], "sim": sim[ii, jj]})
 
-    def block_sim(batches):
-        b_ids, b_mat, b_norms = bc.value
-        for pdf in batches:
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a_mat = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]]
-            )
-            acc = np.zeros((len(a_ids), len(b_ids)), dtype=np.float64)
-            for d in range(a_mat.shape[1]):
-                acc = acc + a_mat[:, d][:, None] * b_mat[:, d][None, :]
-            a_norms = seq_sq_norm(a_mat)
-            sim = acc / (a_norms[:, None] * b_norms[None, :])
-            ii, jj = np.nonzero((sim >= threshold) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {"i": a_ids[ii], "j": b_ids[jj], "sim": sim[ii, jj]}
-            )
-
-    return df.select(id_col, emb_col).mapInPandas(
-        block_sim, schema="i bigint, j bigint, sim double"
+    routed = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(emb_col).alias("_emb"),
+            F.pmod(F.col(id_col), F.lit(B)).cast("int").alias("_blk"),
+        )
+        .withColumn("_other", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
+        .withColumn("_gp", F.least(F.col("_blk"), F.col("_other")))
+        .withColumn("_gq", F.greatest(F.col("_blk"), F.col("_other")))
+        .drop("_other")
+    )
+    return routed.groupBy("_gp", "_gq").applyInPandas(
+        block_pairs, schema="i bigint, j bigint, sim double"
     )

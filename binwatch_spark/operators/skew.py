@@ -60,6 +60,15 @@ def salted_join(
     other side carries all of them, so each matching pair meets exactly
     once.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        # With right/full joins the replicated build side's unmatched rows
+        # would surface `salts` times each — the salt trick is only sound
+        # when unmatched build rows are dropped.
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins, not {how!r}: "
+            "unmatched rows of the replicated side would appear once per salt"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     left = with_salt(skewed, entropy_col, salts)
     right = replicate_for_salt(other, salts)

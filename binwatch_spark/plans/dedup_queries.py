@@ -65,7 +65,8 @@ WHERE jac >= {JACCARD_THRESHOLD}
 
 @register("q23_minhash_lsh_dedup", oracle=_minhash_lsh_sql())
 def q23_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32) + LSH banding (8×4) near-dup candidate generation with
+    """MinHash(128) + LSH banding (16 bands × 8 rows; texthash.py constants)
+    near-dup candidate generation with
     exact-Jaccard verification — the 100 TB near-dup path: signatures are
     map-side (fused tokens→band-keys kernel, one int64 per band), the only
     shuffle is the small (band_idx, band_key) exchange."""

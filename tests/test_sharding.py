@@ -99,3 +99,19 @@ def test_shard_matches_python_reference(spark):
     for r in rows:
         expect = fnv1a64_bytes(struct.pack("<Q", r["event_id"])) % 4
         assert r["shard"] == expect
+
+
+def test_shard_key_null_yields_null_not_crash(spark):
+    # ADVICE r1: Spark evaluates extracted pandas-UDF branches of a
+    # when/otherwise unconditionally, so a null key (the key-template error
+    # fallback in pipeline._shard_filter) must produce null — not abort the
+    # batch. The reference falls back to hashing the binlog position
+    # (blsenderwork.go:135-147); the when() picks that branch when the key
+    # shard comes back null.
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, None), (3, "beta")], "pos bigint, key string"
+    )
+    shard = make_shard_key_udf(4)(F.col("key"))
+    rows = {r["pos"]: r["s"] for r in df.select("pos", shard.alias("s")).collect()}
+    assert rows[2] is None
+    assert rows[1] is not None and rows[3] is not None

@@ -120,3 +120,13 @@ def test_salted_join_key_includes_salt(spark):
         salts=8,
     )
     assert "_salt" in _plan(j)
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    # ADVICE r1: with right/full joins the replicated build side's unmatched
+    # rows would surface once per salt — the helper must refuse.
+    a = spark.range(10).withColumnRenamed("id", "k")
+    b = spark.range(10).withColumnRenamed("id", "k")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(a, b, on="k", entropy_col="k", how=how)
