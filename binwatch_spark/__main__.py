@@ -1,0 +1,89 @@
+"""CLI entry point — ``python -m binwatch_spark sync --config config.yaml``.
+
+Mirrors the reference's operator surface (cmd/main.go:26-34,
+internal/cmd/sync/sync.go:40-70): one ``sync`` subcommand taking a YAML
+config path, wiring config → SparkSession → health/state API →
+streaming pipeline → termination policy. A user of the reference runs
+``binwatch sync --config config.yaml``; a user of this engine runs the
+same line with ``python -m binwatch_spark`` (or the ``binwatch-spark``
+console script) in front.
+
+Spark-specific flags (both optional, test/dev oriented):
+- ``--available-now``: drain everything currently available and exit
+  (Structured Streaming availableNow trigger) instead of running forever.
+- ``--master``: Spark master URL override (default: local[*] via
+  session.get_spark, or whatever SPARK_MASTER is set to).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from binwatch_spark import config as config_mod
+from binwatch_spark.observability import ProgressListener, serve_api
+
+
+def _sync(args: argparse.Namespace) -> int:
+    try:
+        cfg = config_mod.load(args.config)
+    except (config_mod.ConfigError, OSError) as exc:
+        print(f"error in binwatch instance creation: {exc}", file=sys.stderr)
+        return 1
+
+    from binwatch_spark.session import get_spark
+    from binwatch_spark.streaming.pipeline import run_supervised
+
+    spark = get_spark(f"binwatch-{cfg.server.id}", master=args.master)
+    listener = ProgressListener()
+    spark.streams.addListener(listener)
+    httpd = serve_api(cfg, listener) if args.serve_api else None
+    try:
+        run_supervised(spark, cfg, available_now=args.available_now)
+    except Exception as exc:  # stopInError: exit non-zero like the reference
+        print(f"pipeline failed: {exc}", file=sys.stderr)
+        return 1
+    finally:
+        if httpd is not None:
+            httpd.shutdown()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="binwatch-spark",
+        description=(
+            "Subscribe to a MySQL binlog (or a recorded replay stream) and"
+            " relay changes to connectors via Spark Structured Streaming."
+        ),
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+    sync = sub.add_parser(
+        "sync", help="Dump and watch (sync) MySQL and send to Connectors"
+    )
+    sync.add_argument(
+        "--config", default="config.yaml", help="Path to the YAML config file"
+    )
+    sync.add_argument(
+        "--available-now",
+        action="store_true",
+        help="drain available input and exit (dev/test)",
+    )
+    sync.add_argument("--master", default=None, help="Spark master URL override")
+    sync.add_argument(
+        "--no-serve-api",
+        dest="serve_api",
+        action="store_false",
+        help="skip starting the health/state HTTP API",
+    )
+    sync.set_defaults(func=_sync)
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

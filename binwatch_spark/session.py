@@ -25,10 +25,11 @@ def cpu_count() -> str:
     return os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
-def get_spark(app_name: str = "binwatch-spark") -> SparkSession:
-    """Build (or reuse) the tuned SparkSession."""
+def get_spark(app_name: str = "binwatch-spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) the tuned SparkSession. ``master`` overrides the
+    default local[$SPARK_GRAFT_CPUS] (the CLI's --master flag)."""
     builder = (
-        SparkSession.builder.master(f"local[{cpu_count()}]")
+        SparkSession.builder.master(master or f"local[{cpu_count()}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
         .config("spark.sql.adaptive.enabled", "true")

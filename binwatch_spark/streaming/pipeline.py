@@ -36,7 +36,11 @@ from binwatch_spark.operators import cdc
 from binwatch_spark.operators.sharding import make_shard_key_udf, make_shard_udf
 from binwatch_spark.sinks.connectors import make_connector
 from binwatch_spark.sources.envelope import read_envelope_stream
-from binwatch_spark.streaming.templates import compile_template, item_from_row
+from binwatch_spark.streaming.templates import (
+    compile_template,
+    item_from_row,
+    native_key_expr,
+)
 
 
 @dataclass
@@ -124,22 +128,28 @@ def _shard_filter(df: DataFrame, cfg: JobConfig) -> DataFrame:
     count, index = cfg.sharding.count, cfg.sharding.index
     if cfg.sharding.key_template:
         template = cfg.sharding.key_template
+        # Fast path: the documented key-template shapes compile straight to
+        # a column expression (templates.native_key_expr) — no to_json, no
+        # per-row Python render; the only Python left in R1 is the FNV hash
+        # UDF itself. The pandas renderer remains the general fallback.
+        key = native_key_expr(template)
+        if key is None:
 
-        @F.pandas_udf("string")
-        def render_key(rows_json: pd.Series) -> pd.Series:
-            import json as _json
+            @F.pandas_udf("string")
+            def render_key(rows_json: pd.Series) -> pd.Series:
+                import json as _json
 
-            render = compile_template(template)
-            out = []
-            for payload in rows_json:
-                row = _json.loads(payload)
-                try:
-                    out.append(render(item_from_row(row, row.get("item_id", 0))))
-                except Exception:
-                    out.append(None)  # template error → position fallback
-            return pd.Series(out)
+                render = compile_template(template)
+                out = []
+                for payload in rows_json:
+                    row = _json.loads(payload)
+                    try:
+                        out.append(render(item_from_row(row, row.get("item_id", 0))))
+                    except Exception:
+                        out.append(None)  # template error → position fallback
+                return pd.Series(out)
 
-        key = render_key(F.to_json(F.struct("*")))
+            key = render_key(F.to_json(F.struct("*")))
         by_key = make_shard_key_udf(count)(key)
         by_pos = make_shard_udf(count)(F.col("binlog_position"))
         # blsenderwork.go:135-141: template failure falls back to position,
@@ -213,3 +223,37 @@ def run_pipeline(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_supervised(
+    spark: SparkSession,
+    cfg: JobConfig,
+    available_now: bool = False,
+    max_restarts: int = 10,
+) -> None:
+    """restartSyncerOnError parity (blreaderwork.go:149-190): when the
+    streaming query dies and the flag is set, rebuild and restart it instead
+    of exiting.
+
+    The reference closes the failed syncer and re-opens it from the live
+    master position. The Spark twin restarts the query against the SAME
+    checkpoint: Structured Streaming's offset log already anchors the
+    restart at the first uncommitted batch, so transient failures (sink
+    down, network) resume exactly where the reference would — and because
+    the failed batch was never committed, at-least-once delivery is
+    preserved across the restart (C1 semantics). A poison batch that keeps
+    failing is bounded by max_restarts, then handled by the stopInError
+    policy like any other terminal error.
+    """
+    restarts = 0
+    while True:
+        query = run_pipeline(spark, cfg, available_now=available_now)
+        try:
+            query.awaitTermination()
+            return  # clean termination (availableNow drained, or stop())
+        except Exception:
+            if not cfg.server.restart_syncer_on_error or restarts >= max_restarts:
+                if cfg.server.stop_in_error:
+                    raise
+                return
+            restarts += 1

@@ -199,3 +199,201 @@ def test_binlog_datasource_replay(spark, tmp_path):
         for r in out.collect()
     )
     assert rows == sorted((f, p, op) for f, p, _, _, op, _ in EVENTS)
+
+
+def test_native_key_expr_matches_renderer(spark):
+    """The documented key-template shapes compile to pure column
+    expressions whose values match the general renderer row-for-row."""
+    from binwatch_spark.streaming.templates import (
+        compile_template,
+        item_from_row,
+        native_key_expr,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [
+        {
+            "event_type": EVENT_TYPE[op],
+            "binlog_file": f,
+            "binlog_position": p,
+            "database": db,
+            "table": tbl,
+            "operation": op,
+            "rows": rws,
+            "item_id": i + 1,
+        }
+        for i, (f, p, db, tbl, op, rws) in enumerate(EVENTS)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_type string, binlog_file string, binlog_position bigint,"
+        " database string, table string, operation string,"
+        " rows array<map<string,string>>, item_id bigint",
+    )
+    for template in (
+        "{{ (index .Data.Rows 0).id }}",
+        "{{ .Data.Database }}.{{ .Data.Table }}",
+        "{{ .Log.BinlogFile }}/{{ .Log.BinlogPosition }}",
+        "k-{{ .ItemID }}",
+    ):
+        col = native_key_expr(template)
+        assert col is not None, template
+        got = [r["k"] for r in df.select(col.alias("k")).orderBy("item_id").collect()]
+        render = compile_template(template)
+        want = [render(item_from_row(r, r["item_id"])) for r in rows]
+        assert got == want, template
+    # out-of-range row index → NULL (renderer raises → fallback; same branch)
+    col = native_key_expr("{{ (index .Data.Rows 5).id }}")
+    assert df.select(col.alias("k")).first()["k"] is None
+    # pipes and unknown fields need the general renderer
+    assert native_key_expr("{{ .Data.Rows | toJson }}") is None
+    assert native_key_expr("{{ .Data.Custom }}") is None
+    assert native_key_expr("constant-only") is None
+
+
+def test_key_template_shard_plan_has_no_render_udf(spark, tmp_path):
+    """Plan-shape: the documented key template must not put a to_json/
+    render stage in the plan — only the FNV shard UDF remains."""
+    from binwatch_spark.streaming.pipeline import _shard_filter
+
+    tmp = str(tmp_path)
+    write_replay(f"{tmp}/replay", EVENTS)
+    doc = make_cfg(
+        tmp,
+        sharding={
+            "enabled": True,
+            "count": 2,
+            "index": 0,
+            "keyTemplate": "{{ (index .Data.Rows 0).id }}",
+        },
+    )
+    cfg = parse(doc)
+    df = spark.createDataFrame(
+        [("mysql-bin.000001", 100, "testdb", "users", "INSERT",
+          [{"id": "1"}], 1)],
+        "binlog_file string, binlog_position bigint, database string,"
+        " table string, operation string, rows array<map<string,string>>,"
+        " item_id bigint",
+    )
+    plan = _shard_filter(df, cfg)._jdf.queryExecution().analyzed().toString()
+    assert "to_json" not in plan
+    assert "render_key" not in plan
+
+
+class _FlakyWebhook:
+    """Local HTTP sink that 500s the first `fail_n` requests, then 200s —
+    the webhook-down-then-recovers scenario behind restartSyncerOnError."""
+
+    def __init__(self, fail_n: int):
+        import threading
+        from http.server import BaseHTTPRequestHandler, HTTPServer
+
+        self.received: list[bytes] = []
+        self.fails_left = fail_n
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):
+                body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+                if outer.fails_left > 0:
+                    outer.fails_left -= 1
+                    status = 500
+                else:
+                    outer.received.append(body)
+                    status = 200
+                self.send_response(status)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+            def log_message(self, *args):
+                return
+
+        self.httpd = HTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self.httpd.server_address[1]
+        threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
+
+    def shutdown(self):
+        self.httpd.shutdown()
+
+
+def test_restart_syncer_on_error_recovers(spark, tmp_path):
+    """restartSyncerOnError parity (blreaderwork.go:149-190): a dying sink
+    fails the query; the supervisor restarts it from the checkpoint and the
+    un-committed batch is redelivered (at-least-once)."""
+    pytest.importorskip("requests")
+    from binwatch_spark.streaming.pipeline import run_supervised
+
+    tmp = str(tmp_path)
+    write_replay(f"{tmp}/replay", EVENTS)
+    sink = _FlakyWebhook(fail_n=1)
+    try:
+        doc = make_cfg(tmp)
+        doc["server"]["restartSyncerOnError"] = True
+        doc["server"]["stopInError"] = True
+        doc["connectors"] = [
+            {
+                "name": "sink-insert",
+                "type": "webhook",
+                "webhook": {"url": f"http://127.0.0.1:{sink.port}/hook"},
+            },
+            {"name": "sink-all", "type": "file", "path": f"{tmp}/out/all.jsonl"},
+        ]
+        cfg = parse(doc)
+        run_supervised(spark, cfg, available_now=True, max_restarts=3)
+        payloads = [json.loads(b) for b in sink.received]
+        # both INSERTs on testdb.users arrive despite the first 500
+        assert sum('"op":"INSERT"' in b.decode() for b in sink.received) == 2
+        assert len(payloads) == 2
+    finally:
+        sink.shutdown()
+
+
+def test_restart_disabled_propagates(spark, tmp_path):
+    from binwatch_spark.streaming.pipeline import run_supervised
+
+    pytest.importorskip("requests")
+    tmp = str(tmp_path)
+    write_replay(f"{tmp}/replay", EVENTS)
+    sink = _FlakyWebhook(fail_n=10**9)  # always failing
+    try:
+        doc = make_cfg(tmp)
+        doc["server"]["restartSyncerOnError"] = False
+        doc["server"]["stopInError"] = True
+        doc["connectors"][0] = {
+            "name": "sink-insert",
+            "type": "webhook",
+            "webhook": {"url": f"http://127.0.0.1:{sink.port}/hook"},
+        }
+        cfg = parse(doc)
+        with pytest.raises(Exception):
+            run_supervised(spark, cfg, available_now=True)
+    finally:
+        sink.shutdown()
+
+
+def test_cli_sync_end_to_end(tmp_path, monkeypatch):
+    """cmd/main.go:26-34 parity: the sync subcommand drives config → spark
+    → pipeline → exit code, against a replay dir and file connectors."""
+    import yaml as _yaml
+
+    from binwatch_spark.__main__ import main
+
+    tmp = str(tmp_path)
+    write_replay(f"{tmp}/replay", EVENTS)
+    doc = make_cfg(tmp)
+    cfg_path = f"{tmp}/config.yaml"
+    with open(cfg_path, "w", encoding="utf-8") as fh:
+        _yaml.safe_dump(doc, fh)
+    rc = main(["sync", "--config", cfg_path, "--available-now", "--no-serve-api"])
+    assert rc == 0
+    inserts = read_lines(f"{tmp}/out/inserts.jsonl")
+    assert len(inserts) == 2
+
+
+def test_cli_bad_config_exit_code(tmp_path):
+    from binwatch_spark.__main__ import main
+
+    cfg_path = str(tmp_path / "bad.yaml")
+    with open(cfg_path, "w", encoding="utf-8") as fh:
+        fh.write("server:\n  id: ''\n")
+    assert main(["sync", "--config", cfg_path, "--no-serve-api"]) == 1

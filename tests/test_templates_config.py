@@ -93,3 +93,57 @@ def test_template_log_fields():
 def test_template_unsupported_raises():
     with pytest.raises(ValueError, match="unsupported"):
         compile_template("{{ uuidv4 }}")
+
+
+def test_template_sprig_string_functions():
+    # sprig common core (tmpl.go:29-36 registers the sprig library)
+    assert compile_template("{{ .Data.Table | upper }}")(ITEM) == "USERS"
+    assert compile_template('{{ "AdA" | lower }}')(ITEM) == "ada"
+    assert compile_template('{{ "  x  " | trim }}')(ITEM) == "x"
+    assert compile_template("{{ .Data.Table | quote }}")(ITEM) == '"users"'
+    assert compile_template("{{ .Data.Table | squote }}")(ITEM) == "'users'"
+    assert compile_template("{{ .Data.Table | b64enc }}")(ITEM) == "dXNlcnM="
+    assert compile_template('{{ "dXNlcnM=" | b64dec }}')(ITEM) == "users"
+
+
+def test_template_default_and_coalesce():
+    # sprig default: empty → default, non-empty → value
+    assert compile_template('{{ .Data.Operation | default "NONE" }}')(ITEM) == "INSERT"
+    item = dict(ITEM)
+    item["Data"] = dict(ITEM["Data"], Operation="")
+    assert compile_template('{{ .Data.Operation | default "NONE" }}')(item) == "NONE"
+    assert compile_template('{{ coalesce "" .Data.Table "z" }}')(ITEM) == "users"
+
+
+def test_template_printf():
+    out = compile_template(
+        '{{ printf "%s/%d" .Log.BinlogFile .Log.BinlogPosition }}'
+    )(ITEM)
+    assert out == "mysql-bin.000001/4"
+    # piped value appends as the LAST printf argument (Go pipe semantics)
+    assert compile_template('{{ .Data.Table | printf "t=%s" }}')(ITEM) == "t=users"
+
+
+def test_template_yaml_json_round_trip():
+    out = compile_template("{{ .Data.Rows | toYaml }}")(ITEM)
+    assert "id: '7'" in out and not out.endswith("\n")  # helm strips trailing \n
+    assert (
+        compile_template('{{ fromJson "{\\"a\\": 5}" | toJson }}')(ITEM) == '{"a":5}'
+    )
+    assert compile_template('{{ fromYaml "a: 5" | toJson }}')(ITEM) == '{"a":5}'
+    assert compile_template('{{ fromJsonArray "[1,2]" | toJson }}')(ITEM) == "[1,2]"
+
+
+def test_template_env(monkeypatch):
+    # tmpl.go keeps env enabled (only expandenv is removed)
+    monkeypatch.setenv("BW_TPL_X", "hello")
+    assert compile_template('{{ env "BW_TPL_X" }}')(ITEM) == "hello"
+    monkeypatch.delenv("BW_TPL_X")
+    assert compile_template('{{ env "BW_TPL_X" }}')(ITEM) == ""
+
+
+def test_template_unknown_function_still_fails_at_compile():
+    with pytest.raises(ValueError, match="unsupported"):
+        compile_template("{{ .Data.Table | sha256sum }}")
+    with pytest.raises(ValueError, match="unsupported"):
+        compile_template('{{ randAlpha 5 }}')
