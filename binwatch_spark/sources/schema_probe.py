@@ -1,0 +1,97 @@
+"""S3 — per-table schema discovery and positional row binding.
+
+The reference probes each watched table with ``SELECT * FROM db.tbl LIMIT 0``
+at startup and keeps ``map["db.tbl"] -> []columnName`` (utils.go:101-129);
+binlog row events carry POSITIONAL values, and this map is what turns them
+into named rows. The Spark twin:
+
+- ``discover_table_columns``: the same LIMIT-0 probe through the Spark JDBC
+  source (``spark.read.format("jdbc")`` with a zero-row pushdown query —
+  only the ResultSet metadata crosses the wire, exactly like the
+  reference's ``rows.Columns()``). Needs a MySQL JDBC driver on the Spark
+  classpath; the probe is injectable so the binding logic is testable
+  without a live server.
+- ``bind_positional_rows``: turns the envelope's positional row maps
+  (keys "0".."n-1", the shape a raw binlog RowsEvent produces) into
+  column-named maps using the discovered column lists — pure column
+  expressions (transform + map_from_arrays under a per-table CASE), no
+  Python in the plan, valid for batch and streaming DataFrames alike.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binwatch_spark.config import SourceConfig
+
+
+def jdbc_url(src: SourceConfig) -> str:
+    """JDBC URL for the watched server (no database path — the probe
+    queries fully qualified ``db.tbl`` names, utils.go:102 parity)."""
+    return f"jdbc:mysql://{src.host}:{src.port}/"
+
+
+def _jdbc_probe(spark: SparkSession, src: SourceConfig, db: str, table: str):
+    """Default prober: LIMIT-0 pushdown query; returns the table schema."""
+    return (
+        spark.read.format("jdbc")
+        .option("url", jdbc_url(src))
+        .option("query", f"SELECT * FROM `{db}`.`{table}` WHERE 1=0")
+        .option("user", src.user)
+        .option("password", src.password)
+        .load()
+        .schema
+    )
+
+
+def discover_table_columns(
+    spark: SparkSession,
+    src: SourceConfig,
+    probe: Callable | None = None,
+) -> dict[str, list[str]]:
+    """``GetTableColumns`` parity (utils.go:101-129): probe every table in
+    the allowlist and return ``{"db.tbl": [col, ...]}`` in server column
+    order. ``probe(spark, src, db, table) -> StructType`` is injectable for
+    tests and non-MySQL sources."""
+    probe = probe or _jdbc_probe
+    out: dict[str, list[str]] = {}
+    for db, tables in src.db_tables.items():
+        for table in tables:
+            schema = probe(spark, src, db, table)
+            out[f"{db}.{table}"] = [f.name for f in schema.fields]
+    return out
+
+
+def _named_row(row: Column, cols: list[str]) -> Column:
+    """Positional map {"0": v0, ...} → named map {col0: v0, ...}."""
+    return F.map_from_arrays(
+        F.array(*[F.lit(c) for c in cols]),
+        F.array(*[F.try_element_at(row, F.lit(str(i))) for i in range(len(cols))]),
+    )
+
+
+def bind_positional_rows(
+    df: DataFrame, columns_by_table: dict[str, list[str]]
+) -> DataFrame:
+    """P1 binding over the discovered schemas: rewrite ``rows`` so each
+    positional map gains its column names, per (database, table). Tables
+    absent from the map pass through unchanged (they may already be named —
+    the replay client and the python-mysql-replication live client both
+    emit named maps; only raw positional captures need binding)."""
+    if not columns_by_table:
+        return df
+    def binder(cols: list[str]):
+        # single-arg lambda on purpose: F.transform passes (element, index)
+        # to two-arg callables, which would clobber a default argument
+        return lambda r: _named_row(r, cols)
+
+    expr: Column | None = None
+    for key, cols in columns_by_table.items():
+        db, table = key.split(".", 1)
+        bound = F.transform(F.col("rows"), binder(cols))
+        cond = (F.col("database") == db) & (F.col("table") == table)
+        expr = F.when(cond, bound) if expr is None else expr.when(cond, bound)
+    return df.withColumn("rows", expr.otherwise(F.col("rows")))

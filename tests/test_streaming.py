@@ -397,3 +397,48 @@ def test_cli_bad_config_exit_code(tmp_path):
     with open(cfg_path, "w", encoding="utf-8") as fh:
         fh.write("server:\n  id: ''\n")
     assert main(["sync", "--config", cfg_path, "--no-serve-api"]) == 1
+
+
+def test_schema_probe_and_positional_binding(spark):
+    """S3 parity (utils.go:101-129): discovery returns the per-table column
+    list in server order; binding turns positional row maps into named maps
+    with pure column expressions."""
+    from pyspark.sql.types import StructType, StructField, StringType
+
+    from binwatch_spark.config import SourceConfig
+    from binwatch_spark.sources.schema_probe import (
+        bind_positional_rows,
+        discover_table_columns,
+        jdbc_url,
+    )
+
+    src = SourceConfig(db_tables={"testdb": ["users", "tags"]})
+    fake_schemas = {
+        ("testdb", "users"): ["id", "name"],
+        ("testdb", "tags"): ["tag"],
+    }
+
+    def probe(spark_, src_, db, table):
+        return StructType(
+            [StructField(c, StringType()) for c in fake_schemas[(db, table)]]
+        )
+
+    cols = discover_table_columns(spark, src, probe=probe)
+    assert cols == {"testdb.users": ["id", "name"], "testdb.tags": ["tag"]}
+    assert jdbc_url(src) == "jdbc:mysql://127.0.0.1:3306/"
+
+    df = spark.createDataFrame(
+        [
+            ("testdb", "users", [{"0": "1", "1": "ada"}]),
+            ("testdb", "tags", [{"0": "x"}]),
+            ("testdb", "other", [{"0": "keep"}]),  # unbound → unchanged
+        ],
+        "database string, table string, rows array<map<string,string>>",
+    )
+    out = {
+        (r["database"], r["table"]): r["rows"]
+        for r in bind_positional_rows(df, cols).collect()
+    }
+    assert out[("testdb", "users")] == [{"id": "1", "name": "ada"}]
+    assert out[("testdb", "tags")] == [{"tag": "x"}]
+    assert out[("testdb", "other")] == [{"0": "keep"}]
