@@ -65,11 +65,10 @@ def _with_token_sets(df: DataFrame, text_col: str, tokenizer=distinct_tokens) ->
     return df.withColumn("_toks", tokenizer(F.col(text_col)))
 
 
-def _small_vocab(
-    df: DataFrame, text_col: str, tokenizer=distinct_tokens
-) -> list[str] | None:
+def _small_vocab_from_toks(toks_df: DataFrame) -> list[str] | None:
     """Global token dictionary IF it fits the int64 bitmask path (≤63 words),
-    else None.
+    else None; ``toks_df`` carries a pre-tokenized ``_toks`` column (pass a
+    persisted frame so the tokenizer kernel runs once across gate + verify).
 
     The *decision* must not itself be a scale-killer: at web scale the
     distinct-token set is billions of strings, so an unconditional
@@ -78,7 +77,7 @@ def _small_vocab(
     driver) gates the exact collect; only when the approximate count is
     already near the 63-word bound do we pay the (then tiny, LIMIT-bounded)
     distinct sort-collect."""
-    toks = df.select(F.explode(tokenizer(F.col(text_col))).alias("t"))
+    toks = toks_df.select(F.explode("_toks").alias("t"))
     approx = toks.agg(F.approx_count_distinct("t").alias("n")).first()[0]
     if approx > 80:  # approx err is ~2-5%; 80 is safely above the 63 bound
         return None
@@ -123,14 +122,20 @@ def jaccard_pairs(
     blocking key comes from LSH (see minhash_lsh_pairs) instead of metadata.
     Output: (i, j, jac) with i < j.
     """
-    vocab = _small_vocab(df, text_col)
+    # Tokenize ONCE into a persisted frame: the vocabulary gate and both
+    # join sides read it, and re-running the Arrow kernel per consumer costs
+    # a full corpus pass each time.
+    toks_df = _with_token_sets(df, text_col).select(
+        F.col(id_col), F.col(block_col).alias("_blk"), "_toks"
+    ).persist()
+    vocab = _small_vocab_from_toks(toks_df)
     if vocab is not None:
         # Dictionary-encoded bitmask path: token sets become one int64 per
         # doc, so the pair stage shuffles 16 bytes/row and verifies with
         # popcount in codegen instead of interpreted array intersection.
-        sets = _with_token_sets(df, text_col).select(
+        sets = toks_df.select(
             F.col(id_col),
-            F.col(block_col).alias("_blk"),
+            "_blk",
             _mask_expr(F.col("_toks"), vocab).alias("_mask"),
         )
         a = sets.select(
@@ -144,11 +149,11 @@ def jaccard_pairs(
         return pairs.select("i", "j", jac.alias("jac")).filter(
             F.col("jac") >= threshold
         )
-    left = _with_token_sets(df, text_col).select(
-        F.col(id_col).alias("i"), F.col(block_col).alias("_blk"), F.col("_toks").alias("_ti")
+    left = toks_df.select(
+        F.col(id_col).alias("i"), "_blk", F.col("_toks").alias("_ti")
     )
-    right = _with_token_sets(df, text_col).select(
-        F.col(id_col).alias("j"), F.col(block_col).alias("_blk"), F.col("_toks").alias("_tj")
+    right = toks_df.select(
+        F.col(id_col).alias("j"), "_blk", F.col("_toks").alias("_tj")
     )
     pairs = left.join(right, on="_blk").filter(F.col("i") < F.col("j"))
     inter = F.size(F.array_intersect(F.col("_ti"), F.col("_tj")))
@@ -349,20 +354,24 @@ def minhash_lsh_pairs(
             )
 
     # Join-form verify: token sets/masks are built in ONE linear map-side
-    # Arrow pass over the corpus (no driver materialization anywhere) and
+    # Arrow pass over the corpus (persisted — the vocabulary gate and both
+    # pair joins all read it; no driver materialization anywhere) and
     # joined onto the pair stream — the spill-safe path that survives
     # candidate-docs ≈ corpus. Shingle tokenizers land in the array branch
     # (for verify="vectorized" overflow we skip the vocabulary probe
-    # entirely; otherwise _small_vocab's approx gate rejects large
-    # vocabularies in one map-side pass).
-    vocab = None if verify == "vectorized" else _small_vocab(df, text_col, tokenizer)
+    # entirely; otherwise _small_vocab_from_toks's approx gate rejects
+    # large vocabularies in one map-side pass).
+    toks_all = _with_token_sets(df, text_col, tokenizer).select(
+        F.col(id_col).alias("_id"), "_toks"
+    ).persist()
+    vocab = None if verify == "vectorized" else _small_vocab_from_toks(toks_all)
     if vocab is not None:
         # Verify with dictionary-encoded bitmasks (see jaccard_pairs): two
         # joins of an int64 per doc + codegen popcount. No broadcast hint:
         # at 100 TB the mask table scales with the corpus — AQE broadcasts
         # it at runtime when it is actually small.
-        masks = _with_token_sets(df, text_col, tokenizer).select(
-            F.col(id_col).alias("_id"),
+        masks = toks_all.select(
+            "_id",
             _mask_expr(F.col("_toks"), vocab).alias("_mask"),
         ).persist()
         joined = (
@@ -381,13 +390,10 @@ def minhash_lsh_pairs(
         return joined.select("i", "j", jac.alias("jac")).filter(
             F.col("jac") >= threshold
         )
-    toks = _with_token_sets(df, text_col, tokenizer).select(
-        F.col(id_col).alias("_id"), F.col("_toks")
-    ).persist()
     joined = (
-        cands.join(toks.withColumnRenamed("_toks", "_ti"), cands.i == F.col("_id"))
+        cands.join(toks_all.withColumnRenamed("_toks", "_ti"), cands.i == F.col("_id"))
         .drop("_id")
-        .join(toks.withColumnRenamed("_toks", "_tj"), cands.j == F.col("_id"))
+        .join(toks_all.withColumnRenamed("_toks", "_tj"), cands.j == F.col("_id"))
         .drop("_id")
     )
     inter = F.size(F.array_intersect(F.col("_ti"), F.col("_tj")))
