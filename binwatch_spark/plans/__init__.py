@@ -5,6 +5,7 @@ Importing this package registers every query. Use :func:`all_queries` /
 """
 
 from binwatch_spark.plans import (  # noqa: F401
+    analytics,
     cdc_queries,
     dedup_queries,
     northstar,

@@ -1,0 +1,182 @@
+"""Analytics query extensions (q50+): SQL-surface and event-analytics
+operators beyond the original §2.4 inventory — grouping sets, ordered
+string aggregation, JSON extraction, correlated EXISTS subqueries, running
+window totals, and funnel (sequence) analysis.
+
+Scale posture notes are per query; the shared determinism rules
+(decimal accumulation, total-order tiebreaks, identical aliases both
+sides) come from plans/registry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from binwatch_spark.plans.registry import register
+from binwatch_spark.plans.relational import _dsum_sql, dsum
+from binwatch_spark.tables import load
+
+
+@register(
+    "q50_grouping_sets",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus,"
+        f" {_dsum_sql('l_quantity')} AS sum_qty, count(*) AS cnt"
+        " FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"
+    ),
+)
+def q50_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with disjoint (non-hierarchical) sets — the grouping
+    shape rollup/cube (q14/q48) can't express. Spark's Expand feeds each
+    row to both sets; partial aggregation still combines map-side, so the
+    shuffle carries 2×groups, not 2×rows."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_q50_lineitem")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus,"
+        " CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,"
+        " count(*) AS cnt"
+        " FROM _q50_lineitem"
+        " GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"
+    )
+
+
+@register(
+    "q51_listagg",
+    oracle=(
+        "SELECT o_orderstatus,"
+        " string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)"
+        " AS priorities, count(*) AS cnt"
+        " FROM orders GROUP BY o_orderstatus"
+    ),
+)
+def q51_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): collect_set +
+    array_sort + concat_ws gives a deterministic csv independent of
+    partial-aggregation order — the only safe way to hash-match a
+    concatenation across engines. collect_set keeps the shuffle at
+    distinct-values size, not row count."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.concat_ws(
+            ",", F.array_sort(F.collect_set("o_orderpriority"))
+        ).alias("priorities"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "q52_json_extract",
+    oracle=(
+        "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,"
+        f" count(*) AS cnt, {_dsum_sql('value')} AS sum_value"
+        " FROM events GROUP BY 1"
+    ),
+)
+def q52_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: get_json_object pulls the numeric props
+    field JVM-side (codegen, no UDF) and aggregates by a derived key. At
+    scale the JSON parse is per-row map work that pushes down past nothing
+    — if the field is hot, materialize it as a real column at ingest."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select((k % 10).alias("k_mod"), "value")
+        .groupBy("k_mod")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum(F.col("value")).alias("sum_value"))
+    )
+
+
+_Q53_SQL = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+@register("q53_exists_subquery", oracle=_Q53_SQL)
+def q53_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL surface: Catalyst
+    rewrites them to left-semi and left-anti hash joins on o_custkey (one
+    shuffle each, no per-row subquery execution) — the same plan the
+    DataFrame spelling in q41 produces."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q53_SQL)
+
+
+@register(
+    "q54_running_total",
+    oracle=(
+        "SELECT o_custkey, o_orderkey,"
+        " CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER ("
+        "   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
+        " AS run_total"
+        " FROM orders"
+    ),
+)
+def q54_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running order total — a rows-frame window with a
+    total-order tiebreak (o_orderkey) so every prefix is well-defined, and
+    decimal accumulation so each prefix sum is exact (a double running sum
+    would drift from the oracle wherever order differs in the low bits).
+    One shuffle on o_custkey; the frame is computed in a single sorted
+    pass per partition."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("run_total"),
+    )
+
+
+@register(
+    "q55_funnel",
+    oracle="""
+SELECT c.user_id, count(*) AS n_pairs, min(p.ts) AS first_conv_ts
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+GROUP BY c.user_id
+""",
+)
+def q55_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel (sequence) analysis: click→purchase conversions within one
+    hour per user. Filters push to both scans BEFORE the join, the join is
+    an equi-join on user_id with the time window as residual (quadratic
+    only within a user's own events), and the aggregate reuses the join's
+    user_id partitioning — no second shuffle. For heavy-hitter users at
+    100 TB, pre-bucket by (user_id, time-bin) as in q49."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("p_ts").alias("first_conv_ts"),
+    )
