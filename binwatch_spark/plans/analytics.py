@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from binwatch_spark.operators import dedup
+from binwatch_spark.plans.dedup_queries import _JAC, _TOKS, JACCARD_THRESHOLD
 from binwatch_spark.plans.registry import register
 from binwatch_spark.plans.relational import _dsum_sql, dsum
 from binwatch_spark.tables import load
@@ -180,3 +182,91 @@ def q55_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.min("p_ts").alias("first_conv_ts"),
     )
+
+
+@register(
+    "q56_bigram_topk",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+bi AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+       AS bigram FROM toks)
+SELECT bigram, count(*) AS cnt FROM bi GROUP BY bigram
+ORDER BY cnt DESC, bigram LIMIT 20
+""",
+)
+def q56_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top word bigrams across the corpus — the n-gram statistics pass of an
+    LM data pipeline. Bigrams are built with transform over the token array
+    (codegen, no UDF, no self-join), exploded, and counted with map-side
+    partial aggregation; top-k has a lexicographic tiebreak so the row set
+    is deterministic."""
+    docs = load(spark, sf_dir, "documents")
+    bi = (
+        docs.withColumn("_t", F.split(F.lower(F.col("text")), " "))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(_t, 1, greatest(size(_t) - 1, 0)),"
+                    " (x, i) -> concat(x, ' ', element_at(_t, i + 2)))"
+                )
+            ).alias("bigram")
+        )
+    )
+    return (
+        bi.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(20)
+    )
+
+
+@register(
+    "q57_length_histogram",
+    oracle=(
+        "SELECT CAST(len(string_split(lower(text), ' ')) // 10 AS BIGINT)"
+        " AS bucket, count(*) AS cnt"
+        " FROM documents GROUP BY 1"
+    ),
+)
+def q57_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (token count, bucket width 10) — the
+    length-filter diagnostic every training-data pipeline runs before
+    choosing truncation cutoffs. Pure column expressions; one map-side
+    partial aggregation on a handful of buckets."""
+    docs = load(spark, sf_dir, "documents")
+    ntoks = F.size(F.split(F.lower(F.col("text")), " "))
+    return (
+        docs.select(ntoks.alias("_n"))
+        .groupBy(F.floor(F.col("_n") / 10).cast("bigint").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+_Q58_SQL = f"""
+WITH RECURSIVE s AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+pairs AS (
+  SELECT i, j FROM (
+    SELECT x.doc_id AS i, y.doc_id AS j, {_JAC} AS jac
+    FROM s x JOIN s y ON x.source = y.source AND x.doc_id < y.doc_id)
+  WHERE jac >= {JACCARD_THRESHOLD}),
+edges AS (SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs),
+comp(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, c.label FROM comp c JOIN edges e ON e.u = c.node
+  WHERE c.label <= e.v)
+SELECT node AS doc_id, min(label) AS cluster_id FROM comp GROUP BY node
+"""
+
+
+@register("q58_dedup_clusters", oracle=_Q58_SQL)
+def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs collapsed into clusters (connected components, label =
+    min doc id) — the canonical-document selection step that completes the
+    dedup pipeline. Spark side: Pregel-style min-label propagation over the
+    pair graph (operators.dedup.connected_components — one shuffle per
+    round, rounds ~ graph diameter); oracle side: the same components via a
+    recursive CTE, so even the iterative operator is hash-checked."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "text", "doc_id", "source", JACCARD_THRESHOLD)
+    return dedup.connected_components(pairs.select("i", "j"))
