@@ -125,7 +125,7 @@ def jaccard_pairs(
     # Tokenize ONCE into a persisted frame: the vocabulary gate and both
     # join sides read it, and re-running the Arrow kernel per consumer costs
     # a full corpus pass each time.
-    toks_df = _with_token_sets(df, text_col).select(
+    toks_df = _with_token_sets(spread(df, id_col), text_col).select(
         F.col(id_col), F.col(block_col).alias("_blk"), "_toks"
     ).persist()
     vocab = _small_vocab_from_toks(toks_df)
@@ -347,6 +347,14 @@ def minhash_lsh_pairs(
                     dtype="float64",
                 )
 
+            # Nondeterministic marking is an OPTIMIZER FENCE, not a semantics
+            # claim: the downstream threshold filter otherwise pushes through
+            # the projection and the plan evaluates the UDF twice (one
+            # ArrowEvalPython feeding the Filter, another feeding the
+            # Project) — doubling the stage's python-worker demand, which is
+            # what forces mid-stage worker forks (see worker_daemon).
+            pair_jaccard = pair_jaccard.asNondeterministic()
+
             return (
                 cands.withColumn("jac", pair_jaccard(F.col("i"), F.col("j")))
                 .filter(F.col("jac") >= threshold)
@@ -361,9 +369,15 @@ def minhash_lsh_pairs(
     # (for verify="vectorized" overflow we skip the vocabulary probe
     # entirely; otherwise _small_vocab_from_toks's approx gate rejects
     # large vocabularies in one map-side pass).
-    toks_all = _with_token_sets(df, text_col, tokenizer).select(
+    # spread(): the fixture corpus scans as one splittable unit, so without
+    # a repartition the tokenize kernel and the vocabulary-gate aggregate
+    # run on a single core (observed 17 s single-task vs ~1 s spread).
+    toks_all = _with_token_sets(spread(df, id_col), text_col, tokenizer).select(
         F.col(id_col).alias("_id"), "_toks"
     ).persist()
+    # Eager fill: both pair joins scan this cache inside one query; a lazy
+    # fill lets the two scans race and re-run the tokenize kernel per side.
+    toks_all.count()
     vocab = None if verify == "vectorized" else _small_vocab_from_toks(toks_all)
     if vocab is not None:
         # Verify with dictionary-encoded bitmasks (see jaccard_pairs): two
@@ -425,9 +439,14 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance within a block.
     Output: (i, j, hamming) with i < j."""
+    # Persist the fingerprint frame: both join sides read it, and without a
+    # materialization point each side re-runs the SimHash Arrow kernel over
+    # the corpus — two python runners per task in one stage, which is
+    # exactly the worker-demand spike that triggers mid-stage forks.
     fps = spread(df, id_col).select(
         F.col(id_col), F.col(block_col).alias("_blk"), simhash(F.col(text_col)).alias("_fp")
-    )
+    ).persist()
+    fps.count()
     a = fps.select(
         F.col(id_col).alias("i"), F.col("_blk"), F.col("_fp").alias("_fi")
     )

@@ -28,6 +28,16 @@ def cpu_count() -> str:
 def get_spark(app_name: str = "binwatch-spark", master: str | None = None) -> SparkSession:
     """Build (or reuse) the tuned SparkSession. ``master`` overrides the
     default local[$SPARK_GRAFT_CPUS] (the CLI's --master flag)."""
+    # Make the repo importable by the python-worker daemon: the JVM launches
+    # `python -m binwatch_spark.worker_daemon` with the PYTHONPATH it
+    # inherited from this process, which doesn't include a sys.path-injected
+    # repo root. Prepend it BEFORE the JVM starts (no-op when installed).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.master(master or f"local[{cpu_count()}]")
         .appName(app_name)
@@ -50,5 +60,11 @@ def get_spark(app_name: str = "binwatch-spark", master: str | None = None) -> Sp
         # The events fixture stores ts as parquet TIMESTAMP(NANOS) which the
         # Spark reader rejects; read as raw nanos and convert in tables.load.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Fork python workers from a daemon that has numpy/pandas/pyarrow
+        # pre-imported (see worker_daemon docstring): a fresh worker then
+        # inherits the heavy modules copy-on-write instead of importing them
+        # under full CPU load — the dominant cost of every UDF stage whose
+        # worker demand exceeds the warm pool.
+        .config("spark.python.daemon.module", "binwatch_spark.worker_daemon")
     )
     return builder.getOrCreate()
