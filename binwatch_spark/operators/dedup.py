@@ -489,6 +489,41 @@ def shingle_minhash_lsh_pairs(
     )
 
 
+def levenshtein_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    max_dist: int,
+) -> DataFrame:
+    """Edit-distance near-dup pairs within a blocking key: (i, j, dist) with
+    i < j and dist <= max_dist.
+
+    Levenshtein is O(len²) per pair and CANNOT run all-pairs at any scale —
+    the operator contract requires explicit blocking columns (metadata, or
+    an upstream LSH bucket id) that bound the quadratic term. Inside a
+    block everything is JVM codegen (`levenshtein` is a built-in), so the
+    pair stage is one equi-join shuffle on the block key with no Python.
+    This is the precision rung of the dedup ladder: MinHash/SimHash find
+    candidates cheaply; edit distance scores borderline survivors."""
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_txt"),
+        *[F.col(c) for c in block_cols],
+    )
+    a = base.select(
+        F.col(id_col).alias("i"), F.col("_txt").alias("_ta"), *block_cols
+    )
+    b = base.select(
+        F.col(id_col).alias("j"), F.col("_txt").alias("_tb"), *block_cols
+    )
+    pairs = a.join(b, on=block_cols).filter(F.col("i") < F.col("j"))
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    return pairs.select(
+        "i", "j", dist.cast("bigint").alias("dist")
+    ).filter(F.col("dist") <= max_dist)
+
+
 def connected_components(
     pairs: DataFrame, max_iter: int = 25
 ) -> DataFrame:

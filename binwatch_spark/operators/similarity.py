@@ -258,3 +258,36 @@ def neardup_pairs(
     return routed.groupBy("_gp", "_gq").applyInPandas(
         block_pairs, schema="i bigint, j bigint, sim double"
     )
+
+
+def quantize_int8(df: DataFrame, emb_col: str, id_col: str) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column, exploded to
+    (id, dim, q, scale) rows.
+
+    The 100 TB storage/IO lever for similarity search: int8 vectors are 4×
+    smaller than float32 (16-32× smaller than the raw text), and ANN
+    candidate scoring over int8 dot products is SIMD-friendly downstream.
+    Per vector: scale = 127/max|x| (0 for an all-zero vector), q_i =
+    floor(x_i·scale + 0.5) — the explicit floor(+0.5) rounding is chosen
+    over round() because engines disagree on half-even vs half-up, while
+    floor is exact everywhere. All pure column expressions (codegen): one
+    scan, no shuffle, no UDF.
+    """
+    emb = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    maxabs = F.aggregate(
+        emb, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
+    return (
+        df.select(F.col(id_col), emb.alias("_emb"), scale.alias("_scale"))
+        .select(
+            F.col(id_col),
+            F.col("_scale").alias("scale"),
+            F.posexplode(
+                F.transform(
+                    F.col("_emb"),
+                    lambda x: F.floor(x * F.col("_scale") + F.lit(0.5)).cast("int"),
+                )
+            ).alias("dim", "q"),
+        )
+    )

@@ -89,6 +89,47 @@ def char_shingles(text: Column, k: int = 5) -> Column:
     )
 
 
+def filter_rules(text: Column) -> dict[str, Column]:
+    """C4/Gopher-style document-quality rules as pure column expressions.
+
+    Every metric is integer-derived (counts and integer-scaled comparisons)
+    so the pass/fail verdicts are bit-identical across engines — ratio
+    thresholds are expressed as cross-multiplications (``max_tok_cnt * 5 <=
+    n_words`` is "top-token ratio ≤ 0.2") to avoid float comparison edges.
+    One scan, no shuffle, whole-stage codegen; the max-repetition rule
+    needs the per-document token histogram and is computed by the CALLER
+    via explode+groupBy (see q64) because a per-row HOF histogram would be
+    O(tokens²).
+
+    Returns the per-row metric columns; the caller combines them with the
+    histogram side and applies the verdict."""
+    toks = tokens(text)
+    n_words = F.size(toks).cast("bigint")
+    n_chars = F.length(text).cast("bigint")
+    return {
+        "n_words": n_words,
+        # exact mean word length from two integers (identical division
+        # both engines)
+        "mean_wlen": (n_chars - (n_words - 1)) / n_words,
+        "stop_cnt": stopword_hits(toks, "en").cast("bigint"),
+    }
+
+
+# Digit-run scrubbing pattern shared with the oracle (plain character
+# class — Java regex and RE2 agree).
+PII_DIGIT_RUN = "[0-9]+"
+
+
+def pii_scrub(col: Column) -> dict[str, Column]:
+    """Redact digit runs (account numbers, phone fragments) from a string
+    column: the basic PII pass of a training-data pipeline. Returns the
+    scrubbed text and the count of redacted digit characters — both pure
+    regexp expressions (codegen, no UDF, exact across engines)."""
+    scrubbed = F.regexp_replace(col, PII_DIGIT_RUN, "#")
+    n_digits = F.length(col) - F.length(F.regexp_replace(col, "[0-9]", ""))
+    return {"scrubbed": scrubbed, "n_digits": n_digits.cast("bigint")}
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Whole-document rolling hash (polynomial over char codes)."""
     return polyhash(text)

@@ -12,6 +12,7 @@ from binwatch_spark.plans import (  # noqa: F401
     pipeline_queries,
     relational,
     similarity_queries,
+    sqlsurface,
     text_queries,
 )
 from binwatch_spark.plans.registry import REGISTRY, all_oracles, all_queries

@@ -219,3 +219,33 @@ def q34_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries 32-byte digests, not documents."""
     docs = load(spark, sf_dir, "documents")
     return dedup.hash_dedup(docs, "text", "doc_id")
+
+
+LEV_MAX_DIST = 150
+
+
+@register(
+    "q63_levenshtein_dedup",
+    oracle=f"""
+SELECT i, j, dist FROM (
+  SELECT a.doc_id AS i, b.doc_id AS j,
+         CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+  FROM documents a JOIN documents b
+    ON a.lang = b.lang AND a.source = b.source
+   AND a.n_chars // 20 = b.n_chars // 20 AND a.doc_id < b.doc_id)
+WHERE dist <= {LEV_MAX_DIST}
+""",
+)
+def q63_levenshtein_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup scoring within (lang, source, length-bucket)
+    blocks — the precision rung above MinHash/SimHash. Levenshtein is
+    O(len²) per pair, so the operator REQUIRES blocking; here metadata
+    blocks bound the pairs (77 at sf0.01, 6.3k at sf0.1), and at 100 TB
+    the block key is an upstream LSH bucket instead. All-JVM (built-in
+    levenshtein, no Python), one equi-join shuffle."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_lbkt", F.floor(F.col("n_chars") / 20)
+    )
+    return dedup.levenshtein_pairs(
+        docs, "text", "doc_id", ["lang", "source", "_lbkt"], LEV_MAX_DIST
+    )

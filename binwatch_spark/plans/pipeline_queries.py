@@ -63,3 +63,39 @@ def q36_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(polyhash(F.col("text")) % 100 < SAMPLE_PCT).select(
         "doc_id", "lang", "source"
     )
+
+
+# Per-language keep rates (percent) for mixture construction: upsample the
+# scarce languages, downsample the dominant one. Shared with the oracle.
+STRATA_PCT = {"en": 5, "zh": 80, "es": 50, "de": 25}
+STRATA_DEFAULT_PCT = 10
+
+
+def _strata_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {pct}" for lang, pct in sorted(STRATA_PCT.items())
+    )
+    return f"CASE lang {whens} ELSE {STRATA_DEFAULT_PCT} END"
+
+
+@register(
+    "q66_stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {polyhash_sql("text")} % 100 < {_strata_case_sql()}
+""",
+)
+def q66_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling for training-mixture construction:
+    per-language keep rates applied through the same content-hash predicate
+    as q36, so every stage of a 100 TB pipeline reproduces the exact same
+    subset per stratum — map-side filter, no shuffle, no RNG state."""
+    docs = load(spark, sf_dir, "documents")
+    rate = None
+    for lang, pct in sorted(STRATA_PCT.items()):
+        cond = F.col("lang") == lang
+        rate = F.when(cond, pct) if rate is None else rate.when(cond, pct)
+    rate = rate.otherwise(F.lit(STRATA_DEFAULT_PCT))
+    return docs.filter(polyhash(F.col("text")) % 100 < rate).select(
+        "doc_id", "lang", "source"
+    )

@@ -225,3 +225,32 @@ def q33_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = lsh_knn(queries, cands, 3)
     return res.select("query_id", "cand_id", "sim", F.col("rank").cast("int").alias("rank"))
+
+
+@register(
+    "q67_quantize_int8",
+    oracle="""
+SELECT vec_id, scale, CAST(idx - 1 AS INTEGER) AS dim,
+       CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INTEGER) AS q
+FROM (
+  SELECT vec_id,
+    CASE WHEN list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) > 0
+         THEN 127.0 / list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))
+         ELSE 0.0 END AS scale,
+    unnest(embedding) AS x,
+    generate_subscripts(embedding, 1) AS idx
+  FROM embeddings)
+""",
+)
+def q67_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (vec_id, scale, dim, q): the
+    4× storage/IO shrink for ANN at 100 TB. floor(x·scale + 0.5) rounding
+    sidesteps the engines' half-even/half-up disagreement; everything is
+    codegen column math over one scan (operators.similarity.quantize_int8),
+    exploded per-dimension for the value-exact oracle."""
+    from binwatch_spark.operators.similarity import quantize_int8
+
+    emb = load(spark, sf_dir, "embeddings")
+    return quantize_int8(emb, "embedding", "vec_id").select(
+        "vec_id", "scale", "dim", "q"
+    )

@@ -191,3 +191,90 @@ def q32_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = multimodal.with_binary_payload(docs, "text", "doc_id")
     decoded = multimodal.decode_features(payload)
     return decoded.select("doc_id", "byte_len", "content_sha256")
+
+
+_Q64_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+hist AS (
+  SELECT doc_id, max(c) AS max_tok_cnt FROM (
+    SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok)
+  GROUP BY doc_id),
+m AS (
+  SELECT doc_id,
+    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+    (CAST(length(text) AS BIGINT) - (len(string_split(lower(text), ' ')) - 1))
+      / CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS mean_wlen,
+    CAST(len(list_filter(string_split(lower(text), ' '),
+         t -> list_contains(['the','a','and','of','to','in','is','it'], t)))
+      AS BIGINT) AS stop_cnt
+  FROM documents)
+SELECT m.doc_id, m.n_words, m.mean_wlen, m.stop_cnt, h.max_tok_cnt,
+  (m.n_words BETWEEN 30 AND 2000
+   AND m.mean_wlen >= 2 AND m.mean_wlen <= 12
+   AND h.max_tok_cnt * 5 <= m.n_words
+   AND m.stop_cnt * 50 >= m.n_words) AS passes
+FROM m JOIN hist h ON m.doc_id = h.doc_id
+"""
+
+
+@register("q64_quality_filter", oracle=_Q64_SQL)
+def q64_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality filtering: word-count bounds, mean word
+    length, stopword floor, and a max-token-repetition cap. Per-row rules
+    are pure codegen expressions (operators.text.filter_rules); the
+    repetition rule needs the per-document token histogram — explode +
+    two-level groupBy, which at 100 TB is the same shape as TF-IDF's DF
+    pass (shuffle carries (doc, token) counts, combined map-side). All
+    verdict arithmetic is integer cross-multiplication: bit-exact across
+    engines."""
+    docs = load(spark, sf_dir, "documents")
+    rules = text.filter_rules(F.col("text"))
+    m = docs.select(
+        "doc_id",
+        rules["n_words"].alias("n_words"),
+        rules["mean_wlen"].alias("mean_wlen"),
+        rules["stop_cnt"].alias("stop_cnt"),
+    )
+    hist = (
+        docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_tok_cnt"))
+    )
+    j = m.join(hist, "doc_id")
+    passes = (
+        F.col("n_words").between(30, 2000)
+        & (F.col("mean_wlen") >= 2)
+        & (F.col("mean_wlen") <= 12)
+        & (F.col("max_tok_cnt") * 5 <= F.col("n_words"))
+        & (F.col("stop_cnt") * 50 >= F.col("n_words"))
+    )
+    return j.select(
+        "doc_id", "n_words", "mean_wlen", "stop_cnt", "max_tok_cnt",
+        passes.alias("passes"),
+    )
+
+
+@register(
+    "q65_pii_scrub",
+    oracle="""
+SELECT event_id,
+  regexp_replace(props, '[0-9]+', '#', 'g') AS scrubbed,
+  CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))
+       AS BIGINT) AS n_digits
+FROM events
+""",
+)
+def q65_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: redact digit runs from the event payload and
+    count redacted characters — pure regexp_replace codegen (no UDF), one
+    scan, no shuffle; the pattern is a plain character class so Java regex
+    and RE2 produce identical output. The training-pipeline shape for
+    masking account numbers / phone fragments before a corpus ships."""
+    ev = load(spark, sf_dir, "events")
+    s = text.pii_scrub(F.col("props"))
+    return ev.select(
+        "event_id", s["scrubbed"].alias("scrubbed"), s["n_digits"].alias("n_digits")
+    )
