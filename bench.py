@@ -53,17 +53,26 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    # The driver records the tail of stdout and parses the last JSON line;
+    # with ~70 queries a pretty-printed line overflows the tail window and
+    # truncates at the FRONT (BENCH_r02 arrived with parsed=null). Keep the
+    # line as short as possible (compact separators, 2-decimal per-query
+    # times) and ALSO write the full-precision result to BENCH_local.json so
+    # the artifact survives any capture truncation.
+    result = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+        "w",
+    ) as fh:
+        json.dump({**result, "queries": timings}, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(result, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -518,10 +518,16 @@ def levenshtein_pairs(
         F.col(id_col).alias("j"), F.col("_txt").alias("_tb"), *block_cols
     )
     pairs = a.join(b, on=block_cols).filter(F.col("i") < F.col("j"))
-    dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    # Bounded DP: the 3-arg built-in (Spark >= 3.5) runs a banded Levenshtein
+    # that early-exits once the distance provably exceeds max_dist, returning
+    # -1. On long near-miss pairs the full O(len_a * len_b) table is the
+    # dominant cost of the whole operator; the band cuts it to
+    # O(max_dist * len). -1 maps to "no pair" — identical output to computing
+    # the full distance and filtering, which is what the DuckDB oracle does.
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"), max_dist)
     return pairs.select(
         "i", "j", dist.cast("bigint").alias("dist")
-    ).filter(F.col("dist") <= max_dist)
+    ).filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
 
 
 def connected_components(

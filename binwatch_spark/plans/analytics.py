@@ -148,7 +148,7 @@ def q54_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q55_funnel",
+    "q21_funnel",
     oracle="""
 SELECT c.user_id, count(*) AS n_pairs, min(p.ts) AS first_conv_ts
 FROM events c JOIN events p
@@ -158,7 +158,7 @@ FROM events c JOIN events p
 GROUP BY c.user_id
 """,
 )
-def q55_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q21_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel (sequence) analysis: click→purchase conversions within one
     hour per user. Filters push to both scans BEFORE the join, the join is
     an equi-join on user_id with the time window as residual (quadratic
@@ -259,8 +259,8 @@ SELECT node AS doc_id, min(label) AS cluster_id FROM comp GROUP BY node
 """
 
 
-@register("q58_dedup_clusters", oracle=_Q58_SQL)
-def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q42_dedup_clusters", oracle=_Q58_SQL)
+def q42_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs collapsed into clusters (connected components, label =
     min doc id) — the canonical-document selection step that completes the
     dedup pipeline. Spark side: Pregel-style min-label propagation over the

@@ -225,7 +225,7 @@ LEV_MAX_DIST = 150
 
 
 @register(
-    "q63_levenshtein_dedup",
+    "q44_levenshtein_dedup",
     oracle=f"""
 SELECT i, j, dist FROM (
   SELECT a.doc_id AS i, b.doc_id AS j,
@@ -236,7 +236,7 @@ SELECT i, j, dist FROM (
 WHERE dist <= {LEV_MAX_DIST}
 """,
 )
-def q63_levenshtein_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q44_levenshtein_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup scoring within (lang, source, length-bucket)
     blocks — the precision rung above MinHash/SimHash. Levenshtein is
     O(len²) per pair, so the operator REQUIRES blocking; here metadata

@@ -244,8 +244,8 @@ def q17_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only_a)
 
 
-@register("q21_approx_distinct", oracle=None)
-def q21_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q55_approx_distinct", oracle=None)
+def q55_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct users per event type — the sketch
     path for 100 TB cardinality estimation (one pass, fixed memory). Sketch
     internals differ from DuckDB's → rows-only check; q22 is the exact twin
@@ -303,7 +303,7 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 @register(
-    "q42_pivot_events",
+    "q58_pivot_events",
     oracle=(
         "SELECT user_id % 10 AS user_bucket, "
         + ", ".join(
@@ -313,7 +313,7 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
         + " FROM events GROUP BY user_id % 10"
     ),
 )
-def q42_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q58_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long→wide): per user bucket, one count column per event type.
     Explicit pivot values keep the schema static (no extra distinct pass and
     a plan Catalyst compiles to a single aggregate with conditional counts)."""
@@ -365,7 +365,7 @@ def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q44_event_interarrival",
+    "q63_event_interarrival",
     oracle="""
 SELECT event_id, user_id, prev_event_id, gap_us FROM (
   SELECT event_id, user_id,
@@ -376,7 +376,7 @@ SELECT event_id, user_id, prev_event_id, gap_us FROM (
 WHERE prev_event_id IS NOT NULL
 """,
 )
-def q44_event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q63_event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event inter-arrival gaps via lag() — the sequence-analytics
     primitive under sessionization (q35). One shuffle on user_id; the window
     sort is per-partition. Total order (ts, event_id) makes lag deterministic
@@ -449,7 +449,7 @@ def q45_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q46_hopping_window",
+    "q59_hopping_window",
     oracle=(
         "SELECT win_start, win_start + INTERVAL 2 HOUR AS win_end, event_type,"
         " count(*) AS n_events FROM ("
@@ -458,7 +458,7 @@ def q45_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         " GROUP BY win_start, event_type"
     ),
 )
-def q46_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q59_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping (sliding) event-time windows: 2-hour windows every 1 hour, so
     each event lands in exactly two windows. F.window handles the expansion
     natively (epoch-aligned starts, same as the oracle's shifted
@@ -479,7 +479,7 @@ def q46_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q47_regex_extract",
+    "q61_regex_extract",
     oracle="""
 SELECT doc_id, CAST(idx - 1 AS INTEGER) AS pos, tok FROM (
   SELECT doc_id,
@@ -488,7 +488,7 @@ SELECT doc_id, CAST(idx - 1 AS INTEGER) AS pos, tok FROM (
   FROM documents)
 """,
 )
-def q47_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q61_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Information extraction: every ≥6-letter word per document with its
     match position — regexp_extract_all + posexplode, one scan, zero
     shuffles, all inside whole-stage codegen. (The corpus is lowercase
@@ -504,7 +504,7 @@ def q47_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q48_cube_agg",
+    "q67_cube_agg",
     oracle=(
         "SELECT l_returnflag, l_linestatus,"
         f" {_dsum_sql('l_extendedprice')} AS sum_price,"
@@ -512,7 +512,7 @@ def q47_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         " FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
     ),
 )
-def q48_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q67_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets (all four margin combinations) from re-aggregated
     finest-level partials (see q14) — the native cube() Expand feeds 4× the
     input rows into the aggregate; here the fact rows are aggregated once

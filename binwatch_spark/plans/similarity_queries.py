@@ -228,7 +228,7 @@ def q33_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q67_quantize_int8",
+    "q48_quantize_int8",
     oracle="""
 SELECT vec_id, scale, CAST(idx - 1 AS INTEGER) AS dim,
        CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INTEGER) AS q
@@ -242,7 +242,7 @@ FROM (
   FROM embeddings)
 """,
 )
-def q67_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q48_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization (vec_id, scale, dim, q): the
     4× storage/IO shrink for ANN at 100 TB. floor(x·scale + 0.5) rounding
     sidesteps the engines' half-even/half-up disagreement; everything is

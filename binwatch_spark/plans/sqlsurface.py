@@ -29,7 +29,7 @@ from binwatch_spark.tables import load
 
 
 @register(
-    "q59_window_frames",
+    "q46_window_frames",
     oracle="""
 SELECT o_custkey, o_orderkey,
   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
@@ -41,7 +41,7 @@ SELECT o_custkey, o_orderkey,
 FROM orders
 """,
 )
-def q59_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q46_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded ROWS frame (3-row moving sum per customer). One shuffle on
     o_custkey; the frame is evaluated streaming within each sorted
     partition — no per-row re-scan. Decimal accumulation keeps the moving
@@ -114,8 +114,8 @@ FROM ({_Q61_MOMENTS})
 """
 
 
-@register("q61_stats_moments", oracle=_Q61_SQL)
-def q61_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q47_stats_moments", oracle=_Q61_SQL)
+def q47_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean/variance/correlation from exact integer moments: l_quantity and
     l_linenumber are integer-valued, so Σx, Σx², Σxy accumulate exactly as
     DECIMAL(38,0) (one map-side partial per group; products stay < 2^63

@@ -39,11 +39,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # runtime-settable and idempotent.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS,false): read as nanos-long
-        # (session.py sets spark.sql.legacy.parquet.nanosAsLong) and convert
-        # to timestamp_ntz at microsecond precision — lossless for this data
-        # (no sub-µs components) and identical to DuckDB's NTZ reading.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # Fixture generations differ: events.ts has shipped both as parquet
+        # TIMESTAMP(NANOS,false) — which Spark only reads with nanosAsLong,
+        # as a nanos bigint — and as plain TIMESTAMP(MICROS,false), which
+        # reads natively as timestamp_ntz. Normalize the nanos-long form to
+        # timestamp_ntz at microsecond precision (lossless for this data,
+        # identical to DuckDB's reading); the micros form needs nothing.
         df = df.withColumn(
             "ts",
             F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
@@ -74,8 +76,19 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     operators call spread() on their input to buy full parallelism for the
     cost of shuffling the (small) input once. No-op when the input already
     has enough partitions — at cluster scale inputs arrive with hundreds of
-    splits and this never fires."""
+    splits and this never fires.
+
+    The "enough partitions" probe is ``df.inputFiles()`` (a FileIndex
+    listing, no job, no DataFrame->RDD plan conversion — ``df.rdd`` would
+    re-run plan preparation per call just to count partitions): a scan
+    backed by >= parallelism files already yields >= parallelism tasks, so
+    spread is a no-op. Frames with no file source (in-memory test frames)
+    conservatively repartition — correct, and the shuffle is what buys the
+    parallelism the caller asked for."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:  # exotic plans without a file index: just repartition
+        pass
     return df.repartition(target, *cols) if cols else df.repartition(target)
