@@ -20,6 +20,8 @@ subexpressions otherwise (see each function's docstring).
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -38,6 +40,13 @@ from binwatch_spark.tables import spread
 # A "tokenizer" below is any Column->Column producing array<string> dedup
 # units from the text column: distinct_tokens (order-insensitive) or
 # char_shingles (order-aware).
+
+# Eagerly fill persisted intermediates (signature/token caches) with a
+# count() before the consuming joins. ON by default: concurrent scans of a
+# lazily-filled cache race and re-run the Arrow kernel per side (observed
+# 43 s vs 11 s at sf0.1 for q23's signature table). Settable to "0" for
+# A/B profiling of the fill cost itself (tools/bench_subset.py).
+_EAGER = os.environ.get("SPARK_GRAFT_DEDUP_EAGER", "1") != "0"
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -251,7 +260,8 @@ def minhash_lsh_pairs(
                 for b in range(N_BANDS)
             ],
         ).persist()
-    keyed.count()
+    if _EAGER:
+        keyed.count()
     # Candidates: explode to (band_idx, band_key) and self-join on the band
     # key — the canonical LSH bucket join, ONE shuffle. Each exploded row
     # also carries its document's full key vector so a pair is emitted ONLY
@@ -377,7 +387,8 @@ def minhash_lsh_pairs(
     ).persist()
     # Eager fill: both pair joins scan this cache inside one query; a lazy
     # fill lets the two scans race and re-run the tokenize kernel per side.
-    toks_all.count()
+    if _EAGER:
+        toks_all.count()
     vocab = None if verify == "vectorized" else _small_vocab_from_toks(toks_all)
     if vocab is not None:
         # Verify with dictionary-encoded bitmasks (see jaccard_pairs): two

@@ -16,7 +16,9 @@ Scale posture: brute force is a broadcast nested-loop over candidate
 partitions — right for one-off queries; the LSH variant buckets candidates
 map-side (bucket = 8 sign bits), turning the cross join into an equi-join on
 bucket id — candidate count per query drops ~2^8 and the join shuffles only
-bucket-matched rows. At 100 TB add multi-probe (flip one bit) for recall.
+bucket-matched rows. Multi-probe (lsh_knn(multiprobe=True), q70) additionally
+probes every one-bit-flip bucket to recover neighbors split off by a single
+hyperplane — the recall lever at 100 TB.
 """
 
 from __future__ import annotations
@@ -122,10 +124,34 @@ def lsh_knn(
     cand_id: str = "cand_id",
     q_emb: str = "q_emb",
     c_emb: str = "c_emb",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: only candidates in the query's LSH bucket are
-    scored. Equi-join on bucket id instead of a cross join."""
+    scored. Equi-join on bucket id instead of a cross join.
+
+    multiprobe=True probes the query's own bucket PLUS every bucket at
+    hamming distance 1 (one flipped sign bit) — the classic multi-probe LSH
+    recall lever (Lv et al., VLDB'07). A near neighbor that lands just on
+    the other side of ONE hyperplane is recovered at the cost of probing
+    N_PLANES extra buckets, i.e. expected candidate work grows ~(N_PLANES+1)
+    / 2^N_PLANES of the corpus instead of 1/2^N_PLANES — still an equi-join,
+    never a cross join. Only the QUERY side is exploded (N_PLANES+1 probe
+    rows per query); the corpus keeps one bucket per row, so at 100 TB the
+    big side is untouched and the probe explosion rides the small broadcast
+    side. Deterministic (fixed seeded hyperplanes) → DuckDB-expressible as a
+    hamming<=1 bucket join, so the query stays fully oracle-checked."""
+    from binwatch_spark.functions.texthash import N_PLANES
+
     q = _prep(queries, q_emb, with_bucket=True)
+    if multiprobe:
+        probes = F.array(
+            F.col("_bucket"),
+            *[
+                F.col("_bucket").bitwiseXOR(F.lit(1 << b)).cast("bigint")
+                for b in range(N_PLANES)
+            ],
+        )
+        q = q.withColumn("_bucket", F.explode(probes))
     c = _prep(candidates, c_emb, with_bucket=True)
     pairs = c.join(F.broadcast(q), on="_bucket")
     sim = _pair_dot(F.col(q_emb), F.col(c_emb), EMBED_DIM) / (

@@ -227,6 +227,50 @@ def q33_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "cand_id", "sim", F.col("rank").cast("int").alias("rank"))
 
 
+def _multiprobe_ann_sql() -> str:
+    # Multi-probe(1) candidate set == all (q, c) bucket pairs within hamming
+    # distance 1 — own bucket (xor=0) plus one flipped bit (xor=power of 2).
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb,
+         {lsh_bucket_sql("embedding")} AS bucket
+  FROM embeddings WHERE vec_id < 20),
+c AS (
+  SELECT vec_id AS cand_id, embedding AS c_emb,
+         {lsh_bucket_sql("embedding")} AS bucket
+  FROM embeddings WHERE vec_id >= 20),
+p AS (
+  SELECT query_id, cand_id, {_COS} AS sim
+  FROM q JOIN c ON bit_count(xor(q.bucket, c.bucket)) <= 1)
+SELECT query_id, cand_id, sim, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT query_id, cand_id, sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
+  FROM p)
+WHERE rn <= 3
+"""
+
+
+@register("q70_ann_multiprobe", oracle=_multiprobe_ann_sql())
+def q70_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (q33 + one-bit-flip probes): each query scores
+    its own bucket and the 8 hamming-1 buckets, recovering near neighbors
+    that one hyperplane split away from the query. Probe explosion rides
+    the small broadcast query side; the corpus side still carries one
+    bucket per row and the join stays an equi-join. Recall vs the exact
+    q20 baseline is asserted >= single-probe in tests/test_similarity.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cands = emb.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    res = lsh_knn(queries, cands, 3, multiprobe=True)
+    return res.select(
+        "query_id", "cand_id", "sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
 @register(
     "q48_quantize_int8",
     oracle="""

@@ -11,9 +11,19 @@ templates work unchanged:
 - ``{{ (index .Data.Rows 0).col }}``  — row indexing (the key-template shape)
 - ``{{- ... }}`` / ``{{ ... -}}``     — whitespace trim markers
 - pipes and calls with arguments:     ``toJson`` ``fromJson``
-  ``fromJsonArray`` ``toYaml`` ``fromYaml`` ``fromYamlArray`` ``upper``
-  ``lower`` ``title`` ``trim`` ``quote`` ``squote`` ``default`` ``coalesce``
-  ``printf`` ``b64enc`` ``b64dec`` ``env`` ``index``
+  ``fromJsonArray`` ``toYaml`` ``fromYaml`` ``fromYamlArray`` ``toToml``
+  ``upper`` ``lower`` ``title`` ``trim`` ``quote`` ``squote`` ``default``
+  ``coalesce`` ``printf`` ``b64enc`` ``b64dec`` ``env`` ``index``
+  ``ternary`` ``dict`` ``get`` ``set`` ``unset`` ``hasKey`` ``list``
+  ``first`` ``rest`` ``last`` ``initial`` ``join`` ``regexReplaceAll``
+  ``regexMatch`` ``now`` ``date``
+- parenthesized sub-expressions as operands: ``get (dict "a" 1) "a"``,
+  ``(list 1 2 3) | first`` — a paren group may itself contain pipes and is
+  evaluated recursively, with trailing ``.field`` access on the result.
+
+``now`` reads an injectable module clock (`set_clock`) so tests and
+deterministic replays can pin time; ``date`` formats with Go reference
+layouts ("2006-01-02 15:04:05") translated to strftime.
 
 Anything else (the long tail of sprig) still fails fast at COMPILE time —
 rendering wrong beats rendering silently, and compile_routes runs at build
@@ -28,6 +38,7 @@ straight to a Spark column expression so the hot path has no Python at all
 from __future__ import annotations
 
 import base64
+import datetime as _dt
 import json
 import os
 import re
@@ -38,8 +49,8 @@ _FIELD_RE = re.compile(r"^\.(?:[A-Za-z_][A-Za-z0-9_]*)(?:\.[A-Za-z_][A-Za-z0-9_]
 _INDEX_RE = re.compile(
     r"^\(\s*index\s+(\.[A-Za-z_.0-9]*)\s+(\d+)\s*\)\.([A-Za-z_][A-Za-z0-9_]*)$"
 )
-_TOKEN_RE = re.compile(r'"(?:[^"\\]|\\.)*"|[^\s]+')
 _NUM_RE = re.compile(r"^-?\d+(\.\d+)?$")
+_PAREN_RE = re.compile(r"^\((.*)\)((?:\.[A-Za-z_][A-Za-z0-9_]*)*)$", re.S)
 
 
 def _to_json(value: Any) -> str:
@@ -143,6 +154,184 @@ def _index(collection: Any, *keys: Any) -> Any:
     return value
 
 
+def _ternary(true_val: Any, false_val: Any, cond: Any) -> Any:
+    # sprig: ternary "yes" "no" cond — condition LAST so the pipe form
+    # `cond | ternary "yes" "no"` works (pipes append the piped value last).
+    return true_val if cond else false_val
+
+
+def _dict(*kv: Any) -> dict:
+    if len(kv) % 2 != 0:
+        raise ValueError("dict: odd number of arguments")
+    return {str(kv[i]): kv[i + 1] for i in range(0, len(kv), 2)}
+
+
+def _get(d: Any, key: Any) -> Any:
+    # sprig get returns "" (not an error) when the key is absent.
+    return d.get(str(key), "") if isinstance(d, dict) else ""
+
+
+def _set(d: dict, key: Any, value: Any) -> dict:
+    d[str(key)] = value
+    return d
+
+
+def _unset(d: dict, key: Any) -> dict:
+    d.pop(str(key), None)
+    return d
+
+
+def _first(seq: Any) -> Any:
+    return seq[0] if seq else None
+
+
+def _rest(seq: Any) -> list:
+    return list(seq[1:]) if seq else []
+
+
+def _last(seq: Any) -> Any:
+    return seq[-1] if seq else None
+
+
+def _initial(seq: Any) -> list:
+    return list(seq[:-1]) if seq else []
+
+
+def _go_repl_to_py(repl: str, rx: re.Pattern) -> str:
+    """Go regexp replacement syntax ($1, ${name}, $$) → Python re.sub
+    (\\g<1>, \\g<name>). Go expands references to NONEXISTENT groups as the
+    empty string (`$1ERS` greedily names group "1ERS"); Python raises — so
+    resolve each reference against the compiled pattern here."""
+
+    def group_ref(name: str) -> str:
+        if name.isdigit():
+            return f"\\g<{int(name)}>" if int(name) <= rx.groups else ""
+        return f"\\g<{name}>" if name in rx.groupindex else ""
+
+    out: list[str] = []
+    i = 0
+    while i < len(repl):
+        c = repl[i]
+        if c == "$" and i + 1 < len(repl):
+            nxt = repl[i + 1]
+            if nxt == "$":
+                out.append("$")
+                i += 2
+                continue
+            if nxt == "{":
+                end = repl.find("}", i + 2)
+                if end > 0:
+                    out.append(group_ref(repl[i + 2 : end]))
+                    i = end + 1
+                    continue
+            j = i + 1
+            while j < len(repl) and (repl[j].isalnum() or repl[j] == "_"):
+                j += 1
+            if j > i + 1:
+                out.append(group_ref(repl[i + 1 : j]))
+                i = j
+                continue
+        if c == "\\":
+            out.append("\\\\")
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _regex_replace_all(pattern: str, s: Any, repl: str) -> str:
+    rx = re.compile(str(pattern))
+    return rx.sub(_go_repl_to_py(str(repl), rx), _go_str(s))
+
+
+# Injectable clock for `now` (VERDICT r03: deterministic tests / replays need
+# to pin time). Default is real local time, sprig parity.
+_now_fn = _dt.datetime.now
+
+
+def set_clock(fn) -> None:
+    """Replace the `now` source with a callable returning a datetime (pass
+    None to restore the real clock)."""
+    global _now_fn
+    _now_fn = fn if fn is not None else _dt.datetime.now
+
+
+# Go reference-layout tokens → strftime, longest-first so "January" wins
+# over "Jan" and "2006" over "06". Covers the layouts sprig docs use.
+_GO_LAYOUT_TOKENS = [
+    ("January", "%B"),
+    ("Monday", "%A"),
+    ("2006", "%Y"),
+    ("Jan", "%b"),
+    ("Mon", "%a"),
+    ("15", "%H"),
+    ("01", "%m"),
+    ("02", "%d"),
+    ("03", "%I"),
+    ("04", "%M"),
+    ("05", "%S"),
+    ("PM", "%p"),
+    ("-07:00", "%z"),
+    ("-0700", "%z"),
+    ("Z07:00", "%z"),
+    ("MST", "%Z"),
+    ("06", "%y"),
+]
+_GO_LAYOUT_RE = re.compile(
+    "|".join(re.escape(tok) for tok, _ in _GO_LAYOUT_TOKENS)
+)
+_GO_LAYOUT_MAP = dict(_GO_LAYOUT_TOKENS)
+
+
+def _date(fmt: str, t: Any) -> str:
+    """sprig date: format a time with a Go reference layout. Accepts a
+    datetime (from `now`) or epoch seconds."""
+    if isinstance(t, (int, float)) and not isinstance(t, bool):
+        t = _dt.datetime.fromtimestamp(t)
+    if not isinstance(t, _dt.datetime):
+        raise ValueError(f"date: cannot format {type(t).__name__}")
+    strf = _GO_LAYOUT_RE.sub(lambda m: _GO_LAYOUT_MAP[m.group(0)], str(fmt))
+    return t.strftime(strf)
+
+
+def _toml_value(v: Any) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return str(v)
+    if isinstance(v, _dt.datetime):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_toml_value(x) for x in v) + "]"
+    if v is None:
+        return '""'
+    # TOML basic strings share JSON's escape rules
+    return json.dumps(str(v), ensure_ascii=False)
+
+
+def _to_toml(v: Any) -> str:
+    """Minimal TOML serializer (scalars, arrays, one level of sub-tables) —
+    enough for the config/event shapes templates render; round-trips through
+    tomllib (tested)."""
+    if not isinstance(v, dict):
+        raise ValueError("toToml requires a map at the top level")
+    lines: list[str] = []
+    tables: list[tuple[str, dict]] = []
+    for k, val in v.items():
+        if isinstance(val, dict):
+            tables.append((str(k), val))
+        else:
+            lines.append(f"{json.dumps(str(k))} = {_toml_value(val)}")
+    for name, table in tables:
+        lines.append("")
+        lines.append(f"[{json.dumps(name)}]")
+        for k, val in table.items():
+            if isinstance(val, dict):
+                raise ValueError("toToml: nesting deeper than one table level")
+            lines.append(f"{json.dumps(str(k))} = {_toml_value(val)}")
+    return "\n".join(lines) + "\n"
+
+
 _FUNCS: dict[str, Any] = {
     # tmpl.go:38-47 extras
     "toJson": lambda v: _to_json(v),
@@ -166,6 +355,25 @@ _FUNCS: dict[str, Any] = {
     "b64dec": lambda s: base64.b64decode(str(s)).decode("utf-8"),
     "env": lambda name: os.environ.get(str(name), ""),
     "index": _index,
+    # sprig long tail (VERDICT r03 #3; reference registers all of sprig,
+    # tmpl.go:21-51)
+    "ternary": _ternary,
+    "dict": _dict,
+    "get": _get,
+    "set": _set,
+    "unset": _unset,
+    "hasKey": lambda d, k: isinstance(d, dict) and str(k) in d,
+    "list": lambda *vs: list(vs),
+    "first": _first,
+    "rest": _rest,
+    "last": _last,
+    "initial": _initial,
+    "join": lambda sep, seq: str(sep).join(_go_str(x) for x in seq),
+    "regexReplaceAll": _regex_replace_all,
+    "regexMatch": lambda pattern, s: re.search(str(pattern), _go_str(s)) is not None,
+    "now": lambda: _now_fn(),
+    "date": _date,
+    "toToml": _to_toml,
 }
 
 
@@ -205,6 +413,74 @@ def _split_pipes(expr: str) -> list[str]:
     return segments
 
 
+def _tokenize(segment: str) -> list[str]:
+    """Split a pipe segment into operand tokens: quoted strings, bare words,
+    and parenthesized sub-expressions (kept whole, including any trailing
+    ``.field`` accessors, e.g. ``(index .Data.Rows 0).id``)."""
+    tokens: list[str] = []
+    i = 0
+    n = len(segment)
+    while i < n:
+        c = segment[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c == '"':
+            j = i + 1
+            while j < n:
+                if segment[j] == "\\":
+                    j += 2
+                    continue
+                if segment[j] == '"':
+                    break
+                j += 1
+            if j >= n:
+                raise ValueError(f"unterminated string in template: {segment!r}")
+            tokens.append(segment[i : j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            depth = 0
+            quoted = False
+            j = i
+            while j < n:
+                ch = segment[j]
+                if quoted:
+                    if ch == "\\":
+                        j += 2
+                        continue
+                    if ch == '"':
+                        quoted = False
+                elif ch == '"':
+                    quoted = True
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth != 0:
+                raise ValueError(f"unbalanced parens in template: {segment!r}")
+            j += 1
+            while j < n and segment[j] == ".":  # trailing .field access
+                k = j + 1
+                while k < n and (segment[k].isalnum() or segment[k] == "_"):
+                    k += 1
+                if k == j + 1:
+                    break
+                j = k
+            tokens.append(segment[i:j])
+            i = j
+            continue
+        j = i
+        while j < n and not segment[j].isspace():
+            j += 1
+        tokens.append(segment[i:j])
+        i = j
+    return tokens
+
+
 def _operand_value(token: str, item: dict) -> Any:
     if token == ".":
         return item
@@ -218,6 +494,21 @@ def _operand_value(token: str, item: dict) -> Any:
         return token == "true"
     if token == "nil":
         return None
+    if token.startswith("("):
+        m = _PAREN_RE.match(token)
+        if not m:
+            raise ValueError(f"unsupported template operand: {token!r}")
+        value = _eval_pipeline(m.group(1), item)
+        for part in m.group(2).strip(".").split("."):
+            if not part:
+                continue
+            if isinstance(value, dict) and part in value:
+                value = value[part]
+            else:
+                raise KeyError(
+                    f"template field '.{part}' not found on sub-expression result"
+                )
+        return value
     raise ValueError(f"unsupported template operand: {token!r}")
 
 
@@ -231,7 +522,7 @@ def _eval_segment(segment: str, item: dict, piped: Any = _NOPIPE) -> Any:
             raise ValueError(f"cannot pipe into {segment!r}")
         seq = _lookup(item, m.group(1))
         return seq[int(m.group(2))][m.group(3)]
-    tokens = _TOKEN_RE.findall(segment)
+    tokens = _tokenize(segment)
     if not tokens:
         raise ValueError("empty template expression segment")
     head = tokens[0]
@@ -247,14 +538,36 @@ def _eval_segment(segment: str, item: dict, piped: Any = _NOPIPE) -> Any:
     return _operand_value(head, item)
 
 
-def _eval_expr(expr: str, item: dict) -> str:
+def _eval_pipeline(expr: str, item: dict) -> Any:
     segments = _split_pipes(expr)
     value: Any = _eval_segment(segments[0], item)
     for seg in segments[1:]:
         value = _eval_segment(seg, item, piped=value)
+    return value
+
+
+def _eval_expr(expr: str, item: dict) -> str:
+    value = _eval_pipeline(expr, item)
     if isinstance(value, (dict, list)):
         return _to_json(value)
     return _go_str(value)
+
+
+def _validate_operand(t: str) -> None:
+    if (
+        _FIELD_RE.match(t)
+        or t.startswith('"')
+        or _NUM_RE.match(t)
+        or t in (".", "true", "false", "nil")
+    ):
+        return
+    if t.startswith("("):
+        m = _PAREN_RE.match(t)
+        if not m:
+            raise ValueError(f"unsupported template operand: {t!r}")
+        _validate_expr(m.group(1))  # recurse into the sub-pipeline
+        return
+    raise ValueError(f"unsupported template operand: {t!r}")
 
 
 def _validate_expr(expr: str) -> None:
@@ -264,24 +577,16 @@ def _validate_expr(expr: str) -> None:
     for n, seg in enumerate(_split_pipes(expr)):
         if _INDEX_RE.match(seg):
             continue
-        tokens = _TOKEN_RE.findall(seg)
+        tokens = _tokenize(seg)
         if not tokens:
             raise ValueError(f"unsupported template expression: {{{{ {expr} }}}}")
         head = tokens[0]
         if head in _FUNCS:
             for t in tokens[1:]:
-                if not (
-                    _FIELD_RE.match(t)
-                    or t.startswith('"')
-                    or _NUM_RE.match(t)
-                    or t in (".", "true", "false", "nil")
-                ):
-                    raise ValueError(f"unsupported template operand: {t!r}")
+                _validate_operand(t)
             continue
-        if len(tokens) == 1 and (
-            _FIELD_RE.match(head) or head == "." or head.startswith('"')
-            or _NUM_RE.match(head) or head in ("true", "false", "nil")
-        ):
+        if len(tokens) == 1:
+            _validate_operand(head)
             if n > 0:
                 raise ValueError(f"cannot pipe into operand {head!r}")
             continue

@@ -147,3 +147,106 @@ def test_template_unknown_function_still_fails_at_compile():
         compile_template("{{ .Data.Table | sha256sum }}")
     with pytest.raises(ValueError, match="unsupported"):
         compile_template('{{ randAlpha 5 }}')
+
+
+def test_template_ternary():
+    # sprig ternary: condition LAST, so the pipe form works
+    assert compile_template('{{ ternary "y" "n" true }}')(ITEM) == "y"
+    assert compile_template('{{ ternary "y" "n" false }}')(ITEM) == "n"
+    assert compile_template('{{ true | ternary "y" "n" }}')(ITEM) == "y"
+
+
+def test_template_dict_get_set():
+    assert (
+        compile_template('{{ get (dict "a" 1 "b" 2) "b" }}')(ITEM) == "2"
+    )
+    # sprig get on a missing key yields "" (not an error)
+    assert compile_template('{{ get (dict "a" 1) "z" }}')(ITEM) == ""
+    assert (
+        compile_template('{{ set (dict "a" 1) "b" 9 | toJson }}')(ITEM)
+        == '{"a":1,"b":9}'
+    )
+    assert (
+        compile_template('{{ unset (dict "a" 1 "b" 2) "a" | toJson }}')(ITEM)
+        == '{"b":2}'
+    )
+    assert compile_template('{{ hasKey (dict "a" 1) "a" }}')(ITEM) == "true"
+    assert compile_template('{{ hasKey (dict "a" 1) "z" }}')(ITEM) == "false"
+
+
+def test_template_list_first_rest():
+    assert compile_template("{{ list 1 2 3 | toJson }}")(ITEM) == "[1,2,3]"
+    assert compile_template("{{ first (list 1 2 3) }}")(ITEM) == "1"
+    assert compile_template("{{ rest (list 1 2 3) | toJson }}")(ITEM) == "[2,3]"
+    assert compile_template("{{ last (list 1 2 3) }}")(ITEM) == "3"
+    assert compile_template("{{ initial (list 1 2 3) | toJson }}")(ITEM) == "[1,2]"
+    assert compile_template('{{ join "-" (list "a" "b") }}')(ITEM) == "a-b"
+    # pipes into first/rest (piped value appended last = only arg)
+    assert compile_template("{{ list 7 8 | first }}")(ITEM) == "7"
+
+
+def test_template_regex():
+    # Go replacement syntax: ${1} / $1 group references
+    assert (
+        compile_template('{{ regexReplaceAll "a(x*)b" "-ab-axxb-" "${1}W" }}')(ITEM)
+        == "-W-xxW-"
+    )
+    assert (
+        compile_template('{{ regexReplaceAll "u(.)ers" .Data.Table "U${1}ERS" }}')(
+            ITEM
+        )
+        == "UsERS"
+    )
+    # Go parity: $1ERS greedily names group "1ERS", which doesn't exist →
+    # expands EMPTY (Go regexp.ReplaceAllString semantics, not an error)
+    assert (
+        compile_template('{{ regexReplaceAll "u(.)ers" .Data.Table "U$1ERS" }}')(ITEM)
+        == "U"
+    )
+    assert compile_template('{{ regexMatch "^users$" .Data.Table }}')(ITEM) == "true"
+    assert compile_template('{{ regexMatch "^u$" .Data.Table }}')(ITEM) == "false"
+
+
+def test_template_now_date_injectable_clock():
+    import datetime
+
+    from binwatch_spark.streaming import templates as T
+
+    fixed = datetime.datetime(2024, 3, 5, 14, 7, 9)
+    T.set_clock(lambda: fixed)
+    try:
+        assert (
+            compile_template('{{ now | date "2006-01-02 15:04:05" }}')(ITEM)
+            == "2024-03-05 14:07:09"
+        )
+        assert compile_template('{{ now | date "Jan 02, 2006" }}')(ITEM) == (
+            "Mar 05, 2024"
+        )
+        # date also accepts epoch seconds
+        assert (
+            compile_template('{{ date "2006" 1700000000 }}')(ITEM)
+            == datetime.datetime.fromtimestamp(1700000000).strftime("%Y")
+        )
+    finally:
+        T.set_clock(None)
+
+
+def test_template_to_toml():
+    import tomllib
+
+    out = compile_template(
+        '{{ dict "name" .Data.Table "n" 3 "ok" true "tags" (list "a" "b") | toToml }}'
+    )(ITEM)
+    parsed = tomllib.loads(out)
+    assert parsed == {"name": "users", "n": 3, "ok": True, "tags": ["a", "b"]}
+    # one level of sub-tables
+    out2 = compile_template('{{ toToml (dict "outer" (dict "k" 1)) }}')(ITEM)
+    assert tomllib.loads(out2) == {"outer": {"k": 1}}
+
+
+def test_template_paren_subexpression_validation():
+    # unknown functions inside parens still fail at COMPILE time
+    with pytest.raises(ValueError, match="unsupported"):
+        compile_template('{{ first (randAlpha 5) }}')
+    with pytest.raises(ValueError, match="unbalanced|unsupported"):
+        compile_template('{{ first (list 1 2 }}')
