@@ -30,7 +30,7 @@ from binwatch_spark.tables import load
 )
 def q50_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS with disjoint (non-hierarchical) sets — the grouping
-    shape rollup/cube (q14/q48) can't express. Spark's Expand feeds each
+    shape rollup/cube (q14/q67) can't express. Spark's Expand feeds each
     row to both sets; partial aggregation still combines map-side, so the
     shuffle carries 2×groups, not 2×rows."""
     li = load(spark, sf_dir, "lineitem")
@@ -242,7 +242,7 @@ def q57_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q58_SQL = f"""
+_Q42_SQL = f"""
 WITH RECURSIVE s AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
 pairs AS (
   SELECT i, j FROM (
@@ -259,7 +259,7 @@ SELECT node AS doc_id, min(label) AS cluster_id FROM comp GROUP BY node
 """
 
 
-@register("q42_dedup_clusters", oracle=_Q58_SQL)
+@register("q42_dedup_clusters", oracle=_Q42_SQL)
 def q42_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs collapsed into clusters (connected components, label =
     min doc id) — the canonical-document selection step that completes the
@@ -270,3 +270,15 @@ def q42_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs(docs, "text", "doc_id", "source", JACCARD_THRESHOLD)
     return dedup.connected_components(pairs.select("i", "j"))
+
+
+@register("q71_dedup_clusters_star", oracle=_Q42_SQL)
+def q71_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q42's clustering computed by the alternating large-star/small-star
+    algorithm (Kiveris et al., operators.dedup.connected_components_star) —
+    the O(log² n)-rounds-on-ANY-shape variant for path-like dup graphs
+    where pointer jumping's diameter dependence bites. Same oracle as q42:
+    both algorithms must produce the identical (doc_id, cluster_id) map."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "text", "doc_id", "source", JACCARD_THRESHOLD)
+    return dedup.connected_components_star(pairs.select("i", "j"))

@@ -264,7 +264,8 @@ def q55_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q22_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct-count twin of q21 (two-phase distinct aggregation)."""
+    """Exact distinct-count twin of q55_approx_distinct (two-phase distinct
+    aggregation)."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count_distinct(F.col("user_id")).alias("n_users"),

