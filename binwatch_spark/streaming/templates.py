@@ -10,13 +10,24 @@ templates work unchanged:
 - ``{{ .Path.To.Field }}``            — dotted field access
 - ``{{ (index .Data.Rows 0).col }}``  — row indexing (the key-template shape)
 - ``{{- ... }}`` / ``{{ ... -}}``     — whitespace trim markers
-- pipes and calls with arguments:     ``toJson`` ``fromJson``
-  ``fromJsonArray`` ``toYaml`` ``fromYaml`` ``fromYamlArray`` ``toToml``
-  ``upper`` ``lower`` ``title`` ``trim`` ``quote`` ``squote`` ``default``
-  ``coalesce`` ``printf`` ``b64enc`` ``b64dec`` ``env`` ``index``
-  ``ternary`` ``dict`` ``get`` ``set`` ``unset`` ``hasKey`` ``list``
-  ``first`` ``rest`` ``last`` ``initial`` ``join`` ``regexReplaceAll``
-  ``regexMatch`` ``now`` ``date``
+- pipes and calls with arguments: the serialization family (``toJson``
+  ``fromJson`` ``fromJsonArray`` ``toYaml`` ``fromYaml`` ``fromYamlArray``
+  ``toToml``), the string family (``upper`` ``lower`` ``title`` ``trim``
+  ``trimPrefix/Suffix/All`` ``quote`` ``squote`` ``replace`` ``repeat``
+  ``substr`` ``nospace`` ``camelcase`` ``snakecase`` ``kebabcase``
+  ``contains`` ``hasPrefix`` ``hasSuffix`` ``abbrev`` ``plural``
+  ``printf`` ``b64enc`` ``b64dec`` ``sha1sum`` ``sha256sum``
+  ``regexReplaceAll`` ``regexMatch``), math (``add`` ``sub`` ``mul``
+  ``div`` ``mod`` ``max`` ``min`` ``len`` ``atoi`` ``int`` ``float64``),
+  collections (``list`` ``first`` ``rest`` ``last`` ``initial`` ``join``
+  ``splitList`` ``sortAlpha`` ``uniq`` ``reverse`` ``compact`` ``concat``
+  ``append`` ``prepend`` ``has`` ``without``), dicts (``dict`` ``get``
+  ``set`` ``unset`` ``hasKey`` ``keys`` ``values`` ``merge`` ``pick``
+  ``omit``), flow/compare (``ternary`` ``default`` ``coalesce`` ``empty``
+  ``eq/ne/lt/le/gt/ge`` ``and/or/not``), time (``now`` ``date``), and
+  ``env`` ``index`` ``toString``. The random/crypto family (uuidv4,
+  randAlpha, genPrivateKey, …) is deliberately unregistered —
+  nondeterminism breaks replay, and compile fails fast instead.
 - parenthesized sub-expressions as operands: ``get (dict "a" 1) "a"``,
   ``(list 1 2 3) | first`` — a paren group may itself contain pipes and is
   evaluated recursively, with trailing ``.field`` access on the result.
@@ -332,6 +343,29 @@ def _to_toml(v: Any) -> str:
     return "\n".join(lines) + "\n"
 
 
+def _num(v: Any):
+    """Numeric coercion for the sprig math family: ints stay ints (Go's
+    add/sub are int64), numeric strings parse, anything else errors."""
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, (int, float)):
+        return v
+    s = str(v)
+    return float(s) if "." in s else int(s)
+
+
+def _merge_dicts(dst: dict, *srcs: dict) -> dict:
+    # sprig merge: left wins (dst keys are NOT overwritten), recursing into
+    # nested dicts.
+    for src in srcs:
+        for k, v in src.items():
+            if k in dst and isinstance(dst[k], dict) and isinstance(v, dict):
+                _merge_dicts(dst[k], v)
+            elif k not in dst:
+                dst[k] = v
+    return dst
+
+
 _FUNCS: dict[str, Any] = {
     # tmpl.go:38-47 extras
     "toJson": lambda v: _to_json(v),
@@ -374,6 +408,88 @@ _FUNCS: dict[str, Any] = {
     "now": lambda: _now_fn(),
     "date": _date,
     "toToml": _to_toml,
+    # sprig string/number/collection staples (all deterministic; the
+    # random/crypto family — uuidv4, randAlpha, genPrivateKey — is
+    # deliberately NOT registered: nondeterministic output would break
+    # replayability, and compile-time fail-fast tells the user loudly)
+    "add": lambda *ns: sum(_num(n) for n in ns),
+    "sub": lambda a, b: _num(a) - _num(b),
+    "mul": lambda *ns: __import__("math").prod(_num(n) for n in ns),
+    "div": lambda a, b: _num(a) // _num(b)
+    if isinstance(_num(a), int) and isinstance(_num(b), int)
+    else _num(a) / _num(b),
+    "mod": lambda a, b: _num(a) % _num(b),
+    "max": lambda *ns: max(_num(n) for n in ns),
+    "min": lambda *ns: min(_num(n) for n in ns),
+    "len": lambda v: len(v) if v is not None else 0,
+    "toString": _go_str,
+    "atoi": lambda s: int(str(s)),
+    "int": lambda v: int(_num(v)),
+    "float64": lambda v: float(_num(v)),
+    "abbrev": lambda width, s: (
+        str(s)
+        if len(str(s)) <= int(width)
+        else str(s)[: int(width) - 3] + "..."
+    ),
+    "contains": lambda needle, s: str(needle) in _go_str(s),
+    "hasPrefix": lambda prefix, s: _go_str(s).startswith(str(prefix)),
+    "hasSuffix": lambda suffix, s: _go_str(s).endswith(str(suffix)),
+    "trimPrefix": lambda prefix, s: _go_str(s).removeprefix(str(prefix)),
+    "trimSuffix": lambda suffix, s: _go_str(s).removesuffix(str(suffix)),
+    "trimAll": lambda cut, s: _go_str(s).strip(str(cut)),
+    "replace": lambda old, new, s: _go_str(s).replace(str(old), str(new)),
+    "repeat": lambda count, s: _go_str(s) * int(count),
+    "substr": lambda start, end, s: _go_str(s)[int(start) : int(end)],
+    "nospace": lambda s: re.sub(r"\s", "", _go_str(s)),
+    "indent": lambda n, s: "\n".join(
+        " " * int(n) + ln for ln in _go_str(s).split("\n")
+    ),
+    "nindent": lambda n, s: "\n" + "\n".join(
+        " " * int(n) + ln for ln in _go_str(s).split("\n")
+    ),
+    "camelcase": lambda s: "".join(
+        w.capitalize() for w in re.split(r"[_\-\s]+", _go_str(s)) if w
+    ),
+    "snakecase": lambda s: re.sub(
+        r"[\-\s]+", "_", re.sub(r"(?<=[a-z0-9])([A-Z])", r"_\1", _go_str(s))
+    ).lower(),
+    "kebabcase": lambda s: re.sub(
+        r"[_\s]+", "-", re.sub(r"(?<=[a-z0-9])([A-Z])", r"-\1", _go_str(s))
+    ).lower(),
+    "plural": lambda one, many, n: one if int(n) == 1 else many,
+    "sha256sum": lambda s: __import__("hashlib")
+    .sha256(_go_str(s).encode("utf-8"))
+    .hexdigest(),
+    "sha1sum": lambda s: __import__("hashlib")
+    .sha1(_go_str(s).encode("utf-8"))
+    .hexdigest(),
+    "splitList": lambda sep, s: _go_str(s).split(str(sep)),
+    "sortAlpha": lambda seq: sorted(_go_str(x) for x in seq),
+    "uniq": lambda seq: list(dict.fromkeys(seq)),
+    "reverse": lambda seq: list(reversed(seq)),
+    "compact": lambda seq: [x for x in seq if not _sprig_empty(x)],
+    "concat": lambda *seqs: [x for s in seqs for x in s],
+    "append": lambda seq, v: list(seq) + [v],
+    "prepend": lambda seq, v: [v] + list(seq),
+    "has": lambda needle, seq: needle in (seq or []),
+    "without": lambda seq, *vs: [x for x in seq if x not in vs],
+    "keys": lambda *ds: [k for d in ds for k in d],
+    "values": lambda *ds: [v for d in ds for v in d.values()],
+    "merge": lambda dst, *srcs: _merge_dicts(dst, *srcs),
+    "pick": lambda d, *ks: {k: d[k] for k in map(str, ks) if k in d},
+    "omit": lambda d, *ks: {
+        k: v for k, v in d.items() if k not in set(map(str, ks))
+    },
+    "empty": _sprig_empty,
+    "not": lambda v: not v,
+    "eq": lambda a, b: a == b,
+    "ne": lambda a, b: a != b,
+    "lt": lambda a, b: a < b,
+    "le": lambda a, b: a <= b,
+    "gt": lambda a, b: a > b,
+    "ge": lambda a, b: a >= b,
+    "and": lambda *vs: vs[-1] if all(vs) else next(v for v in vs if not v),
+    "or": lambda *vs: next((v for v in vs if v), vs[-1]),
 }
 
 

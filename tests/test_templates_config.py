@@ -144,7 +144,7 @@ def test_template_env(monkeypatch):
 
 def test_template_unknown_function_still_fails_at_compile():
     with pytest.raises(ValueError, match="unsupported"):
-        compile_template("{{ .Data.Table | sha256sum }}")
+        compile_template("{{ .Data.Table | htpasswd }}")
     with pytest.raises(ValueError, match="unsupported"):
         compile_template('{{ randAlpha 5 }}')
 
@@ -250,3 +250,108 @@ def test_template_paren_subexpression_validation():
         compile_template('{{ first (randAlpha 5) }}')
     with pytest.raises(ValueError, match="unbalanced|unsupported"):
         compile_template('{{ first (list 1 2 }}')
+
+
+def test_template_sprig_math():
+    assert compile_template("{{ add 1 2 3 }}")(ITEM) == "6"
+    assert compile_template("{{ sub 10 4 }}")(ITEM) == "6"
+    assert compile_template("{{ mul 2 3 4 }}")(ITEM) == "24"
+    assert compile_template("{{ div 7 2 }}")(ITEM) == "3"  # int div, Go parity
+    assert compile_template("{{ mod 7 3 }}")(ITEM) == "1"
+    assert compile_template("{{ max 1 9 4 }}")(ITEM) == "9"
+    assert compile_template("{{ min 5 2 8 }}")(ITEM) == "2"
+    assert compile_template('{{ len .Data.Table }}')(ITEM) == "5"
+    assert compile_template('{{ atoi "42" }}')(ITEM) == "42"
+
+
+def test_template_sprig_strings_extended():
+    assert compile_template('{{ contains "ser" .Data.Table }}')(ITEM) == "true"
+    assert compile_template('{{ hasPrefix "us" .Data.Table }}')(ITEM) == "true"
+    assert compile_template('{{ hasSuffix "rs" .Data.Table }}')(ITEM) == "true"
+    assert compile_template('{{ trimPrefix "us" .Data.Table }}')(ITEM) == "ers"
+    assert compile_template('{{ trimSuffix "rs" .Data.Table }}')(ITEM) == "use"
+    assert compile_template('{{ replace "s" "z" .Data.Table }}')(ITEM) == "uzerz"
+    assert compile_template('{{ repeat 3 "ab" }}')(ITEM) == "ababab"
+    assert compile_template('{{ substr 1 3 .Data.Table }}')(ITEM) == "se"
+    assert compile_template('{{ nospace "a b  c" }}')(ITEM) == "abc"
+    assert compile_template('{{ camelcase "http_server_port" }}')(ITEM) == (
+        "HttpServerPort"
+    )
+    assert compile_template('{{ snakecase "HttpServerPort" }}')(ITEM) == (
+        "http_server_port"
+    )
+    assert compile_template('{{ kebabcase "HttpServerPort" }}')(ITEM) == (
+        "http-server-port"
+    )
+    assert compile_template('{{ plural "item" "items" 1 }}')(ITEM) == "item"
+    assert compile_template('{{ plural "item" "items" 3 }}')(ITEM) == "items"
+    import hashlib
+
+    assert compile_template("{{ sha256sum .Data.Table }}")(ITEM) == (
+        hashlib.sha256(b"users").hexdigest()
+    )
+
+
+def test_template_sprig_collections_extended():
+    assert (
+        compile_template('{{ splitList "," "a,b,c" | toJson }}')(ITEM)
+        == '["a","b","c"]'
+    )
+    assert (
+        compile_template('{{ sortAlpha (list "c" "a" "b") | toJson }}')(ITEM)
+        == '["a","b","c"]'
+    )
+    assert (
+        compile_template("{{ uniq (list 1 2 1 3) | toJson }}")(ITEM) == "[1,2,3]"
+    )
+    assert (
+        compile_template("{{ reverse (list 1 2 3) | toJson }}")(ITEM) == "[3,2,1]"
+    )
+    assert (
+        compile_template('{{ compact (list 0 1 "" 2) | toJson }}')(ITEM) == "[1,2]"
+    )
+    assert (
+        compile_template("{{ append (list 1 2) 3 | toJson }}")(ITEM) == "[1,2,3]"
+    )
+    assert compile_template("{{ has 2 (list 1 2) }}")(ITEM) == "true"
+    assert (
+        compile_template("{{ without (list 1 2 3) 2 | toJson }}")(ITEM) == "[1,3]"
+    )
+    assert (
+        compile_template('{{ keys (dict "a" 1 "b" 2) | sortAlpha | toJson }}')(ITEM)
+        == '["a","b"]'
+    )
+    # merge: left wins, nested dicts recurse
+    assert (
+        compile_template(
+            '{{ merge (dict "a" 1) (dict "a" 9 "b" 2) | toJson }}'
+        )(ITEM)
+        == '{"a":1,"b":2}'
+    )
+    assert (
+        compile_template('{{ pick (dict "a" 1 "b" 2) "a" | toJson }}')(ITEM)
+        == '{"a":1}'
+    )
+    assert (
+        compile_template('{{ omit (dict "a" 1 "b" 2) "a" | toJson }}')(ITEM)
+        == '{"b":2}'
+    )
+
+
+def test_template_go_builtin_comparisons():
+    assert compile_template("{{ eq 1 1 }}")(ITEM) == "true"
+    assert compile_template("{{ ne 1 2 }}")(ITEM) == "true"
+    assert compile_template("{{ lt 1 2 }}")(ITEM) == "true"
+    assert compile_template("{{ ge 2 2 }}")(ITEM) == "true"
+    assert compile_template('{{ not (eq 1 2) }}')(ITEM) == "true"
+    assert (
+        compile_template('{{ ternary "y" "n" (and true (gt 3 1)) }}')(ITEM) == "y"
+    )
+    assert compile_template('{{ empty "" }}')(ITEM) == "true"
+    assert compile_template("{{ empty .Data.Table }}")(ITEM) == "false"
+
+
+def test_template_random_family_still_fails_fast():
+    for fn in ("uuidv4", "randAlpha", "randNumeric", "genPrivateKey"):
+        with pytest.raises(ValueError, match="unsupported"):
+            compile_template("{{ %s }}" % fn)

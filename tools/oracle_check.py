@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -142,7 +143,10 @@ def main():
         and r.get("values_match") is not False
     )
     print(f"\n{n_ok}/{len(results)} green")
-    with open("/tmp/oracle_check.json", "w") as f:
+    # ORACLE_CHECK_OUT lets a round commit the artifact in-repo
+    # (VERDICT r03 #1: durable local-oracle evidence each round).
+    out = os.environ.get("ORACLE_CHECK_OUT", "/tmp/oracle_check.json")
+    with open(out, "w") as f:
         json.dump(results, f, indent=1, default=str)
 
 
