@@ -1,8 +1,9 @@
-"""Training-data pipeline utility queries (q35 sessionize, q36 sampling)."""
+"""Training-data pipeline utility queries: q35 sessionize, q36/q66 sampling,
+q72 sequence packing, q73 train/val/test split, q74 overlapping chunking."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from binwatch_spark.functions.texthash import polyhash, polyhash_sql
@@ -98,4 +99,138 @@ def q66_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = rate.otherwise(F.lit(STRATA_DEFAULT_PCT))
     return docs.filter(polyhash(F.col("text")) % 100 < rate).select(
         "doc_id", "lang", "source"
+    )
+
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@register(
+    "q72_sequence_pack",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_before
+  FROM t)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(tok_before // {PACK_BUDGET} AS BIGINT) AS seq_id,
+  CAST(tok_before % {PACK_BUDGET} AS BIGINT) AS seq_offset
+FROM c
+""",
+)
+def q72_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: concatenate documents per language
+    stream in doc_id order and cut every {PACK_BUDGET} tokens — each doc is
+    assigned the packed sequence its first token lands in (seq_id) and its
+    offset inside it. This is the concat-then-chunk packing every large
+    pretraining pipeline runs to avoid padding waste. One shuffle on the
+    stream key; the running total is a window prefix sum (no driver state),
+    so at 100 TB the stream key just gets finer (lang, shard) and the same
+    plan holds. Deterministic: token counts are whitespace splits and order
+    is (lang, doc_id), no RNG."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok_before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
+        "tok_before"
+    )
+    c = t.select("doc_id", "lang", "n_tokens", tok_before)
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(F.col("tok_before") / PACK_BUDGET).cast("bigint").alias("seq_id"),
+        (F.col("tok_before") % PACK_BUDGET).cast("bigint").alias("seq_offset"),
+    )
+
+
+TRAIN_PCT, VAL_PCT = 80, 10  # remainder = test
+
+
+@register(
+    "q73_hash_split",
+    oracle=f"""
+SELECT doc_id, lang,
+  CASE WHEN {polyhash_sql("text")} % 100 < {TRAIN_PCT} THEN 'train'
+       WHEN {polyhash_sql("text")} % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+""",
+)
+def q73_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash — the split
+    must be a pure function of the document so that (a) re-runs and other
+    engines agree, (b) exact duplicates land in the SAME split (no
+    train/test leakage through dup pairs), which an RNG split cannot
+    guarantee. Map-side expression, no shuffle, no state."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = polyhash(F.col("text")) % 100
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+CHUNK_TOKENS, CHUNK_STRIDE = 64, 48  # 16-token overlap between windows
+
+
+@register(
+    "q74_chunk_overlap",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n FROM documents),
+s AS (
+  SELECT doc_id, toks, n, unnest(range(0, n, {CHUNK_STRIDE})) AS start
+  FROM t WHERE n > 0)
+SELECT doc_id, CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+  CAST(len(list_slice(toks, start + 1, start + {CHUNK_TOKENS})) AS BIGINT)
+    AS n_chunk_tokens,
+  array_to_string(list_slice(toks, start + 1, start + {CHUNK_TOKENS}), ' ')
+    AS chunk_text
+FROM s
+""",
+)
+def q74_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (RAG/embedding prep): each document
+    becomes ceil(n/stride) windows of {CHUNK_TOKENS} tokens advancing by
+    {CHUNK_STRIDE} ({CHUNK_TOKENS - CHUNK_STRIDE}-token overlap so no
+    boundary context is lost). Pure codegen — split once, explode a stride
+    sequence, slice per window; no UDF, no shuffle (the explode is map-side
+    row generation). At 100 TB chunk_text feeds the embedding UDF stage
+    directly; the fan-out factor is bounded by document length."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+        F.size(F.split(F.col("text"), " ")).alias("n"),
+    ).filter(F.col("n") > 0)
+    s = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, F.lit(CHUNK_TOKENS))
+    return s.select(
+        "doc_id",
+        F.floor(F.col("start") / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
     )
