@@ -549,8 +549,52 @@ def levenshtein_pairs(
     ).filter(F.col("dist") >= 0)
 
 
+# Pair graphs at or below this edge count take the driver union-find fast
+# path (~16 B/edge collected via Arrow ⇒ ≤ ~8 MB at the default); larger
+# graphs run the distributed loops. Same gated-and-bounded pattern as the
+# LSH verify cutover: the driver materialization is decided by ONE count on
+# the (persisted) pair stream, never unconditionally.
+DRIVER_CC_MAX_EDGES = 500_000
+
+
+def _driver_union_find(pairs: DataFrame) -> DataFrame:
+    """Union-find with path compression and union-by-min — exact same
+    (doc_id, cluster_id = component minimum) contract as the distributed
+    loops, for graphs small enough that per-round job overhead dominates
+    any cluster algorithm (an sf0.1 dup graph is 3k nodes; a 6-round
+    distributed loop spends seconds scheduling no-op shuffles)."""
+    pdf = pairs.select("i", "j").toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for i, j in zip(pdf["i"].to_numpy(), pdf["j"].to_numpy()):
+        i, j = int(i), int(j)
+        parent.setdefault(i, i)
+        parent.setdefault(j, j)
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            # union by MIN so every root is its component's minimum — the
+            # cluster_id contract needs no second pass
+            if ri < rj:
+                parent[rj] = ri
+            else:
+                parent[ri] = rj
+    rows = [(v, find(v)) for v in parent]
+    return pairs.sparkSession.createDataFrame(
+        rows, "doc_id long, cluster_id long"
+    )
+
+
 def connected_components(
-    pairs: DataFrame, max_iter: int = 25
+    pairs: DataFrame, max_iter: int = 25,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """Collapse near-dup pairs (i, j) into clusters: (doc_id, cluster_id)
     where cluster_id is the minimum doc id reachable through the pair graph
@@ -577,16 +621,28 @@ def connected_components(
     the driver after ~8 rounds regardless of data size. Truncating lineage
     per round keeps plan size constant; on a cluster the same call pins the
     round result on executor-local storage (or swap in ``checkpoint()``
-    against a reliable dir when executor loss must be survivable)."""
+    against a reliable dir when executor loss must be survivable).
+
+    Graphs with <= driver_max_edges edges short-circuit to a driver
+    union-find (gated by one count on the persisted pair stream): at that
+    size every distributed round is scheduling overhead, not compute.
+    Pass driver_max_edges=0 to force the distributed loop (tests do)."""
+    pairs = pairs.select("i", "j").persist()
+    if driver_max_edges and pairs.count() <= driver_max_edges:
+        return _driver_union_find(pairs)
     edges = (
         pairs.select("i", "j")
         .union(pairs.select(F.col("j").alias("i"), F.col("i").alias("j")))
         .localCheckpoint()
     )
+    # Seed labels with the closed-neighborhood minimum — exactly what round
+    # one's neighbor-propagation would compute from identity labels, for the
+    # price of one aggregate instead of a full join+union+checkpoint round.
+    # Cliques (the common near-dup shape) converge at the first convergence
+    # check this way.
     labels = (
-        edges.select(F.col("i").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy(F.col("i").alias("node"))
+        .agg(F.least(F.first("i"), F.min("j")).alias("label"))
         .localCheckpoint()
     )
     for _ in range(max_iter):
@@ -624,7 +680,8 @@ def connected_components(
 
 
 def connected_components_star(
-    pairs: DataFrame, max_iter: int = 50
+    pairs: DataFrame, max_iter: int = 50,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """Alternating large-star/small-star connected components (Kiveris et
     al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
@@ -650,7 +707,11 @@ def connected_components_star(
     the final edge list directly. Per-round ``localCheckpoint`` bounds
     lineage exactly as in ``connected_components``. Both algorithms are
     property-tested to identical labelings on random graphs
-    (tests/test_graph.py)."""
+    (tests/test_graph.py). Same bounded driver union-find gate as
+    ``connected_components`` (driver_max_edges=0 forces distributed)."""
+    pairs = pairs.select("i", "j").persist()
+    if driver_max_edges and pairs.count() <= driver_max_edges:
+        return _driver_union_find(pairs)
     base = pairs.select(
         F.col("i").cast("long").alias("u"), F.col("j").cast("long").alias("v")
     )
