@@ -76,3 +76,92 @@ def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
+
+
+FRAME_CHARS = 128  # stub "frame" = fixed-length character window
+FRAME_STRIDE = 4  # keep every 4th frame
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, frame_sha256 string, frame_bytes bigint"
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frame_chars: int = FRAME_CHARS,
+    stride: int = FRAME_STRIDE,
+) -> DataFrame:
+    """Frame-sampling stage for video-like payloads: split the decoded
+    payload into fixed-size frames, keep every ``stride``-th, emit one row
+    per sampled frame with its digest — the subsample-before-featurize step
+    every video pipeline runs so the expensive model only sees 1/stride of
+    the frames. mapInPandas with a fan-out output (rows out > rows in),
+    which is exactly the batch shape a real ffmpeg/decord sampler needs.
+    The stub frames CHARACTER windows of the text stand-in (deterministic,
+    engine-checkable: DuckDB has no blob slicing, and char windows hash
+    identically via UTF-8); a real decoder replaces only the framing
+    function."""
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            shas: list[str] = []
+            lens: list[int] = []
+            for did, content in zip(pdf[id_col], pdf["content"]):
+                text = bytes(content).decode("utf-8")
+                n_frames = (len(text) + frame_chars - 1) // frame_chars
+                for k in range(0, n_frames, stride):
+                    frame = text[k * frame_chars : (k + 1) * frame_chars]
+                    raw = frame.encode("utf-8")
+                    ids.append(did)
+                    idxs.append(k)
+                    shas.append(hashlib.sha256(raw).hexdigest())
+                    lens.append(len(raw))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_sha256": pd.Series(shas, dtype="object"),
+                    "frame_bytes": pd.Series(lens, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
+
+
+THUMB_CHARS = 256  # stub "resize" target
+
+RESIZE_SCHEMA = "doc_id bigint, thumb_sha256 string, thumb_bytes bigint"
+
+
+def resize_thumbnail(
+    df: DataFrame, id_col: str = "doc_id", out_chars: int = THUMB_CHARS
+) -> DataFrame:
+    """Resize/thumbnail stage: shrink each payload to a fixed budget before
+    storage or featurizing (the 100 TB lever: a thumbnail column is orders
+    of magnitude smaller than originals and usually what downstream models
+    consume). Stub: prefix window of the decoded payload; a real resizer
+    (PIL/opencv) replaces only the shrink function — the mapInPandas
+    contract, schema, and batching stay as tested."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = [
+                bytes(c).decode("utf-8")[:out_chars].encode("utf-8")
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "thumb_sha256": [
+                        hashlib.sha256(t).hexdigest() for t in thumbs
+                    ],
+                    "thumb_bytes": pd.Series(
+                        [len(t) for t in thumbs], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(resize_batches, schema=RESIZE_SCHEMA)

@@ -193,6 +193,56 @@ def q32_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select("doc_id", "byte_len", "content_sha256")
 
 
+@register(
+    "q75_frame_sample",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(ceil(length(text) / {multimodal.FRAME_CHARS}.0) AS BIGINT) AS nf
+  FROM documents),
+s AS (
+  SELECT doc_id, text, unnest(range(0, nf, {multimodal.FRAME_STRIDE})) AS k
+  FROM t WHERE nf > 0)
+SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+  sha256(substring(text, CAST(k * {multimodal.FRAME_CHARS} + 1 AS BIGINT),
+                   {multimodal.FRAME_CHARS})) AS frame_sha256,
+  CAST(strlen(substring(text, CAST(k * {multimodal.FRAME_CHARS} + 1 AS BIGINT),
+                        {multimodal.FRAME_CHARS})) AS BIGINT) AS frame_bytes
+FROM s
+""",
+)
+def q75_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling through the multimodal plumbing: payload →
+    fixed-size frames → keep every {multimodal.FRAME_STRIDE}th → digest per
+    sampled frame. A fan-out mapInPandas stage (rows out > rows in), the
+    batch shape a real ffmpeg/decord sampler slots into; frames are
+    character windows of the text stand-in so the oracle checks every
+    sampled frame's hash."""
+    docs = load(spark, sf_dir, "documents")
+    payload = multimodal.with_binary_payload(docs, "text", "doc_id")
+    return multimodal.sample_frames(payload)
+
+
+@register(
+    "q76_thumbnail",
+    oracle=f"""
+SELECT doc_id,
+  sha256(substring(text, 1, {multimodal.THUMB_CHARS})) AS thumb_sha256,
+  CAST(strlen(substring(text, 1, {multimodal.THUMB_CHARS})) AS BIGINT)
+    AS thumb_bytes
+FROM documents
+""",
+)
+def q76_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/thumbnail through the multimodal plumbing: each payload
+    shrunk to a fixed {multimodal.THUMB_CHARS}-char budget (stub for a real
+    image resize) in one Arrow-batched mapInPandas pass; the oracle checks
+    the digest and byte length of every thumbnail."""
+    docs = load(spark, sf_dir, "documents")
+    payload = multimodal.with_binary_payload(docs, "text", "doc_id")
+    return multimodal.resize_thumbnail(payload)
+
+
 _Q64_SQL = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
