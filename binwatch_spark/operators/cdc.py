@@ -131,3 +131,68 @@ def checkpoint_frontier(
         F.max(pos_col).alias("max_position"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def apply_cdc(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    op_col: str = "operation",
+    position_cols: Iterable[str] = ("binlog_file", "binlog_position"),
+    delete_op: str = "DELETE",
+) -> DataFrame:
+    """Materialize a CDC change stream onto a snapshot table — the natural
+    downstream consumer of the reference's delivery (a webhook receiver
+    replaying row events into a queryable table). Latest-change-wins per
+    key by binlog position:
+
+    - key with no change            → snapshot row unchanged
+    - latest op INSERT/UPDATE       → change's value columns overwrite the
+                                      snapshot's same-named columns (upsert;
+                                      new keys appear with snapshot-only
+                                      columns NULL)
+    - latest op ``delete_op``       → row removed
+
+    Two shuffles total at any scale: one window over the change stream
+    (partitioned by key — no global sort) collapses it to latest-per-key,
+    one full-outer join merges with the snapshot. In Structured Streaming
+    the same function runs inside foreachBatch against the served table.
+    Reference tie-in: this is the consumer-side inverse of T1/K1
+    (blsenderwork.go:186-213) — what the delivered JSON is FOR."""
+    position_cols = list(position_cols)
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c).desc() for c in position_cols]
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", *position_cols)
+    )
+    snap_cols = snapshot.columns
+    value_cols = [c for c in latest.columns if c not in (key_col, op_col)]
+    s, c = snapshot.alias("_s"), latest.alias("_c")
+    joined = s.join(
+        c, F.col(f"_s.{key_col}") == F.col(f"_c.{key_col}"), "full_outer"
+    )
+    op = F.col(f"_c.{op_col}")
+    upserted = op.isNotNull() & (op != delete_op)
+    cols = [
+        F.coalesce(F.col(f"_s.{key_col}"), F.col(f"_c.{key_col}")).alias(key_col)
+    ]
+    for col in snap_cols:
+        if col == key_col:
+            continue
+        if col in value_cols:
+            cols.append(
+                F.when(
+                    upserted, F.coalesce(F.col(f"_c.{col}"), F.col(f"_s.{col}"))
+                )
+                .otherwise(F.col(f"_s.{col}"))
+                .alias(col)
+            )
+        else:
+            cols.append(F.col(f"_s.{col}").alias(col))
+    for col in value_cols:
+        if col not in snap_cols:
+            cols.append(F.when(upserted, F.col(f"_c.{col}")).alias(col))
+    return joined.filter(op.isNull() | (op != delete_op)).select(*cols)

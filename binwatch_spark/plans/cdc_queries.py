@@ -233,3 +233,59 @@ def q11_checkpoint_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset per stream — map-side partial agg then one small shuffle."""
     ev = load(spark, sf_dir, "events")
     return cdc.checkpoint_frontier(ev, "event_type", "event_id")
+
+
+@register(
+    "q77_cdc_apply",
+    oracle=f"""
+WITH ch AS (
+  SELECT user_id AS custkey, {_DML_CASE_SQL} AS operation, ts, event_id,
+         CAST(value AS DOUBLE) AS acctbal
+  FROM events WHERE {_DML_CASE_SQL} <> ''),
+latest AS (
+  SELECT custkey, operation, acctbal FROM (
+    SELECT *, row_number() OVER (PARTITION BY custkey
+        ORDER BY ts DESC, event_id DESC) AS rn FROM ch)
+  WHERE rn = 1),
+snap AS (
+  SELECT c_custkey AS custkey, c_name AS name, CAST(c_acctbal AS DOUBLE) AS acctbal
+  FROM customer)
+SELECT COALESCE(s.custkey, l.custkey) AS custkey,
+  s.name AS name,
+  CASE WHEN l.operation IS NOT NULL AND l.operation <> 'DELETE'
+       THEN COALESCE(l.acctbal, s.acctbal) ELSE s.acctbal END AS acctbal
+FROM snap s FULL OUTER JOIN latest l ON s.custkey = l.custkey
+WHERE l.operation IS NULL OR l.operation <> 'DELETE'
+""",
+)
+def q77_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply/merge (operators.cdc.apply_cdc): replay the decoded change
+    stream onto the customer snapshot — latest event per key wins by
+    (ts, event_id); INSERT/UPDATE upsert acctbal, DELETE removes the row,
+    untouched customers pass through. The consumer-side inverse of the
+    reference's delivery path (blsenderwork.go:186-213): two shuffles (one
+    keyed window, one full-outer join), no global sort."""
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer")
+    op = cdc.dml_decode(F.col("event_type"), EVENT_DML_MAP)
+    changes = (
+        ev.select(
+            F.col("user_id").alias("custkey"),
+            op.alias("operation"),
+            "ts",
+            "event_id",
+            F.col("value").cast("double").alias("acctbal"),
+        )
+        .filter(F.col("operation") != "")
+    )
+    snapshot = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+    )
+    return cdc.apply_cdc(
+        snapshot,
+        changes,
+        "custkey",
+        position_cols=("ts", "event_id"),
+    )

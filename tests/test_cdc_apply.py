@@ -1,0 +1,57 @@
+"""apply_cdc: replaying a change stream onto a snapshot. Edge semantics
+pinned on a hand-built example — latest-change-wins ordering, upsert of new
+keys, delete of existing and unknown keys, pass-through of untouched rows,
+and snapshot-only columns surviving an upsert.
+"""
+
+from __future__ import annotations
+
+from binwatch_spark.operators.cdc import apply_cdc
+
+
+def _apply(spark):
+    snapshot = spark.createDataFrame(
+        [(1, "ada", 10.0), (2, "grace", 20.0), (3, "mary", 30.0)],
+        "k long, name string, bal double",
+    )
+    changes = spark.createDataFrame(
+        [
+            # k=1: UPDATE then a LATER update — only position 5 wins
+            (1, "UPDATE", "f1", 3, 11.0),
+            (1, "UPDATE", "f1", 5, 12.0),
+            # k=2: deleted
+            (2, "DELETE", "f1", 4, None),
+            # k=4: brand new key
+            (4, "INSERT", "f2", 1, 40.0),
+            # k=9: DELETE of a key the snapshot never had — no-op
+            (9, "DELETE", "f2", 2, None),
+            # k=3 untouched
+        ],
+        "k long, operation string, binlog_file string, binlog_position long, bal double",
+    )
+    rows = apply_cdc(snapshot, changes, "k").collect()
+    return {r["k"]: (r["name"], r["bal"]) for r in rows}
+
+
+def test_apply_cdc_semantics(spark):
+    got = _apply(spark)
+    assert got == {
+        1: ("ada", 12.0),  # later position wins, snapshot-only name kept
+        3: ("mary", 30.0),  # untouched pass-through
+        4: (None, 40.0),  # new key: snapshot-only columns NULL
+    }
+    assert 2 not in got  # deleted
+    assert 9 not in got  # delete of unknown key is a no-op
+
+
+def test_apply_cdc_delete_then_reinsert(spark):
+    snapshot = spark.createDataFrame([(1, 1.0)], "k long, bal double")
+    changes = spark.createDataFrame(
+        [
+            (1, "DELETE", "f1", 1, None),
+            (1, "INSERT", "f1", 2, 5.0),  # later than the delete → row lives
+        ],
+        "k long, operation string, binlog_file string, binlog_position long, bal double",
+    )
+    rows = apply_cdc(snapshot, changes, "k").collect()
+    assert [(r["k"], r["bal"]) for r in rows] == [(1, 5.0)]

@@ -84,3 +84,29 @@ def test_register_views_sql_surface(spark):
     # already converted, so event-time SQL works unmodified)
     row = spark.sql("SELECT max(ts) AS m FROM events").first()
     assert row.m is not None
+
+
+def test_q70_multiprobe_stays_broadcast_equijoin(spark):
+    # multi-probe explodes the QUERY side only; the join must remain a
+    # broadcast hash equi-join on bucket id, never a nested loop
+    plan = plan_of(spark, "q70_ann_multiprobe", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_q72_sequence_pack_single_shuffle(spark):
+    # packing = one window over the stream key; exactly one exchange
+    plan = plan_of(spark, "q72_sequence_pack", mode="simple")
+    assert plan.count("Exchange") == 1
+
+
+def test_q73_hash_split_map_side_only(spark):
+    plan = plan_of(spark, "q73_hash_split", mode="simple")
+    assert "Exchange" not in plan
+
+
+def test_q74_chunk_overlap_no_shuffle(spark):
+    # explode is map-side row generation; no exchange anywhere
+    plan = plan_of(spark, "q74_chunk_overlap", mode="simple")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the stride-sequence explode
