@@ -196,3 +196,34 @@ def apply_cdc(
         if col not in snap_cols:
             cols.append(F.when(upserted, F.col(f"_c.{col}")).alias(col))
     return joined.filter(op.isNull() | (op != delete_op)).select(*cols)
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_col: str,
+    time_col: str,
+    op_col: str = "operation",
+    tiebreak_cols: Iterable[str] = (),
+    delete_op: str = "DELETE",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a CDC change stream into
+    versioned history rows with validity intervals — where ``apply_cdc``
+    materializes only the latest state, SCD2 keeps every version queryable
+    ("what was this row worth when the model trained?").
+
+    Each INSERT/UPDATE becomes a version valid from its change time until
+    the NEXT change of the same key (lead over the keyed window); a DELETE
+    emits no version but closes the previous one (it participates in the
+    window ordering, so the preceding version's valid_to lands on the
+    delete time). is_current = open-ended interval. One keyed-window
+    shuffle at any scale, no self-join against history."""
+    tiebreak = list(tiebreak_cols)
+    w = Window.partitionBy(key_col).orderBy(time_col, *tiebreak)
+    return (
+        changes.withColumn("_valid_to", F.lead(time_col).over(w))
+        .filter(F.col(op_col) != delete_op)
+        .withColumn("is_current", F.col("_valid_to").isNull())
+        .withColumnRenamed(time_col, "valid_from")
+        .withColumnRenamed("_valid_to", "valid_to")
+        .drop(op_col)
+    )

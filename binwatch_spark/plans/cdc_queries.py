@@ -289,3 +289,46 @@ def q77_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey",
         position_cols=("ts", "event_id"),
     )
+
+
+@register(
+    "q78_scd2_history",
+    oracle=f"""
+WITH ch AS (
+  SELECT user_id AS custkey, {_DML_CASE_SQL} AS operation, ts, event_id,
+         CAST(value AS DOUBLE) AS acctbal
+  FROM events WHERE {_DML_CASE_SQL} <> ''),
+v AS (
+  SELECT custkey, operation, event_id, ts AS valid_from,
+    lead(ts) OVER (PARTITION BY custkey ORDER BY ts, event_id) AS valid_to,
+    acctbal
+  FROM ch)
+SELECT custkey, event_id, valid_from, valid_to,
+       valid_to IS NULL AS is_current, acctbal
+FROM v WHERE operation <> 'DELETE'
+""",
+)
+def q78_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 (operators.cdc.scd2_history): the change stream becomes
+    versioned rows with [valid_from, valid_to) intervals — q77 keeps only
+    latest state; this keeps every version for time-travel joins (q31's
+    as-of join consumes exactly this shape). DELETEs close the prior
+    version without emitting one. One keyed window, no history self-join."""
+    ev = load(spark, sf_dir, "events")
+    op = cdc.dml_decode(F.col("event_type"), EVENT_DML_MAP)
+    changes = (
+        ev.select(
+            F.col("user_id").alias("custkey"),
+            op.alias("operation"),
+            "ts",
+            "event_id",
+            F.col("value").cast("double").alias("acctbal"),
+        )
+        .filter(F.col("operation") != "")
+    )
+    hist = cdc.scd2_history(
+        changes, "custkey", "ts", tiebreak_cols=("event_id",)
+    )
+    return hist.select(
+        "custkey", "event_id", "valid_from", "valid_to", "is_current", "acctbal"
+    )

@@ -55,3 +55,30 @@ def test_apply_cdc_delete_then_reinsert(spark):
     )
     rows = apply_cdc(snapshot, changes, "k").collect()
     assert [(r["k"], r["bal"]) for r in rows] == [(1, 5.0)]
+
+
+def test_scd2_history_intervals(spark):
+    from binwatch_spark.operators.cdc import scd2_history
+
+    changes = spark.createDataFrame(
+        [
+            (1, "INSERT", 10, 100, 1.0),
+            (1, "UPDATE", 20, 101, 2.0),
+            (1, "DELETE", 30, 102, None),
+            (2, "INSERT", 15, 103, 9.0),
+        ],
+        "k long, operation string, t long, eid long, bal double",
+    )
+    rows = scd2_history(changes, "k", "t", tiebreak_cols=("eid",)).collect()
+    got = {
+        (r["k"], r["eid"]): (r["valid_from"], r["valid_to"], r["is_current"], r["bal"])
+        for r in rows
+    }
+    assert got == {
+        # v1 closed by the update at t=20
+        (1, 100): (10, 20, False, 1.0),
+        # v2 closed by the DELETE at t=30 — the delete emits no version
+        (1, 101): (20, 30, False, 2.0),
+        # key 2 never changed again → open interval, current
+        (2, 103): (15, None, True, 9.0),
+    }
