@@ -85,7 +85,16 @@ def _small_vocab_from_toks(toks_df: DataFrame) -> list[str] | None:
     single-pass map-side approx_count_distinct (one aggregate row to the
     driver) gates the exact collect; only when the approximate count is
     already near the 63-word bound do we pay the (then tiny, LIMIT-bounded)
-    distinct sort-collect."""
+    distinct sort-collect.
+
+    The probe itself is two-stage: a 1024-doc SAMPLE first (distinct of a
+    subset lower-bounds the global distinct, so sample > bound ⇒ global >
+    bound — exploding 1k cached rows instead of the corpus), then the full
+    corpus pass only in the rare small-vocabulary case the sample can't
+    rule out."""
+    sample = toks_df.limit(1024).select(F.explode("_toks").alias("t"))
+    if sample.agg(F.approx_count_distinct("t").alias("n")).first()[0] > 80:
+        return None
     toks = toks_df.select(F.explode("_toks").alias("t"))
     approx = toks.agg(F.approx_count_distinct("t").alias("n")).first()[0]
     if approx > 80:  # approx err is ~2-5%; 80 is safely above the 63 bound
