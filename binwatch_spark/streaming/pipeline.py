@@ -177,7 +177,16 @@ def _shard_filter(df: DataFrame, cfg: JobConfig) -> DataFrame:
                         out.append(None)  # template error → position fallback
                 return pd.Series(out)
 
-            key = render_key(F.to_json(F.struct("*")))
+            # Narrow the serialized struct: rows is the fat column (the
+            # whole payload); templates that never touch .Data.Rows render
+            # from the envelope scalars alone, so don't JSON-encode the
+            # payload per row just to throw it away (VERDICT r03).
+            if ".Data.Rows" in template:
+                struct_cols = F.struct("*")
+            else:
+                slim = [c for c in df.columns if c != "rows"]
+                struct_cols = F.struct(*slim)
+            key = render_key(F.to_json(struct_cols))
         by_key = make_shard_key_udf(count)(key)
         by_pos = make_shard_udf(count)(F.col("binlog_position"))
         # blsenderwork.go:135-141: template failure falls back to position,

@@ -499,3 +499,40 @@ def test_pipeline_workers_gt_1_delivers_all(spark, tmp_path):
     assert ops == ["DELETE", "INSERT", "INSERT", "UPDATE"]
     ids = [p["ItemID"] for p in payloads]
     assert len(set(ids)) == 4
+
+
+def test_sharding_with_pipe_template_uses_fallback_renderer(spark, tmp_path):
+    """A key template with pipes can't compile natively → the pandas
+    fallback renderer runs, including the narrowed-struct path (template
+    references no .Data.Rows, so the payload column is not serialized).
+    Totality + disjointness must still hold across shards."""
+    tmp = str(tmp_path)
+    write_replay(f"{tmp}/replay", EVENTS)
+    seen: list[str] = []
+    for index in (0, 1):
+        shard_tmp = f"{tmp}/shard{index}"
+        os.makedirs(shard_tmp, exist_ok=True)
+        doc = make_cfg(
+            tmp,
+            sharding={
+                "enabled": True,
+                "count": 2,
+                "index": index,
+                # pipes → general renderer; no .Data.Rows → narrowed struct
+                "keyTemplate": "{{ .Data.Table | upper }}",
+            },
+        )
+        doc["server"]["checkpointDir"] = f"{shard_tmp}/checkpoint"
+        doc["connectors"] = [
+            {"name": "sink-insert", "type": "file", "path": f"{shard_tmp}/i.jsonl"},
+            {"name": "sink-all", "type": "file", "path": f"{shard_tmp}/all.jsonl"},
+        ]
+        run_until_done(spark, doc)
+        seen.append(read_lines(f"{shard_tmp}/all.jsonl"))
+    flat = [json.loads(p) for part in seen for p in part]
+    # totality: every allowlisted users event delivered exactly once
+    keys = sorted((p["Log"]["BinlogFile"], p["Log"]["BinlogPosition"]) for p in flat)
+    expected = sorted((f, pos) for f, pos, db, tbl, _, _ in EVENTS if tbl == "users")
+    assert keys == expected
+    # affinity: all events share table "users" → one key → ONE shard got all
+    assert sorted(len(part) for part in seen) == [0, len(expected)]
