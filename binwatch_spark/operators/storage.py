@@ -75,3 +75,37 @@ def write_partitioned(
     file listing.
     """
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def compact(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ceil(total_bytes / target) size-targeted files; returns the file count.
+
+    The operational 100 TB lever the write path eventually needs: streaming
+    sinks and fine-grained partitioned writes accumulate kilobyte files,
+    and a scan over a million tiny files spends its time in listing +
+    open cost (spark.sql.files.openCostInBytes exists precisely to model
+    this) instead of IO. Sizing by TOTAL BYTES via the Hadoop FileSystem
+    (works for any scheme the cluster mounts, not just file://) rather
+    than file count keeps output files near the row-group sweet spot
+    regardless of how skewed the input file sizes are. Output goes to a
+    NEW path — atomic swap/rename is the caller's (or table format's) job.
+    """
+    import math
+
+    df = spark.read.parquet(in_path)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    total = 0
+    for f in df.inputFiles():
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        fs = p.getFileSystem(conf)
+        total += fs.getFileStatus(p).getLen()
+    n = max(1, math.ceil(total / target_file_bytes))
+    df.repartition(n).write.mode("overwrite").parquet(out_path)
+    return n

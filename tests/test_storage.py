@@ -130,3 +130,31 @@ def test_salted_join_rejects_right_and_full(spark):
     for how in ("right", "full", "outer", "full_outer"):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(a, b, on="k", entropy_col="k", how=how)
+
+
+def test_compact_small_files(spark, tmp_path):
+    from binwatch_spark.operators.storage import compact
+    from binwatch_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    src = f"{tmp_path}/fragmented"
+    out = f"{tmp_path}/compacted"
+    docs = load(spark, SF_SMALL, "documents")
+    # fragment: 64 files for a tiny table — the streaming-sink pathology
+    docs.repartition(64).write.parquet(src)
+    import glob
+
+    n_in = len(glob.glob(f"{src}/part-*"))
+    assert n_in == 64
+
+    total = sum(
+        __import__("os").path.getsize(f) for f in glob.glob(f"{src}/part-*")
+    )
+    # target a quarter of the data per file → expect ~4 output files
+    target = max(1, total // 4)
+    n_out = compact(spark, src, out, target_file_bytes=target)
+    files_out = glob.glob(f"{out}/part-*")
+    assert len(files_out) == n_out
+    assert n_out <= 6  # ceil(total/target) with parquet overhead slack
+    # nothing lost or duplicated
+    assert spark.read.parquet(out).count() == docs.count()
