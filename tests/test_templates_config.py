@@ -355,3 +355,26 @@ def test_template_random_family_still_fails_fast():
     for fn in ("uuidv4", "randAlpha", "randNumeric", "genPrivateKey"):
         with pytest.raises(ValueError, match="unsupported"):
             compile_template("{{ %s }}" % fn)
+
+
+def test_example_config_parses_and_compiles(spark, monkeypatch):
+    """docs/example-config.yaml must stay loadable: parse, validation,
+    route-template compilation, and the shard key template's native
+    compilation all succeed."""
+    import os
+
+    from binwatch_spark.config import load
+    from binwatch_spark.streaming.pipeline import compile_routes
+    from binwatch_spark.streaming.templates import native_key_expr
+
+    monkeypatch.setenv("BINWATCH_DB_PASSWORD", "pw1")
+    monkeypatch.setenv("BINWATCH_WEBHOOK_PASSWORD", "pw2")
+    path = os.path.join(os.path.dirname(__file__), "..", "docs", "example-config.yaml")
+    cfg = load(path)
+    assert cfg.source.password == "pw1"
+    assert cfg.connector_by_name("api-webhook").webhook.password == "pw2"
+    assert cfg.source.allowlist == ["shop.users", "shop.orders"]
+    routes = compile_routes(cfg)
+    assert [r.name for r in routes] == ["users-to-api", "everything-to-topic"]
+    # the documented key shape compiles to a pure column expression
+    assert native_key_expr(cfg.sharding.key_template) is not None
