@@ -82,3 +82,95 @@ def test_scd2_history_intervals(spark):
         # key 2 never changed again → open interval, current
         (2, 103): (15, None, True, 9.0),
     }
+
+
+def test_apply_cdc_streaming_foreachbatch(spark, tmp_path):
+    """The full loop the reference exists for, closed inside the engine:
+    binlog-shaped replay stream → envelope transform → foreachBatch
+    applying each micro-batch onto a served snapshot table with apply_cdc.
+    Two micro-batches (maxFilesPerTrigger=1) prove incremental application:
+    batch 2's UPDATE/DELETE land on batch 1's result, not on the seed."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from binwatch_spark.sources.envelope import read_envelope_stream
+
+    tmp = str(tmp_path)
+    replay = f"{tmp}/replay"
+    served = f"{tmp}/served"
+    os.makedirs(replay, exist_ok=True)
+
+    def write_batch(name, events):
+        with open(f"{replay}/{name}", "w", encoding="utf-8") as fh:
+            for pos, op, row in events:
+                fh.write(
+                    json.dumps(
+                        {
+                            "event_type": {"INSERT": "WriteRowsEventV2",
+                                           "UPDATE": "UpdateRowsEventV2",
+                                           "DELETE": "DeleteRowsEventV2"}[op],
+                            "binlog_file": "mysql-bin.000001",
+                            "binlog_position": pos,
+                            "database": "testdb",
+                            "table": "users",
+                            "operation": op,
+                            "rows": [row],
+                        }
+                    )
+                    + "\n"
+                )
+
+    write_batch("b1.jsonl", [
+        (100, "INSERT", {"id": "1", "bal": "10"}),
+        (200, "INSERT", {"id": "2", "bal": "20"}),
+    ])
+    write_batch("b2.jsonl", [
+        (300, "UPDATE", {"id": "1", "bal": "11"}),
+        (400, "DELETE", {"id": "2", "bal": ""}),
+        (500, "INSERT", {"id": "3", "bal": "30"}),
+    ])
+
+    # seed snapshot: one pre-existing row that no event touches
+    spark.createDataFrame([(9, 90.0)], "k long, bal double").write.parquet(served)
+
+    from binwatch_spark.operators.cdc import apply_cdc
+
+    def apply_batch(batch_df, batch_id):
+        changes = batch_df.select(
+            F.col("rows")[0]["id"].cast("long").alias("k"),
+            F.col("operation"),
+            "binlog_file",
+            "binlog_position",
+            # try_cast: DELETE payloads carry no usable values (ANSI cast
+            # of "" would kill the batch); NULLs never overwrite (coalesce
+            # inside apply_cdc)
+            F.col("rows")[0]["bal"].try_cast("double").alias("bal"),
+        )
+        snap = batch_df.sparkSession.read.parquet(served)
+        merged = apply_cdc(snap, changes, "k")
+        out = f"{served}.next"
+        merged.write.mode("overwrite").parquet(out)
+        shutil.rmtree(served)
+        os.rename(out, served)
+
+    stream = read_envelope_stream(spark, replay, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final = {
+        r["k"]: r["bal"] for r in spark.read.parquet(served).collect()
+    }
+    assert final == {
+        9: 90.0,   # untouched seed row survives both batches
+        1: 11.0,   # batch-2 UPDATE applied on top of batch-1 INSERT
+        3: 30.0,   # batch-2 INSERT
+    }
+    assert 2 not in final  # inserted in batch 1, deleted in batch 2
