@@ -69,3 +69,39 @@ def dedup_stream(
     if df.isStreaming:
         return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
     return df.dropDuplicates(keys)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join on a key within a time interval: each left
+    row matches right rows with ``right_ts ∈ [left_ts - lookback, left_ts]``
+    — the enrichment join (event ↔ recent order) that completes the
+    streaming-analytics family.
+
+    Batch twin: q49_range_join (same predicate shape, oracle-checked).
+    Streaming requires watermarks on BOTH inputs plus the time-range join
+    condition — Spark derives the state-eviction horizon from them, so
+    per-side join state is bounded by (watermark + lookback) of data per
+    key instead of growing forever. One shuffle per side on the key; the
+    range predicate rides the same exchange. ``left_ts``/``right_ts`` must
+    be distinct column names (both survive into the joined row)."""
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must be distinct column names")
+    l, r = left, right
+    if l.isStreaming:
+        l = l.withWatermark(left_ts, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (F.col(right_ts) <= F.col(left_ts))
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
+    )
+    return l.join(r, cond, "inner").drop(r[key])
