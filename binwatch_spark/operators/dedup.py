@@ -638,12 +638,18 @@ def connected_components(
     Pass driver_max_edges=0 to force the distributed loop (tests do)."""
     pairs = pairs.select("i", "j").persist()
     if driver_max_edges and pairs.count() <= driver_max_edges:
-        return _driver_union_find(pairs)
+        out = _driver_union_find(pairs)
+        pairs.unpersist()
+        return out
     edges = (
         pairs.select("i", "j")
         .union(pairs.select(F.col("j").alias("i"), F.col("i").alias("j")))
         .localCheckpoint()
     )
+    # edges is materialized by the eager localCheckpoint — the pair cache
+    # has served its purpose (gate count + edge build); drop it so repeated
+    # calls in a long-lived session don't accumulate cache entries.
+    pairs.unpersist()
     # Seed labels with the closed-neighborhood minimum — exactly what round
     # one's neighbor-propagation would compute from identity labels, for the
     # price of one aggregate instead of a full join+union+checkpoint round.
@@ -720,7 +726,9 @@ def connected_components_star(
     ``connected_components`` (driver_max_edges=0 forces distributed)."""
     pairs = pairs.select("i", "j").persist()
     if driver_max_edges and pairs.count() <= driver_max_edges:
-        return _driver_union_find(pairs)
+        out = _driver_union_find(pairs)
+        pairs.unpersist()
+        return out
     base = pairs.select(
         F.col("i").cast("long").alias("u"), F.col("j").cast("long").alias("v")
     )
@@ -739,6 +747,9 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    # all_nodes and edges are both materialized (eager localCheckpoints);
+    # release the gate's pair cache before iterating.
+    pairs.unpersist()
     n_edges = edges.count()
     for _ in range(max_iter):
         round_input, n_input = edges, n_edges

@@ -101,11 +101,13 @@ def compact(
     df = spark.read.parquet(in_path)
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
-    total = 0
-    for f in df.inputFiles():
-        p = jvm.org.apache.hadoop.fs.Path(f)
-        fs = p.getFileSystem(conf)
-        total += fs.getFileStatus(p).getLen()
+    # ONE FileSystem call for the whole tree (getContentSummary), not one
+    # getFileStatus py4j round trip per file — per-file RPCs from the
+    # driver are exactly the many-small-files pathology this operator
+    # exists to fix.
+    p = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
     n = max(1, math.ceil(total / target_file_bytes))
     df.repartition(n).write.mode("overwrite").parquet(out_path)
     return n

@@ -40,6 +40,7 @@ from binwatch_spark.streaming.templates import (
     compile_template,
     item_from_row,
     native_key_expr,
+    template_needs_rows,
 )
 
 
@@ -126,10 +127,13 @@ def _sequence_batch(batch_df: DataFrame, workers: int = 1) -> DataFrame:
     workers > 1: the reference itself abandons delivery order, so a global
     sort would serialize every micro-batch for a guarantee nobody gets
     (VERDICT r03). Instead ids are sequenced PER BINLOG FILE —
-    row_number over (file) windows, encoded as file_seq << 32 | row_number
-    (binlog file names carry a monotonic numeric suffix, blreaderwork
-    rotate handling) — unique, monotonic within a file, monotonic across
-    file rotations, and the plan has no partition-less Window."""
+    row_number over (file) windows, encoded as file_seq << 32 | row_number.
+    MySQL binlog names carry a monotonic numeric suffix (mysql-bin.000001),
+    so ids are unique, monotonic within a file, and monotonic across
+    rotations; a name WITHOUT a numeric suffix falls back to a 31-bit hash
+    of the full name (distinct files ⇒ distinct seq whp) rather than a
+    shared constant, which would collide ids across such files. No
+    partition-less Window in the plan either way."""
     if workers <= 1:
         w = Window.orderBy("binlog_file", "binlog_position")
         return batch_df.withColumn(
@@ -140,7 +144,7 @@ def _sequence_batch(batch_df: DataFrame, workers: int = 1) -> DataFrame:
         F.nullif(F.regexp_extract("binlog_file", r"(\d+)$", 1), F.lit("")).cast(
             "bigint"
         ),
-        F.lit(0),
+        F.pmod(F.xxhash64("binlog_file"), F.lit(1 << 31)).cast("bigint"),
     )
     return batch_df.withColumn(
         "item_id",
@@ -178,10 +182,12 @@ def _shard_filter(df: DataFrame, cfg: JobConfig) -> DataFrame:
                 return pd.Series(out)
 
             # Narrow the serialized struct: rows is the fat column (the
-            # whole payload); templates that never touch .Data.Rows render
-            # from the envelope scalars alone, so don't JSON-encode the
-            # payload per row just to throw it away (VERDICT r03).
-            if ".Data.Rows" in template:
+            # whole payload); templates that provably never reach
+            # .Data.Rows (field-reference analysis — `.`/`.Data` count as
+            # reaching it) render from the envelope scalars alone, so
+            # don't JSON-encode the payload per row just to throw it away
+            # (VERDICT r03). Ambiguity errs toward serializing.
+            if template_needs_rows(template):
                 struct_cols = F.struct("*")
             else:
                 slim = [c for c in df.columns if c != "rows"]

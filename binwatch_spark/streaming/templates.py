@@ -256,15 +256,21 @@ def _regex_replace_all(pattern: str, s: Any, repl: str) -> str:
 
 
 # Injectable clock for `now` (VERDICT r03: deterministic tests / replays need
-# to pin time). Default is real local time, sprig parity.
-_now_fn = _dt.datetime.now
+# to pin time). Default is timezone-AWARE local time — Go's time.Now()
+# carries the local offset, and RFC3339 layouts (Z07:00 → %z) render an
+# empty offset on a naive datetime.
+def _local_now() -> _dt.datetime:
+    return _dt.datetime.now().astimezone()
+
+
+_now_fn = _local_now
 
 
 def set_clock(fn) -> None:
     """Replace the `now` source with a callable returning a datetime (pass
     None to restore the real clock)."""
     global _now_fn
-    _now_fn = fn if fn is not None else _dt.datetime.now
+    _now_fn = fn if fn is not None else _local_now
 
 
 # Go reference-layout tokens → strftime, longest-first so "January" wins
@@ -313,6 +319,10 @@ def _toml_value(v: Any) -> str:
     if isinstance(v, _dt.datetime):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
+        if any(isinstance(x, dict) for x in v):
+            # same contract as the table-depth check below — refuse loudly
+            # rather than emit a Python-repr string that parses as TOML
+            raise ValueError("toToml: dict inside an array is unsupported")
         return "[" + ", ".join(_toml_value(x) for x in v) + "]"
     if v is None:
         return '""'
@@ -352,6 +362,43 @@ def _num(v: Any):
         return v
     s = str(v)
     return float(s) if "." in s else int(s)
+
+
+def _go_div(a: Any, b: Any):
+    """Go integer division truncates toward ZERO (Python's // floors):
+    div -7 2 is -3 under Go templates, -4 under //."""
+    na, nb = _num(a), _num(b)
+    if isinstance(na, int) and isinstance(nb, int):
+        q = abs(na) // abs(nb)
+        return -q if (na < 0) != (nb < 0) else q
+    return na / nb
+
+
+def _go_mod(a: Any, b: Any):
+    """Go % takes the sign of the DIVIDEND (mod -7 3 = -1, not Python's 2)."""
+    na, nb = _num(a), _num(b)
+    r = abs(na) % abs(nb)
+    return -r if na < 0 else r
+
+
+def _atoi(s: Any) -> int:
+    # sprig's atoi discards strconv's error: bad input → 0
+    try:
+        return int(str(s).strip())
+    except (TypeError, ValueError):
+        return 0
+
+
+def _substr(start: Any, end: Any, s: Any) -> str:
+    """sprig substr: negative start → 0, negative end → rest of string
+    (NOT Python's from-the-right slicing)."""
+    text = _go_str(s)
+    a, b = int(start), int(end)
+    if a < 0:
+        a = 0
+    if b < 0:
+        b = len(text)
+    return text[a:b]
 
 
 def _merge_dicts(dst: dict, *srcs: dict) -> dict:
@@ -415,15 +462,14 @@ _FUNCS: dict[str, Any] = {
     "add": lambda *ns: sum(_num(n) for n in ns),
     "sub": lambda a, b: _num(a) - _num(b),
     "mul": lambda *ns: __import__("math").prod(_num(n) for n in ns),
-    "div": lambda a, b: _num(a) // _num(b)
-    if isinstance(_num(a), int) and isinstance(_num(b), int)
-    else _num(a) / _num(b),
-    "mod": lambda a, b: _num(a) % _num(b),
+    "div": _go_div,
+    "mod": _go_mod,
     "max": lambda *ns: max(_num(n) for n in ns),
     "min": lambda *ns: min(_num(n) for n in ns),
     "len": lambda v: len(v) if v is not None else 0,
     "toString": _go_str,
-    "atoi": lambda s: int(str(s)),
+    # sprig atoi ignores the strconv error: unparsable → 0, not a raise
+    "atoi": _atoi,
     "int": lambda v: int(_num(v)),
     "float64": lambda v: float(_num(v)),
     "abbrev": lambda width, s: (
@@ -439,7 +485,7 @@ _FUNCS: dict[str, Any] = {
     "trimAll": lambda cut, s: _go_str(s).strip(str(cut)),
     "replace": lambda old, new, s: _go_str(s).replace(str(old), str(new)),
     "repeat": lambda count, s: _go_str(s) * int(count),
-    "substr": lambda start, end, s: _go_str(s)[int(start) : int(end)],
+    "substr": _substr,
     "nospace": lambda s: re.sub(r"\s", "", _go_str(s)),
     "indent": lambda n, s: "\n".join(
         " " * int(n) + ln for ln in _go_str(s).split("\n")
@@ -823,6 +869,22 @@ def native_key_expr(template: str):
         return None  # constant template — let the renderer handle it
     cols = [F.lit(p) if isinstance(p, str) else p for p in exprs]
     return cols[0] if len(cols) == 1 else F.concat(*cols)
+
+
+def template_needs_rows(template: str) -> bool:
+    """True unless every field reference in the template provably avoids
+    ``.Data.Rows`` — used by the fallback shard-key renderer to decide
+    whether the (fat) payload column must be serialized. ``.`` and
+    ``.Data`` reach Rows indirectly, so they count as needing it; any
+    ambiguity errs toward True (serialize), never toward dropping data a
+    template could read."""
+    for m in _EXPR_RE.finditer(template):
+        for ref in re.findall(
+            r"(?<![\w\"'])\.(?:[A-Za-z_][A-Za-z0-9_.]*)?", m.group(1)
+        ):
+            if ref in (".", ".Data") or ref.startswith(".Data.Rows"):
+                return True
+    return False
 
 
 def item_from_row(row: dict, item_id: int) -> dict:

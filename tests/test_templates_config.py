@@ -378,3 +378,50 @@ def test_example_config_parses_and_compiles(spark, monkeypatch):
     assert [r.name for r in routes] == ["users-to-api", "everything-to-topic"]
     # the documented key shape compiles to a pure column expression
     assert native_key_expr(cfg.sharding.key_template) is not None
+
+
+def test_template_go_div_mod_truncate_toward_zero():
+    # Go integer division truncates toward zero; % takes the dividend's sign
+    assert compile_template("{{ div -7 2 }}")(ITEM) == "-3"
+    assert compile_template("{{ div 7 2 }}")(ITEM) == "3"
+    assert compile_template("{{ mod -7 3 }}")(ITEM) == "-1"
+    assert compile_template("{{ mod 7 3 }}")(ITEM) == "1"
+
+
+def test_template_atoi_swallows_errors():
+    # sprig atoi discards the strconv error: unparsable → 0
+    assert compile_template('{{ atoi "notanumber" }}')(ITEM) == "0"
+    assert compile_template("{{ atoi .Data.Table }}")(ITEM) == "0"
+
+
+def test_template_substr_sprig_semantics():
+    # negative end = rest of string (NOT Python's from-the-right)
+    assert compile_template('{{ substr 0 -1 "hello" }}')(ITEM) == "hello"
+    assert compile_template('{{ substr 1 -1 "hello" }}')(ITEM) == "ello"
+    assert compile_template('{{ substr -5 2 "hello" }}')(ITEM) == "he"
+
+
+def test_template_now_has_utc_offset():
+    # default clock is tz-aware local time so Z07:00/-0700 layouts render
+    # a real offset (Go time.Now() parity), not an empty string
+    out = compile_template('{{ now | date "2006-01-02T15:04:05Z07:00" }}')(ITEM)
+    assert len(out) >= len("2026-01-01T00:00:00") + 5  # +hhmm or +hh:mm
+
+
+def test_template_totoml_rejects_dict_in_array():
+    with pytest.raises(ValueError, match="array"):
+        compile_template('{{ toToml (dict "a" (list (dict "k" 1))) }}')(ITEM)
+
+
+def test_template_needs_rows_analysis():
+    from binwatch_spark.streaming.templates import template_needs_rows
+
+    # direct, indirect, and whole-item references all need rows
+    assert template_needs_rows("{{ (index .Data.Rows 0).id }}")
+    assert template_needs_rows("{{ .Data.Rows | toJson }}")
+    assert template_needs_rows("{{ .Data | toJson }}")
+    assert template_needs_rows("{{ . | toJson }}")
+    assert template_needs_rows('{{ index .Data "Rows" }}')
+    # scalar-only templates provably don't
+    assert not template_needs_rows("{{ .Data.Table | upper }}")
+    assert not template_needs_rows("{{ .Log.BinlogFile }}/{{ .ItemID }}")

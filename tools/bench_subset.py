@@ -2,7 +2,7 @@
 
 Usage: python tools/bench_subset.py [-n 3] q23_minhash_lsh_dedup q24_...
 
-Exists because bench.py runs the full 70-query suite once; when tuning one
+Exists because bench.py times the full query suite; when tuning one
 operator you want min-of-N on just that query so a 0.5 s swing is
 attributable to the change and not single-run noise (VERDICT r03).
 """
