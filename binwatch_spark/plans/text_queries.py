@@ -328,3 +328,85 @@ def q65_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", s["scrubbed"].alias("scrubbed"), s["n_digits"].alias("n_digits")
     )
+
+
+@register(
+    "q79_boilerplate_strip",
+    oracle=r"""
+SELECT doc_id,
+  trim(regexp_replace(
+    regexp_replace(
+      regexp_replace(text, 'https?://[^ ]+', ' ', 'g'),
+      '<[^>]*>', ' ', 'g'),
+    ' +', ' ', 'g')) AS cleaned,
+  CAST(length(trim(regexp_replace(
+    regexp_replace(
+      regexp_replace(text, 'https?://[^ ]+', ' ', 'g'),
+      '<[^>]*>', ' ', 'g'),
+    ' +', ' ', 'g'))) AS BIGINT) AS cleaned_chars,
+  CAST(length(text) AS BIGINT) AS raw_chars
+FROM documents
+""",
+)
+def q79_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate stripping (web-corpus cleaning): remove URLs and markup
+    tags, collapse whitespace, report cleaned vs raw char counts — the
+    first pass of every crawl-derived training pipeline. Three chained
+    regexp_replace calls, all codegen (character classes only, so Java
+    regex and RE2 agree byte-for-byte), one scan, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), r"https?://[^ ]+", " "),
+                r"<[^>]*>",
+                " ",
+            ),
+            r" +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        F.length(cleaned).cast("bigint").alias("cleaned_chars"),
+        F.length("text").cast("bigint").alias("raw_chars"),
+    )
+
+
+@register(
+    "q80_repetition_score",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(text, '.'), x -> trim(x)),
+                x -> x <> '') AS sents
+  FROM documents)
+SELECT doc_id,
+  CAST(len(sents) AS BIGINT) AS n_sentences,
+  CASE WHEN len(sents) = 0 THEN 0.0
+       ELSE 1.0 - CAST(len(list_distinct(sents)) AS DOUBLE) / len(sents)
+  END AS dup_sentence_frac
+FROM s
+""",
+)
+def q80_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring (Gopher/C4-style quality rule): fraction of
+    duplicated sentences per document — templated/spammy documents repeat
+    themselves, and curation pipelines threshold on exactly this signal.
+    Sentence split + distinct-count as pure array expressions: one scan,
+    no shuffle, no UDF."""
+    docs = load(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), r"\."), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n = F.size(sents)
+    frac = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(sents)).cast("double") / n
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_sentences"),
+        frac.alias("dup_sentence_frac"),
+    )
