@@ -97,17 +97,29 @@ def compact(
     NEW path — atomic swap/rename is the caller's (or table format's) job.
     """
     import math
+    import os
 
     df = spark.read.parquet(in_path)
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
-    # ONE FileSystem call for the whole tree (getContentSummary), not one
-    # getFileStatus py4j round trip per file — per-file RPCs from the
-    # driver are exactly the many-small-files pathology this operator
-    # exists to fix.
-    p = jvm.org.apache.hadoop.fs.Path(in_path)
-    fs = p.getFileSystem(conf)
-    total = fs.getContentSummary(p).getLength()
+    # Sizes come from ONE listStatus per parent DIRECTORY of the dataset's
+    # actual input files (normally a single call), filtered to exactly the
+    # files the scan reads. Per-file getFileStatus RPCs would be O(n_files)
+    # driver round trips — the very pathology this operator fixes — and
+    # getContentSummary(in_path) would overcount (_SUCCESS, .crc, stale
+    # _temporary dirs) and break glob in_paths that spark.read accepts.
+    by_dir: dict[str, set[str]] = {}
+    for f in df.inputFiles():
+        by_dir.setdefault(os.path.dirname(f), set()).add(os.path.basename(f))
+    total = 0
+    for d, names in by_dir.items():
+        p = jvm.org.apache.hadoop.fs.Path(d)
+        fs = p.getFileSystem(conf)
+        for status in fs.listStatus(p):
+            # basename match sidesteps scheme-normalization differences
+            # (file:/ vs file:///) between inputFiles() and listStatus
+            if status.getPath().getName() in names:
+                total += status.getLen()
     n = max(1, math.ceil(total / target_file_bytes))
     df.repartition(n).write.mode("overwrite").parquet(out_path)
     return n

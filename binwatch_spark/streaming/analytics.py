@@ -99,9 +99,12 @@ def interval_join(
         l = l.withWatermark(left_ts, watermark)
     if r.isStreaming:
         r = r.withWatermark(right_ts, watermark)
+    # side-qualified refs (l[...]/r[...]): unqualified F.col would be
+    # AMBIGUOUS_REFERENCE whenever the opposite side also carries a column
+    # with that name (most event schemas have a 'ts')
     cond = (
         (l[key] == r[key])
-        & (F.col(right_ts) <= F.col(left_ts))
-        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
+        & (r[right_ts] <= l[left_ts])
+        & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {lookback}"))
     )
     return l.join(r, cond, "inner").drop(r[key])

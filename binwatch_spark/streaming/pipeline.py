@@ -130,10 +130,12 @@ def _sequence_batch(batch_df: DataFrame, workers: int = 1) -> DataFrame:
     row_number over (file) windows, encoded as file_seq << 32 | row_number.
     MySQL binlog names carry a monotonic numeric suffix (mysql-bin.000001),
     so ids are unique, monotonic within a file, and monotonic across
-    rotations; a name WITHOUT a numeric suffix falls back to a 31-bit hash
-    of the full name (distinct files ⇒ distinct seq whp) rather than a
-    shared constant, which would collide ids across such files. No
-    partition-less Window in the plan either way."""
+    rotations; a name WITHOUT a numeric suffix falls back to a hash of the
+    full name mapped into [2^30, 2^31) — DISJOINT from the realistic
+    suffix range (MySQL suffixes are ≤7-digit ints ≪ 2^30) so a hashed
+    file cannot collide with a suffixed one, below 2^31 so the <<32 stays
+    inside signed 64-bit, and distinct hashed files collide only at ~2^-30.
+    No partition-less Window in the plan either way."""
     if workers <= 1:
         w = Window.orderBy("binlog_file", "binlog_position")
         return batch_df.withColumn(
@@ -144,7 +146,9 @@ def _sequence_batch(batch_df: DataFrame, workers: int = 1) -> DataFrame:
         F.nullif(F.regexp_extract("binlog_file", r"(\d+)$", 1), F.lit("")).cast(
             "bigint"
         ),
-        F.pmod(F.xxhash64("binlog_file"), F.lit(1 << 31)).cast("bigint"),
+        (F.pmod(F.xxhash64("binlog_file"), F.lit(1 << 30)) + F.lit(1 << 30)).cast(
+            "bigint"
+        ),
     )
     return batch_df.withColumn(
         "item_id",

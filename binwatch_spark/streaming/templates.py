@@ -275,6 +275,10 @@ def set_clock(fn) -> None:
 
 # Go reference-layout tokens → strftime, longest-first so "January" wins
 # over "Jan" and "2006" over "06". Covers the layouts sprig docs use.
+# Offset tokens (Z07:00 / -07:00 / -0700) are handled SEPARATELY in _date:
+# strftime's %z can only produce "+hhmm" — never Go's colon form or the
+# RFC3339 "Z" at UTC — so the offset is formatted manually and substituted
+# as a literal before strftime runs.
 _GO_LAYOUT_TOKENS = [
     ("January", "%B"),
     ("Monday", "%A"),
@@ -288,9 +292,6 @@ _GO_LAYOUT_TOKENS = [
     ("04", "%M"),
     ("05", "%S"),
     ("PM", "%p"),
-    ("-07:00", "%z"),
-    ("-0700", "%z"),
-    ("Z07:00", "%z"),
     ("MST", "%Z"),
     ("06", "%y"),
 ]
@@ -300,14 +301,33 @@ _GO_LAYOUT_RE = re.compile(
 _GO_LAYOUT_MAP = dict(_GO_LAYOUT_TOKENS)
 
 
+def _go_offset(t: _dt.datetime, colon: bool, zulu: bool) -> str:
+    off = t.utcoffset()
+    if off is None:  # naive datetime (injected test clock) — Go's "" analog
+        return ""
+    total = int(off.total_seconds())
+    if zulu and total == 0:
+        return "Z"
+    sign = "+" if total >= 0 else "-"
+    hh, mm = divmod(abs(total) // 60, 60)
+    return f"{sign}{hh:02d}:{mm:02d}" if colon else f"{sign}{hh:02d}{mm:02d}"
+
+
 def _date(fmt: str, t: Any) -> str:
     """sprig date: format a time with a Go reference layout. Accepts a
-    datetime (from `now`) or epoch seconds."""
+    datetime (from `now`) or epoch seconds (interpreted in local time,
+    tz-aware — Go's time.Unix carries the zone)."""
     if isinstance(t, (int, float)) and not isinstance(t, bool):
-        t = _dt.datetime.fromtimestamp(t)
+        t = _dt.datetime.fromtimestamp(t).astimezone()
     if not isinstance(t, _dt.datetime):
         raise ValueError(f"date: cannot format {type(t).__name__}")
-    strf = _GO_LAYOUT_RE.sub(lambda m: _GO_LAYOUT_MAP[m.group(0)], str(fmt))
+    layout = str(fmt)
+    # Go offset tokens → literal formatted offset (constant per datetime);
+    # the replacement text contains no '%' so strftime passes it through.
+    layout = layout.replace("Z07:00", _go_offset(t, colon=True, zulu=True))
+    layout = layout.replace("-07:00", _go_offset(t, colon=True, zulu=False))
+    layout = layout.replace("-0700", _go_offset(t, colon=False, zulu=False))
+    strf = _GO_LAYOUT_RE.sub(lambda m: _GO_LAYOUT_MAP[m.group(0)], layout)
     return t.strftime(strf)
 
 
@@ -381,12 +401,15 @@ def _go_mod(a: Any, b: Any):
     return -r if na < 0 else r
 
 
+_ATOI_RE = re.compile(r"^[+-]?[0-9]+$")
+
+
 def _atoi(s: Any) -> int:
-    # sprig's atoi discards strconv's error: bad input → 0
-    try:
-        return int(str(s).strip())
-    except (TypeError, ValueError):
-        return 0
+    # strconv.Atoi parity: ASCII digits with optional sign ONLY — Python's
+    # int() extras (surrounding whitespace, '_' separators, unicode digits)
+    # all error in Go, and sprig maps the error to 0.
+    text = str(s)
+    return int(text) if _ATOI_RE.match(text) else 0
 
 
 def _substr(start: Any, end: Any, s: Any) -> str:

@@ -402,10 +402,18 @@ def test_template_substr_sprig_semantics():
 
 
 def test_template_now_has_utc_offset():
+    import re as _re
+
     # default clock is tz-aware local time so Z07:00/-0700 layouts render
-    # a real offset (Go time.Now() parity), not an empty string
+    # a real offset (Go time.Now() parity), not an empty string — and the
+    # Z07:00 form must be STRICT RFC3339: 'Z' at UTC, else ±hh:mm (colon)
     out = compile_template('{{ now | date "2006-01-02T15:04:05Z07:00" }}')(ITEM)
-    assert len(out) >= len("2026-01-01T00:00:00") + 5  # +hhmm or +hh:mm
+    assert _re.fullmatch(
+        r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(Z|[+-]\d{2}:\d{2})", out
+    ), out
+    # -0700 keeps the colonless form; epoch-seconds path is tz-aware too
+    out2 = compile_template('{{ date "15:04-0700" 1700000000 }}')(ITEM)
+    assert _re.fullmatch(r"\d{2}:\d{2}[+-]\d{4}", out2), out2
 
 
 def test_template_totoml_rejects_dict_in_array():
@@ -425,3 +433,11 @@ def test_template_needs_rows_analysis():
     # scalar-only templates provably don't
     assert not template_needs_rows("{{ .Data.Table | upper }}")
     assert not template_needs_rows("{{ .Log.BinlogFile }}/{{ .ItemID }}")
+
+
+def test_template_atoi_strconv_strictness():
+    # strconv.Atoi parity: whitespace, underscores, unicode digits all → 0
+    assert compile_template('{{ atoi " 12 " }}')(ITEM) == "0"
+    assert compile_template('{{ atoi "1_2" }}')(ITEM) == "0"
+    assert compile_template('{{ atoi "-7" }}')(ITEM) == "-7"
+    assert compile_template('{{ atoi "+7" }}')(ITEM) == "7"
