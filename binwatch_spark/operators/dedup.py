@@ -74,7 +74,9 @@ def _with_token_sets(df: DataFrame, text_col: str, tokenizer=distinct_tokens) ->
     return df.withColumn("_toks", tokenizer(F.col(text_col)))
 
 
-def _small_vocab_from_toks(toks_df: DataFrame) -> list[str] | None:
+def _small_vocab_from_toks(
+    toks_df: DataFrame, skip_sample: bool = False
+) -> list[str] | None:
     """Global token dictionary IF it fits the int64 bitmask path (≤63 words),
     else None; ``toks_df`` carries a pre-tokenized ``_toks`` column (pass a
     persisted frame so the tokenizer kernel runs once across gate + verify).
@@ -91,10 +93,18 @@ def _small_vocab_from_toks(toks_df: DataFrame) -> list[str] | None:
     subset lower-bounds the global distinct, so sample > bound ⇒ global >
     bound — exploding 1k cached rows instead of the corpus), then the full
     corpus pass only in the rare small-vocabulary case the sample can't
-    rule out."""
-    sample = toks_df.limit(1024).select(F.explode("_toks").alias("t"))
-    if sample.agg(F.approx_count_distinct("t").alias("n")).first()[0] > 80:
-        return None
+    rule out.
+
+    ``skip_sample``: callers that already know the corpus is small (e.g.
+    jaccard_pairs, whose block-size probe returns the exact row count as a
+    by-product) pass True to drop the sample job — the full-corpus approx
+    pass doubles as the persist-cache fill the main query needs anyway, so
+    for small corpora the sample stage is pure fixed-cost (one extra Spark
+    job, ~0.3 s on local)."""
+    if not skip_sample:
+        sample = toks_df.limit(1024).select(F.explode("_toks").alias("t"))
+        if sample.agg(F.approx_count_distinct("t").alias("n")).first()[0] > 80:
+            return None
     toks = toks_df.select(F.explode("_toks").alias("t"))
     approx = toks.agg(F.approx_count_distinct("t").alias("n")).first()[0]
     if approx > 80:  # approx err is ~2-5%; 80 is safely above the 63 bound
@@ -133,20 +143,42 @@ def jaccard_pairs(
     id_col: str,
     block_col: str,
     threshold: float,
+    max_block_docs: int = 100_000,
 ) -> DataFrame:
     """Exact token-set Jaccard over pairs sharing a blocking key.
 
-    Blocking bounds the quadratic term to within-block pairs; at 100 TB the
-    blocking key comes from LSH (see minhash_lsh_pairs) instead of metadata.
+    Blocking bounds the quadratic term to within-block pairs — but block
+    cardinality is DATA-dependent, and a hot metadata key (one `source`
+    holding 10% of a 100 TB corpus) degenerates quadratically.  So the
+    block sizes are probed FIRST (one count-per-key aggregate over just the
+    blocking column — map-side partial combine, a few bytes per key through
+    the exchange, no tokenization forced): if the largest block exceeds
+    ``max_block_docs``, metadata blocking is swapped for the MinHash-LSH
+    band blocking of the q23 rung (minhash_lsh_pairs) whose candidate count
+    is bounded by true similarity, not by key skew.  The cutover trades
+    exact within-block recall for banded recall (≈0.95 at threshold 0.8);
+    the gate bound marks where the exact form stops being computable.
     Output: (i, j, jac) with i < j.
     """
+    probe = (
+        df.groupBy(F.col(block_col))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n").alias("_max"), F.sum("_n").alias("_total"))
+        .first()
+    )
+    max_blk, total_docs = probe["_max"] or 0, probe["_total"] or 0
+    if max_blk > max_block_docs:
+        return minhash_lsh_pairs(df, text_col, id_col, threshold)
     # Tokenize ONCE into a persisted frame: the vocabulary gate and both
     # join sides read it, and re-running the Arrow kernel per consumer costs
     # a full corpus pass each time.
     toks_df = _with_token_sets(spread(df, id_col), text_col).select(
         F.col(id_col), F.col(block_col).alias("_blk"), "_toks"
     ).persist()
-    vocab = _small_vocab_from_toks(toks_df)
+    # The block probe already told us the exact corpus size; below 200k
+    # docs the full-corpus vocabulary pass is cheaper than the sample
+    # pre-gate it exists to protect (see _small_vocab_from_toks).
+    vocab = _small_vocab_from_toks(toks_df, skip_sample=total_docs <= 200_000)
     if vocab is not None:
         # Dictionary-encoded bitmask path: token sets become one int64 per
         # doc, so the pair stage shuffles 16 bytes/row and verifies with
@@ -173,7 +205,12 @@ def jaccard_pairs(
     right = toks_df.select(
         F.col(id_col).alias("j"), "_blk", F.col("_toks").alias("_tj")
     )
-    pairs = left.join(right, on="_blk").filter(F.col("i") < F.col("j"))
+    # Size-ratio prefilter (lossless): jac ≤ min(|A|,|B|)/max(|A|,|B|), so
+    # pairs failing the ratio can't reach the threshold — pruned with two
+    # codegen size() compares BEFORE the interpreted array_intersect runs.
+    szi, szj = F.size(F.col("_ti")), F.size(F.col("_tj"))
+    ratio_ok = F.least(szi, szj).cast("double") >= F.greatest(szi, szj) * threshold
+    pairs = left.join(right, on="_blk").filter((F.col("i") < F.col("j")) & ratio_ok)
     inter = F.size(F.array_intersect(F.col("_ti"), F.col("_tj")))
     union = F.size(F.col("_ti")) + F.size(F.col("_tj")) - inter
     jac = inter.cast("double") / union

@@ -163,12 +163,45 @@ def q07_monotonic_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q08_shard_assign", oracle=None)
+def _fnv1a64_le8_sql(count: int) -> str:
+    """Pure-SQL FNV-1a64 over the 8 LE bytes of ``event_id`` for DuckDB.
+
+    Eight unrolled xor+multiply rounds with 64-bit wraparound done in
+    HUGEINT (128-bit) arithmetic — max intermediate is 2^64 · prime ≈ 2^104,
+    well inside hugeint range.  xor only ever touches the low byte
+    (operand < 256), so ``h ^ b == h - (h % 256) + xor(h % 256, b)`` and
+    DuckDB's bigint ``xor`` suffices.  Mirrors _fnv1a64_u64_le8
+    (operators/sharding.py:35-47) / Go hash/fnv (blsenderwork.go:142-147).
+    """
+    two64 = "CAST(18446744073709551616 AS HUGEINT)"
+    prime = 1099511628211
+    ctes = [
+        "u AS (SELECT event_id, CASE WHEN event_id < 0 THEN"
+        f" CAST(event_id AS HUGEINT) + {two64} ELSE"
+        " CAST(event_id AS HUGEINT) END AS v FROM events)",
+        "r0 AS (SELECT v, CAST(14695981039346656037 AS HUGEINT) AS h FROM u)",
+    ]
+    for i in range(8):
+        byte = f"CAST((v // {256 ** i}) % 256 AS BIGINT)"
+        ctes.append(
+            f"r{i + 1} AS (SELECT v, ((h - (h % 256)"
+            f" + xor(CAST(h % 256 AS BIGINT), {byte})) * {prime})"
+            f" % {two64} AS h FROM r{i})"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT CAST(h % {count} AS BIGINT) AS shard,"
+        " count(*) AS n_events FROM r8 GROUP BY shard"
+    )
+
+
+@register("q08_shard_assign", oracle=_fnv1a64_le8_sql(4))
 def q08_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard assignment R1 (blsenderwork.go:126-149): FNV-1a64 of the 8 LE
-    bytes of the position, unsigned % 4 — per-shard event counts. FNV is not
-    expressible in DuckDB SQL → rows-only check; the ported property tests
-    (tests/test_sharding.py) carry the real verification load."""
+    bytes of the position, unsigned % 4 — per-shard event counts. The DuckDB
+    oracle spells FNV-1a64 as 8 unrolled xor+multiply rounds in HUGEINT
+    arithmetic (_fnv1a64_le8_sql); the ported property tests
+    (tests/test_sharding.py) cover the Go test vectors."""
     ev = load(spark, sf_dir, "events")
     shard = make_shard_udf(4)(F.col("event_id"))
     return (
