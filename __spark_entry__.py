@@ -37,7 +37,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle twin for every SQL-expressible query; rows-only ops
-    (q08 FNV sharding, q21 HLL sketch, MinHash/SimHash) are omitted by
-    design — see their docstrings."""
+    """DuckDB oracle twin for every SQL-expressible query. The only
+    rows-only entry is q55_approx_distinct (HLL sketch estimates have no
+    DuckDB spelling) — everything else, including FNV-1a64 sharding (q08,
+    spelled as HUGEINT modular arithmetic), carries a full oracle."""
     return all_oracles()

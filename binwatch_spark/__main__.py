@@ -34,7 +34,17 @@ def _sync(args: argparse.Namespace) -> int:
     from binwatch_spark.session import get_spark
     from binwatch_spark.streaming.pipeline import run_supervised
 
+    # logger: section (config.go:23,54 parity) — honor the configured level
+    # on both the Python logger and the Spark JVM logger before any work.
+    import logging
+
+    logging.basicConfig(level=getattr(logging, cfg.logger.py_level()))
+    logging.getLogger("binwatch_spark").setLevel(
+        getattr(logging, cfg.logger.py_level())
+    )
+
     spark = get_spark(f"binwatch-{cfg.server.id}", master=args.master)
+    spark.sparkContext.setLogLevel(cfg.logger.spark_level())
     listener = ProgressListener()
     spark.streams.addListener(listener)
     httpd = serve_api(cfg, listener) if args.serve_api else None

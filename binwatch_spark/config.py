@@ -74,6 +74,36 @@ class SourceConfig:
 
 
 @dataclass
+class LoggerConfig:
+    """``logger:`` section (config.go:23,54) — one key, ``level``, one of
+    debug|info|warn|error. Unknown or empty values fall back to DEBUG,
+    mirroring logger.go GetLevel's default branch."""
+
+    level: str = ""
+
+    _PY_LEVELS = {
+        "debug": "DEBUG",
+        "info": "INFO",
+        "warn": "WARNING",
+        "error": "ERROR",
+    }
+    _SPARK_LEVELS = {
+        "debug": "DEBUG",
+        "info": "INFO",
+        "warn": "WARN",
+        "error": "ERROR",
+    }
+
+    def py_level(self) -> str:
+        """Python ``logging`` level name for this config."""
+        return self._PY_LEVELS.get(self.level.lower(), "DEBUG")
+
+    def spark_level(self) -> str:
+        """``SparkContext.setLogLevel`` name for this config."""
+        return self._SPARK_LEVELS.get(self.level.lower(), "DEBUG")
+
+
+@dataclass
 class ShardingConfig:
     enabled: bool = False
     count: int = 1
@@ -136,6 +166,7 @@ class JobConfig:
     sharding: ShardingConfig
     connectors: list[ConnectorConfig]
     routes: list[RouteConfig]
+    logger: LoggerConfig = field(default_factory=LoggerConfig)
 
     def connector_by_name(self, name: str) -> ConnectorConfig:
         for conn in self.connectors:
@@ -177,6 +208,7 @@ def _validate(cfg: JobConfig) -> None:
 
 def parse(doc: dict) -> JobConfig:
     server_d = doc.get("server", {}) or {}
+    logger_d = doc.get("logger", {}) or {}
     pool_d = server_d.get("pool", {}) or {}
     cache_d = server_d.get("cache", {}) or {}
     source_d = doc.get("source", {}) or {}
@@ -266,6 +298,7 @@ def parse(doc: dict) -> JobConfig:
         ),
         connectors=connectors,
         routes=routes,
+        logger=LoggerConfig(level=str(logger_d.get("level", "") or "")),
     )
     _validate(cfg)
     return cfg

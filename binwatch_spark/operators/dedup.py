@@ -788,6 +788,7 @@ def connected_components_star(
     # release the gate's pair cache before iterating.
     pairs.unpersist()
     n_edges = edges.count()
+    converged = n_edges == 0  # edgeless graph is trivially a star forest
     for _ in range(max_iter):
         round_input, n_input = edges, n_edges
         # large-star: m(u) = min of closed neighborhood; attach every
@@ -840,10 +841,82 @@ def connected_components_star(
     # fixed point: every component is a star centered at its minimum, so
     # each non-center node appears exactly once as the larger endpoint.
     star = edges.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    if not converged:
+        # max_iter exhausted before the fixed point (ADVICE r04): a node can
+        # still hang off two different centers, which would emit duplicate
+        # (doc_id, cluster_id) rows through the left join below. Degrade the
+        # same way connected_components does — one label per node — instead
+        # of silently corrupting output. (Labels may then split a true
+        # component across clusters, the documented max_iter contract.)
+        star = star.groupBy("node").agg(F.min("label").alias("label"))
     return (
         all_nodes.join(star, "node", "left")
         .select(
             F.col("node").alias("doc_id"),
             F.coalesce(F.col("label"), F.col("node")).alias("cluster_id"),
+        )
+    )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """Substring-level duplication metrics: per document, the fraction of
+    its distinct ``window``-token spans that also appear in at least one
+    OTHER document (or repeat within it) — the span-dedup signal from
+    "Deduplicating Training Data Makes Language Models Better" (Lee et al.,
+    ACL 2022), where exactly-repeated 50-token spans mark boilerplate and
+    cross-document contamination that document-level dedup (q18/q23) misses.
+
+    Plan shape: windows are built MAP-SIDE with codegen-friendly
+    expressions (split → sequence → slice → array_join; no Python), then
+    immediately collapsed to an int64 ``xxhash64`` key so every downstream
+    exchange moves 16 B/row instead of the span text — the 100 TB posture:
+    distinct (doc, span) pairs, one count-per-span aggregate, one semi-ish
+    left join back, one per-doc aggregate, all on (int64, int64) rows.
+    Grouping by a 64-bit hash instead of the span string merges true
+    distinct spans only on a hash collision (~2⁻⁶⁴ per pair; immaterial vs
+    the dedup decision it feeds). Output: (id, n_windows, n_dup, dup_frac)
+    for every document with ≥ window tokens.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n_wins = F.size(toks) - window + 1
+    # sequence(a, b) runs DESCENDING when a > b — guard short docs to an
+    # empty array so explode drops them instead of slicing nonsense.
+    wins = F.when(
+        n_wins >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_wins),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, window), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    pairs = (
+        spread(df, id_col)
+        .select(F.col(id_col), F.explode(wins).alias("_wh"))
+        .distinct()
+    )
+    dup = (
+        pairs.groupBy("_wh")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("_wh", F.lit(1).alias("_isdup"))
+    )
+    return (
+        pairs.join(dup, "_wh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("_isdup"), F.lit(0))).alias("n_dup"),
+        )
+        .select(
+            F.col(id_col),
+            "n_windows",
+            "n_dup",
+            (F.col("n_dup").cast("double") / F.col("n_windows")).alias(
+                "dup_frac"
+            ),
         )
     )

@@ -84,7 +84,14 @@ def compact(
     target_file_bytes: int = 128 * 1024 * 1024,
 ) -> int:
     """Small-file compaction: rewrite a parquet dataset into
-    ceil(total_bytes / target) size-targeted files; returns the file count.
+    ceil(total_bytes / target) size-targeted files.
+
+    Returns the PLANNED partition count (the repartition width), which is
+    also the written data-file count unless a partition serializes to zero
+    rows. The rewrite is a flat layout: hive-style partition directories in
+    ``in_path`` are read through (their partition columns become ordinary
+    columns) but are NOT re-created under ``out_path`` — re-partitioned
+    layouts should use write_partitioned after compacting.
 
     The operational 100 TB lever the write path eventually needs: streaming
     sinks and fine-grained partitioned writes accumulate kilobyte files,
@@ -108,9 +115,16 @@ def compact(
     # driver round trips — the very pathology this operator fixes — and
     # getContentSummary(in_path) would overcount (_SUCCESS, .crc, stale
     # _temporary dirs) and break glob in_paths that spark.read accepts.
+    # inputFiles() returns URI-encoded paths (space → %20) while
+    # listStatus names are decoded — unquote before matching or files with
+    # URI-escapable characters are silently skipped (ADVICE r04).
+    from urllib.parse import unquote
+
     by_dir: dict[str, set[str]] = {}
     for f in df.inputFiles():
-        by_dir.setdefault(os.path.dirname(f), set()).add(os.path.basename(f))
+        by_dir.setdefault(os.path.dirname(f), set()).add(
+            unquote(os.path.basename(f))
+        )
     total = 0
     for d, names in by_dir.items():
         p = jvm.org.apache.hadoop.fs.Path(d)

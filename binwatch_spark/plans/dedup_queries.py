@@ -249,3 +249,45 @@ def q44_levenshtein_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.levenshtein_pairs(
         docs, "text", "doc_id", ["lang", "source", "_lbkt"], LEV_MAX_DIST
     )
+
+
+SPAN_WINDOW = 8
+
+
+@register(
+    "q81_substring_dedup",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), pos AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - {SPAN_WINDOW} + 2)) AS i
+  FROM toks WHERE len(t) >= {SPAN_WINDOW}
+), wins AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, i, i + {SPAN_WINDOW} - 1), ' ') AS win
+  FROM pos
+), dup AS (
+  SELECT win FROM wins GROUP BY win HAVING count(*) >= 2
+)
+SELECT w.doc_id,
+       count(*) AS n_windows,
+       CAST(sum(CASE WHEN d.win IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup,
+       CAST(sum(CASE WHEN d.win IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS dup_frac
+FROM wins w LEFT JOIN dup d ON w.win = d.win
+GROUP BY w.doc_id
+""",
+)
+def q81_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (Lee et al., ACL 2022): per-document fraction
+    of distinct 8-token spans that recur elsewhere in the corpus — catches
+    boilerplate and partial copies that document-level dedup (q18/q23)
+    misses. The Spark plan groups spans by int64 xxhash64 map-side (16 B
+    rows through every exchange; the oracle groups the span text — outputs
+    agree absent a ~2⁻⁶⁴ hash collision). See
+    operators/dedup.duplicated_span_stats for the plan audit."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.duplicated_span_stats(
+        docs, "text", "doc_id", window=SPAN_WINDOW
+    )

@@ -36,6 +36,17 @@ from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPart
 from binwatch_spark.sources.envelope import ENVELOPE_SCHEMA
 
 
+def _parse_duration_seconds(text: str) -> float:
+    """Go-style duration strings ("90s", "500ms", "1m", "1h") → seconds;
+    bare numbers are seconds (config.go readTimeout/heartbeatPeriod)."""
+    s = str(text).strip()
+    units = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0}
+    for suffix in ("ms", "s", "m", "h"):
+        if s.endswith(suffix):
+            return float(s[: -len(suffix)]) * units[suffix]
+    return float(s)
+
+
 @dataclass(frozen=True, order=True)
 class BinlogLocation:
     """Comparable (file, position) offset; binlog file names order
@@ -127,12 +138,21 @@ class MySQLBinlogClient:
         self._options = options
 
     def _connection_settings(self) -> dict:
-        return {
+        settings = {
             "host": self._options.get("host", "127.0.0.1"),
             "port": int(self._options.get("port", 3306)),
             "user": self._options.get("user", ""),
             "passwd": self._options.get("password", ""),
         }
+        # source.readTimeout (config.go / BinlogSyncerConfig.ReadTimeout
+        # parity): bounds a silent-socket wait; with the heartbeat below a
+        # healthy-but-idle master never trips it.
+        timeout = self._options.get("readtimeout") or self._options.get(
+            "readTimeout"
+        )
+        if timeout:
+            settings["read_timeout"] = _parse_duration_seconds(timeout)
+        return settings
 
     def master_location(self) -> BinlogLocation:
         import pymysql
@@ -149,10 +169,55 @@ class MySQLBinlogClient:
     def latest_location(self) -> BinlogLocation:
         return self.master_location()
 
+    def _heartbeat_seconds(self) -> float:
+        """slave_heartbeat for the replication stream — the server emits
+        keepalive events at this period so an idle master doesn't trip the
+        read timeout (BinlogSyncerConfig.HeartbeatPeriod parity,
+        blreaderwork.go:176-177)."""
+        return _parse_duration_seconds(
+            self._options.get("heartbeatperiod")
+            or self._options.get("heartbeatPeriod")
+            or "60s"
+        )
+
+    def _max_reconnects(self) -> int:
+        return int(
+            self._options.get("maxreconnects")
+            or self._options.get("maxReconnects")
+            or 3
+        )
+
+    def _open_stream(self, resume_from: BinlogLocation, only_events: list):
+        from pymysqlreplication import BinLogStreamReader
+
+        return BinLogStreamReader(
+            connection_settings=self._connection_settings(),
+            server_id=int(self._options.get("serverid", 100)),
+            resume_stream=True,
+            log_file=resume_from.file or None,
+            log_pos=resume_from.position or None,
+            only_events=only_events,
+            blocking=False,
+            slave_heartbeat=self._heartbeat_seconds(),
+        )
+
     def read_range(
         self, start: BinlogLocation, end: BinlogLocation
     ) -> Iterator[dict[str, Any]]:
-        from pymysqlreplication import BinLogStreamReader
+        """Records with start < (file, position) <= end, reconnecting on
+        transient stream errors.
+
+        Reconnect semantics: on a read error (timeout, dropped connection)
+        the stream is closed and reopened RESUMING FROM THE LAST GOOD
+        LOCATION, up to maxReconnects times per range. The reference's
+        restartSyncerOnError path instead skips ahead to the CURRENT master
+        position (blreaderwork.go:149-190 — accepting loss to avoid an
+        error loop); a Spark partition read must be replayable over the
+        exact (start, end] range, so skipping ahead would silently drop
+        committed offsets — we resume instead, preserving at-least-once.
+        Rotates are absorbed by pymysqlreplication (log_file switches,
+        log_pos resets), so a reconnect mid-transaction or mid-rotate
+        resumes in the rotated file."""
         from pymysqlreplication.row_event import (
             DeleteRowsEvent,
             UpdateRowsEvent,
@@ -164,40 +229,57 @@ class MySQLBinlogClient:
             UpdateRowsEvent: ("UpdateRowsEventV2", "UPDATE"),
             DeleteRowsEvent: ("DeleteRowsEventV2", "DELETE"),
         }
-        stream = BinLogStreamReader(
-            connection_settings=self._connection_settings(),
-            server_id=int(self._options.get("serverid", 100)),
-            resume_stream=True,
-            log_file=start.file or None,
-            log_pos=start.position or None,
-            only_events=list(op_of),
-            blocking=False,
+        retriable: tuple[type[BaseException], ...] = (
+            OSError,
+            ConnectionError,
+            TimeoutError,
         )
-        try:
-            for event in stream:
-                loc = BinlogLocation(stream.log_file, int(stream.log_pos))
-                if not start < loc <= end:
-                    if loc > end:
-                        break
-                    continue
-                etype, op = next(
-                    v for k, v in op_of.items() if isinstance(event, k)
-                )
-                rows = []
-                for row in event.rows:
-                    values = row.get("values") or row.get("after_values") or {}
-                    rows.append({str(k): str(v) for k, v in values.items()})
-                yield {
-                    "event_type": etype,
-                    "binlog_file": loc.file,
-                    "binlog_position": loc.position,
-                    "database": event.schema,
-                    "table": event.table,
-                    "operation": op,
-                    "rows": rows,
-                }
-        finally:
-            stream.close()
+        try:  # pymysql wraps socket timeouts in OperationalError
+            import pymysql
+
+            retriable = retriable + (pymysql.err.OperationalError,)
+        except ImportError:  # pragma: no cover - fixture environments
+            pass
+
+        cursor = start
+        attempts = 0
+        while True:
+            stream = self._open_stream(cursor, list(op_of))
+            try:
+                for event in stream:
+                    loc = BinlogLocation(stream.log_file, int(stream.log_pos))
+                    if not start < loc <= end:
+                        if loc > end:
+                            return
+                        continue
+                    etype, op = next(
+                        v for k, v in op_of.items() if isinstance(event, k)
+                    )
+                    rows = []
+                    for row in event.rows:
+                        values = (
+                            row.get("values") or row.get("after_values") or {}
+                        )
+                        rows.append(
+                            {str(k): str(v) for k, v in values.items()}
+                        )
+                    yield {
+                        "event_type": etype,
+                        "binlog_file": loc.file,
+                        "binlog_position": loc.position,
+                        "database": event.schema,
+                        "table": event.table,
+                        "operation": op,
+                        "rows": rows,
+                    }
+                    cursor = loc
+                return
+            except retriable:
+                attempts += 1
+                if attempts > self._max_reconnects():
+                    raise
+            finally:
+                stream.close()
 
 
 def _make_client(options: dict[str, str]):

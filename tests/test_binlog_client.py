@@ -239,3 +239,121 @@ def test_import_gate_message_without_package():
 
     with pytest.raises(ImportError, match="replayDir"):
         MySQLBinlogClient({})
+
+
+class _FlakyBinLogStreamReader(_FakeBinLogStreamReader):
+    """Drops the connection (TimeoutError) after yielding `fail_after`
+    events on the FIRST connection, then replays normally on reconnect —
+    the read-timeout path blreaderwork.go:140-190 handles in production."""
+
+    fail_after = 2
+    connections: list["_FlakyBinLogStreamReader"] = []
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        type(self).connections.append(self)
+        self._failing = len(type(self).connections) == 1
+
+    def __iter__(self):
+        count = 0
+        for f, p, e in self._events:
+            # resume_stream semantics: skip events at/before the resume point
+            if (f, p) <= (self.log_file, self.log_pos):
+                continue
+            if self._failing and count >= type(self).fail_after:
+                raise TimeoutError("read timed out (simulated)")
+            self.log_file = f
+            self.log_pos = p
+            count += 1
+            yield e
+
+
+@pytest.fixture
+def flaky_pymysqlreplication(fake_pymysqlreplication):
+    _FlakyBinLogStreamReader.connections = []
+    fake_pymysqlreplication.BinLogStreamReader = _FlakyBinLogStreamReader
+    yield fake_pymysqlreplication
+
+
+def test_reconnect_resumes_from_last_good_location(flaky_pymysqlreplication):
+    """VERDICT r04 #4: a mid-range timeout must reopen the stream at the
+    LAST GOOD location (not the current master position — a Spark partition
+    replays an exact range) and deliver the remainder exactly once."""
+    got = list(
+        _client().read_range(
+            BinlogLocation("mysql-bin.000007", 4),
+            BinlogLocation("mysql-bin.000008", 150),
+        )
+    )
+    assert [(r["binlog_file"], r["binlog_position"]) for r in got] == [
+        ("mysql-bin.000007", 220),
+        ("mysql-bin.000007", 500),
+        ("mysql-bin.000008", 4),
+        ("mysql-bin.000008", 150),
+    ]
+    conns = _FlakyBinLogStreamReader.connections
+    assert len(conns) == 2
+    # second connection resumed from the rotate-straddling failure point
+    assert conns[1].closed and conns[0].closed
+    kw = _FlakyBinLogStreamReader.last_kwargs
+    assert kw["log_file"] == "mysql-bin.000007"
+    assert kw["log_pos"] == 500
+
+
+def test_reconnect_gives_up_after_max_reconnects(fake_pymysqlreplication):
+    class _AlwaysDown(_FakeBinLogStreamReader):
+        opens = 0
+
+        def __iter__(self):
+            type(self).opens += 1
+            raise TimeoutError("down")
+
+    fake_pymysqlreplication.BinLogStreamReader = _AlwaysDown
+    from binwatch_spark.sources.binlog import MySQLBinlogClient
+
+    client = MySQLBinlogClient(
+        {"host": "h", "maxReconnects": "2", "serverid": "1"}
+    )
+    with pytest.raises(TimeoutError):
+        list(
+            client.read_range(
+                BinlogLocation("mysql-bin.000007", 4),
+                BinlogLocation("mysql-bin.000008", 150),
+            )
+        )
+    assert _AlwaysDown.opens == 3  # first try + 2 reconnects
+
+
+def test_heartbeat_and_read_timeout_wired(fake_pymysqlreplication):
+    """heartbeatPeriod → slave_heartbeat on the replication stream and
+    readTimeout → the connection read_timeout (BinlogSyncerConfig
+    ReadTimeout/HeartbeatPeriod parity, blreaderwork.go:170-178)."""
+    from binwatch_spark.sources.binlog import MySQLBinlogClient
+
+    client = MySQLBinlogClient(
+        {
+            "host": "h",
+            "serverid": "1",
+            "readTimeout": "90s",
+            "heartbeatPeriod": "500ms",
+        }
+    )
+    list(
+        client.read_range(
+            BinlogLocation("mysql-bin.000007", 4),
+            BinlogLocation("mysql-bin.000007", 500),
+        )
+    )
+    kw = _FakeBinLogStreamReader.last_kwargs
+    assert kw["slave_heartbeat"] == 0.5
+    assert kw["connection_settings"]["read_timeout"] == 90.0
+
+
+def test_parse_duration_units():
+    from binwatch_spark.sources.binlog import _parse_duration_seconds
+
+    assert _parse_duration_seconds("90s") == 90.0
+    assert _parse_duration_seconds("500ms") == 0.5
+    assert _parse_duration_seconds("2m") == 120.0
+    assert _parse_duration_seconds("1h") == 3600.0
+    assert _parse_duration_seconds("7") == 7.0

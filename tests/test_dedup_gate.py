@@ -64,3 +64,23 @@ def test_cutover_plan_is_band_blocked(docs):
     # the candidate join keys are (band_idx, band_key), not the metadata col
     assert "band_key" in plan
     assert "Left keys [2]: [band_idx" in plan
+
+
+def test_duplicated_span_stats_semantics(spark):
+    # 6-token window over hand-built docs: doc 1 and 2 share one 3-word
+    # overlap region; doc 3 is unique; doc 4 is too short for any window.
+    rows = [
+        (1, "a b c d e f g"),        # windows: abcdef, bcdefg
+        (2, "a b c d e f x"),        # windows: abcdef, bcdefx
+        (3, "p q r s t u v w"),      # unique windows
+        (4, "too short"),            # < 6 tokens: no output row
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup"], r["dup_frac"])
+        for r in dedup.duplicated_span_stats(df, "text", "doc_id", window=6).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (2, 1, 0.5)   # "a b c d e f" shared with doc 2
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (3, 0, 0.0)

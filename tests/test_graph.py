@@ -90,3 +90,16 @@ def test_star_long_path_converges_distributed(spark):
 def test_all_paths_agree_on_random_graphs(spark, edges):
     results = [_labels(spark, edges, fn) for _, fn in ALGOS]
     assert all(r == results[0] for r in results[1:])
+
+
+def test_star_max_iter_exhaustion_degrades_to_one_label_per_node(spark):
+    # ADVICE r04: with max_iter too low for the fixed point, the star
+    # extraction must still emit exactly ONE (doc_id, cluster_id) row per
+    # node (labels may split a component — the documented contract) rather
+    # than duplicate rows for nodes still attached to two centers.
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "i long, j long"
+    )
+    out = connected_components_star(df, max_iter=1, driver_max_edges=0).collect()
+    ids = [r.doc_id for r in out]
+    assert len(ids) == len(set(ids)) == 40

@@ -110,3 +110,15 @@ def test_q74_chunk_overlap_no_shuffle(spark):
     plan = plan_of(spark, "q74_chunk_overlap", mode="simple")
     assert "Exchange" not in plan
     assert "Generate" in plan  # the stride-sequence explode
+
+
+def test_q38_ivf_no_shuffle_before_cell_join(spark):
+    # VERDICT r04 #6: cell assignment must be map-side (broadcast centroid
+    # scores + per-row Arrow top-n), so the ONLY hash exchange in the plan
+    # is the final per-query top-k window — never a shuffle of the full
+    # candidate set before the cell-id equi-join.
+    plan = plan_of(spark, "q38_ann_ivf", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan
+    # partial top-k runs before the one shuffle (WindowGroupLimit pushdown)
+    assert "WindowGroupLimit" in plan.split("Exchange hashpartitioning")[1]

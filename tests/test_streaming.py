@@ -536,3 +536,29 @@ def test_sharding_with_pipe_template_uses_fallback_renderer(spark, tmp_path):
     assert keys == expected
     # affinity: all events share table "users" → one key → ONE shard got all
     assert sorted(len(part) for part in seen) == [0, len(expected)]
+
+
+def test_sequence_batch_huge_suffix_routes_to_hash_fallback(spark):
+    """ADVICE r04: a numeric suffix >= 2^31 (impossible from MySQL, possible
+    in a hand-built replay dir) must not overflow shiftleft(...,32) into
+    negative ids — it routes to the hash fallback range instead."""
+    from binwatch_spark.streaming.pipeline import _sequence_batch
+
+    df = spark.createDataFrame(
+        [
+            ("weird-bin.99999999999", 10),   # > 2^31: hash fallback
+            ("mysql-bin.000003", 10),        # normal suffix path
+            ("no-suffix-name", 10),          # no digits: hash fallback
+        ],
+        "binlog_file string, binlog_position long",
+    )
+    rows = {
+        r["binlog_file"]: r["item_id"]
+        for r in _sequence_batch(df, workers=2).collect()
+    }
+    assert all(v > 0 for v in rows.values())
+    assert rows["mysql-bin.000003"] == (3 << 32) + 1
+    # fallback ids live in the [2^30, 2^31) << 32 band
+    for name in ("weird-bin.99999999999", "no-suffix-name"):
+        assert (1 << 30) <= (rows[name] >> 32) < (1 << 31)
+    assert len(set(rows.values())) == 3

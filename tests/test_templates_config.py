@@ -441,3 +441,150 @@ def test_template_atoi_strconv_strictness():
     assert compile_template('{{ atoi "1_2" }}')(ITEM) == "0"
     assert compile_template('{{ atoi "-7" }}')(ITEM) == "-7"
     assert compile_template('{{ atoi "+7" }}')(ITEM) == "7"
+
+
+def test_config_logger_level_parses_and_maps():
+    # logger: section parity (config.go:23,54; logger.go GetLevel): known
+    # levels map through; unknown/empty falls back to DEBUG like GetLevel.
+    cfg = parse({**BASE_DOC, "logger": {"level": "warn"}})
+    assert cfg.logger.level == "warn"
+    assert cfg.logger.py_level() == "WARNING"
+    assert cfg.logger.spark_level() == "WARN"
+    assert parse(BASE_DOC).logger.py_level() == "DEBUG"
+    assert parse({**BASE_DOC, "logger": {"level": "nope"}}).logger.spark_level() == "DEBUG"
+    assert parse({**BASE_DOC, "logger": {"level": "error"}}).logger.py_level() == "ERROR"
+
+
+def test_config_pod_ordinal_sharding_from_env(monkeypatch, tmp_path):
+    # The reference's chart wires BINWATCH_SHARD_INDEX from the pod-index
+    # label (charts/binwatch/templates/statefulset.yaml:58-69); the same
+    # YAML works here via ${ENV:...}$ expansion at load time.
+    import yaml
+
+    from binwatch_spark.config import load
+
+    monkeypatch.setenv("BINWATCH_SHARD_INDEX", "2")
+    doc = {
+        **BASE_DOC,
+        "sharding": {
+            "enabled": True,
+            "count": 4,
+            "index": "${ENV:BINWATCH_SHARD_INDEX}$",
+        },
+    }
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(doc))
+    cfg = load(str(p))
+    assert cfg.sharding.index == 2
+    assert cfg.sharding.count == 4
+
+
+def test_template_regex_family_completeness():
+    # VERDICT r04 #8: regexFind / regexFindAll / regexSplit /
+    # regexQuoteMeta / regexReplaceAllLiteral, sprig (pattern, s, ...) order
+    assert compile_template('{{ regexFind "[a-z]+" "AB12cd34ef" }}')(ITEM) == "cd"
+    assert compile_template('{{ regexFind "z+" "abc" }}')(ITEM) == ""
+    assert (
+        compile_template('{{ regexFindAll "[0-9]+" "a1b22c333" -1 | join "," }}')(ITEM)
+        == "1,22,333"
+    )
+    assert (
+        compile_template('{{ regexFindAll "[0-9]+" "a1b22c333" 2 | join "," }}')(ITEM)
+        == "1,22"
+    )
+    assert (
+        compile_template('{{ regexSplit "," "a,b,c" -1 | join "|" }}')(ITEM)
+        == "a|b|c"
+    )
+    # Go re.Split n semantics: n = max SUBSTRINGS, n == 0 -> empty list
+    assert (
+        compile_template('{{ regexSplit "," "a,b,c" 2 | join "|" }}')(ITEM)
+        == "a|b,c"
+    )
+    assert compile_template('{{ regexSplit "," "a,b" 0 | len }}')(ITEM) == "0"
+    assert (
+        compile_template('{{ regexQuoteMeta "a.b*c" }}')(ITEM) == r"a\.b\*c"
+    )
+    # Literal replacement: ${1} must NOT expand
+    assert (
+        compile_template(
+            '{{ regexReplaceAllLiteral "x+" "axxb" "${1}" }}'
+        )(ITEM)
+        == "a${1}b"
+    )
+
+
+def test_template_b32():
+    assert compile_template('{{ b32enc "hi" }}')(ITEM) == "NBUQ===="
+    assert compile_template('{{ b32dec "NBUQ====" }}')(ITEM) == "hi"
+
+
+def test_template_variadic_eq_and_arity_gates():
+    # Go's eq is variadic: arg1 == any of the rest
+    assert compile_template("{{ eq 1 2 1 }}")(ITEM) == "true"
+    assert compile_template("{{ eq 1 2 3 }}")(ITEM) == "false"
+    # ADVICE r04: zero/one-arg variadic calls must fail at COMPILE time
+    for expr in ("{{ and }}", "{{ or }}", "{{ max }}", "{{ min }}", "{{ eq 1 }}"):
+        with pytest.raises(ValueError, match="wrong number of args"):
+            compile_template(expr)
+    # ...but a pipe supplies the missing argument
+    assert compile_template("{{ 2 | max 5 }}")(ITEM) == "5"
+
+
+def test_template_abbrev_clamps_small_width():
+    # sprig errors on width < 4; we clamp so render can't slice negatively
+    assert compile_template('{{ abbrev 2 "hello!" }}')(ITEM) == "h..."
+    assert compile_template('{{ abbrev 5 "hello!" }}')(ITEM) == "he..."
+    assert compile_template('{{ abbrev 9 "hello!" }}')(ITEM) == "hello!"
+
+
+def test_template_uniq_unhashable():
+    t = compile_template('{{ .Data.Rows | uniq | len }}')
+    item = dict(ITEM)
+    item["Data"] = dict(ITEM["Data"])
+    item["Data"]["Rows"] = [{"a": 1}, {"a": 1}, {"a": 2}]
+    assert t(item) == "2"
+
+
+def test_template_excluded_family_error_names_family():
+    with pytest.raises(ValueError, match="random family"):
+        compile_template("{{ uuidv4 }}")
+    with pytest.raises(ValueError, match="crypto family"):
+        compile_template("{{ genPrivateKey }}")
+
+
+def test_template_semver_family():
+    # sprig semver object fields
+    assert compile_template('{{ (semver "1.2.3-rc.1+b7").Major }}')(ITEM) == "1"
+    assert compile_template('{{ (semver "1.2.3-rc.1+b7").Prerelease }}')(ITEM) == "rc.1"
+    assert compile_template('{{ (semver "v2.0.1").Minor }}')(ITEM) == "0"
+    # semverCompare: exact, ranges, tilde, caret, wildcards, OR groups
+    t = lambda c, v: compile_template(  # noqa: E731
+        '{{ semverCompare "%s" "%s" }}' % (c, v)
+    )(ITEM)
+    assert t("1.2.3", "1.2.3") == "true"
+    assert t(">= 1.2", "1.3.0") == "true"
+    assert t("< 1.2.3", "1.2.3") == "false"
+    assert t("~1.2.3", "1.2.9") == "true"
+    assert t("~1.2.3", "1.3.0") == "false"
+    assert t("^1.2.3", "1.9.0") == "true"
+    assert t("^1.2.3", "2.0.0") == "false"
+    assert t("^0.2.3", "0.2.9") == "true"
+    assert t("^0.2.3", "0.3.0") == "false"
+    assert t("^0.0.3", "0.0.3") == "true"
+    assert t("^0.0.3", "0.0.4") == "false"
+    assert t("1.2.x", "1.2.99") == "true"
+    assert t("1.2.x", "1.3.0") == "false"
+    assert t("*", "4.5.6") == "true"
+    assert t(">=1.0.0 <2.0.0", "1.5.0") == "true"
+    assert t("<1.0.0 || >=2.0.0", "2.1.0") == "true"
+    assert t("<1.0.0 || >=2.0.0", "1.5.0") == "false"
+    # SemVer §11 prerelease ordering + the Masterminds prerelease gate
+    assert t(">1.2.3-alpha.1", "1.2.3-alpha.2") == "true"
+    # release > any prerelease of the same tuple (SemVer §11); the
+    # prerelease GATE only skips prerelease VERSIONS, not releases
+    assert t(">1.2.3-alpha.1", "1.2.3") == "true"
+    assert t(">1.2.3-alpha.1", "1.2.4") == "true"
+    assert t(">=1.0.0", "1.2.3-rc.1") == "false"  # prerelease gate
+    with pytest.raises(ValueError, match="invalid semantic version"):
+        compile_template('{{ semver "not-a-version" }}')(ITEM)
