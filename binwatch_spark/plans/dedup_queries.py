@@ -291,3 +291,153 @@ def q81_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicated_span_stats(
         docs, "text", "doc_id", window=SPAN_WINDOW
     )
+
+
+def _split_case_sql() -> str:
+    from binwatch_spark.plans.pipeline_queries import TRAIN_PCT, VAL_PCT
+
+    return (
+        f"CASE WHEN {polyhash_sql('text')} % 100 < {TRAIN_PCT} THEN 'train'"
+        f" WHEN {polyhash_sql('text')} % 100 < {TRAIN_PCT + VAL_PCT}"
+        " THEN 'val' ELSE 'test' END"
+    )
+
+
+@register(
+    "q82_decontamination",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_split_case_sql()} AS split,
+         string_split(lower(text), ' ') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, split, t, unnest(range(1, len(t) - {SPAN_WINDOW} + 2)) AS i
+  FROM toks WHERE len(t) >= {SPAN_WINDOW}
+), wins AS (
+  SELECT DISTINCT doc_id, split,
+         array_to_string(list_slice(t, i, i + {SPAN_WINDOW} - 1), ' ') AS win
+  FROM pos
+), train AS (
+  SELECT DISTINCT win FROM wins WHERE split = 'train'
+)
+SELECT e.doc_id, e.split,
+       count(*) AS n_spans,
+       CAST(sum(CASE WHEN t.win IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overlap,
+       CAST(sum(CASE WHEN t.win IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS contamination_frac
+FROM wins e LEFT JOIN train t ON e.win = t.win
+WHERE e.split <> 'train'
+GROUP BY e.doc_id, e.split
+""",
+)
+def q82_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage audit: n-gram span overlap of every val/test document
+    (q73's deterministic content-hash split) against the train split —
+    the decontamination signal pretraining pipelines apply before
+    benchmark evaluation. Composes the q73 split expression with the q81
+    span encoder; int64 span keys through every exchange. See
+    operators/dedup.cross_split_contamination for the plan audit."""
+    from binwatch_spark.plans.pipeline_queries import TRAIN_PCT, VAL_PCT
+    from binwatch_spark.functions.texthash import polyhash
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = polyhash(F.col("text")) % 100
+    with_split = docs.withColumn(
+        "_sp",
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test"),
+    )
+    return dedup.cross_split_contamination(
+        with_split, "text", "doc_id", "_sp", "train", window=SPAN_WINDOW
+    )
+
+
+AUDIT_TOP_K = 20
+
+
+@register(
+    "q84_dup_span_audit",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), pos AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - {SPAN_WINDOW} + 2)) AS i
+  FROM toks WHERE len(t) >= {SPAN_WINDOW}
+), wins AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, i, i + {SPAN_WINDOW} - 1), ' ') AS win
+  FROM pos
+)
+SELECT win, count(*) AS n_docs FROM wins
+GROUP BY win HAVING count(*) >= 2
+ORDER BY n_docs DESC, win LIMIT {AUDIT_TOP_K}
+""",
+)
+def q84_dup_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The human-readable companion to q81: the {AUDIT_TOP_K} most-shared
+    8-token spans with their document counts — what an auditor reads to
+    decide whether repeated spans are license boilerplate (strip), site
+    chrome (strip), or legitimate quotes (keep). This is the one span
+    query that must carry span TEXT through the aggregation; map-side
+    partial aggregation collapses repeats per partition before the
+    exchange, and the deterministic top-k (count desc, span asc) runs as
+    TakeOrdered — per-partition k then a k·partitions merge, never a full
+    sort."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_wins = F.size(toks) - SPAN_WINDOW + 1
+    wins = F.when(
+        n_wins >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_wins),
+            lambda i: F.array_join(F.slice(toks, i, SPAN_WINDOW), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    from binwatch_spark.tables import spread
+
+    return (
+        spread(docs, "doc_id")
+        .select("doc_id", F.explode(wins).alias("win"))
+        .distinct()
+        .groupBy("win")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("win"))
+        .limit(AUDIT_TOP_K)
+    )
+
+
+@register(
+    "q85_semantic_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT i, j FROM (
+    SELECT a.vec_id AS i, b.vec_id AS j, {_COS} AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+  WHERE sim >= {COSINE_NEARDUP_THRESHOLD}),
+edges AS (SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs),
+comp(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, c.label FROM comp c JOIN edges e ON e.u = c.node
+  WHERE c.label <= e.v)
+SELECT node AS vec_id, min(label) AS cluster_id FROM comp GROUP BY node
+""",
+)
+def q85_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup-style): embedding-cosine near-dup pairs
+    (q26's exact predicate; q33/q38 are the ANN scale rungs for the same
+    edge generator) collapsed into clusters with connected components —
+    keep-one-per-cluster is the step that prunes paraphrase/translation
+    duplicates document-level text dedup cannot see. Oracle: the identical
+    clustering via a recursive CTE, so the composed pipeline (pair
+    generator ∘ CC) is hash-checked end-to-end."""
+    from binwatch_spark.operators.similarity import neardup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = neardup_pairs(emb, "vec_id", "embedding", COSINE_NEARDUP_THRESHOLD)
+    return dedup.connected_components(pairs.select("i", "j")).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )

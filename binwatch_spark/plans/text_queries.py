@@ -410,3 +410,70 @@ def q80_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_sentences"),
         frac.alias("dup_sentence_frac"),
     )
+
+
+@register(
+    "q83_token_commonness",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+), counts AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), total AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM counts
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(c.c) AS BIGINT) AS freq_sum,
+       CAST(sum(c.c) AS DOUBLE) / ((SELECT n FROM total) * count(*))
+         AS commonness
+FROM toks t JOIN counts c ON t.tok = c.tok
+GROUP BY t.doc_id
+""",
+)
+def q83_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM commonness score — the deterministic core of a
+    perplexity-style quality filter (CCNet-family): per document, the mean
+    corpus frequency of its token positions. Rare-token-heavy (garbled)
+    docs score low, boilerplate scores high; curation pipelines threshold
+    both tails. Kept EXACT: counts stay integers end-to-end and the single
+    final division freq_sum / (corpus_total × n_tokens) is one double op,
+    so the oracle hash-matches bit-for-bit (no logs/exp — a true LM
+    perplexity would lose cross-engine determinism for no analytic gain at
+    the filter stage).
+
+    Scale shape: tokens are collapsed to int64 xxhash64 keys map-side
+    (outputs equal the string-keyed result absent ~2⁻⁶⁴ collisions); the
+    corpus count table and the per-doc join both exchange (int64, int64)
+    rows with map-side partial aggregation; the corpus total is a 1-row
+    broadcast."""
+    from binwatch_spark.tables import spread
+
+    docs = load(spark, sf_dir, "documents")
+    toks = spread(docs, "doc_id").select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.split(F.lower(F.col("text")), " "), lambda t: F.xxhash64(t)
+            )
+        ).alias("_th"),
+    )
+    counts = toks.groupBy("_th").agg(F.count(F.lit(1)).alias("_c"))
+    total = counts.agg(F.sum("_c").alias("_n"))
+    per_doc = (
+        toks.join(counts, "_th")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_c").alias("freq_sum"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        "freq_sum",
+        (
+            F.col("freq_sum").cast("double")
+            / (F.col("_n") * F.col("n_tokens"))
+        ).alias("commonness"),
+    )

@@ -23,11 +23,18 @@ templates work unchanged:
   ``splitList`` ``sortAlpha`` ``uniq`` ``reverse`` ``compact`` ``concat``
   ``append`` ``prepend`` ``has`` ``without``), dicts (``dict`` ``get``
   ``set`` ``unset`` ``hasKey`` ``keys`` ``values`` ``merge`` ``pick``
-  ``omit``), flow/compare (``ternary`` ``default`` ``coalesce`` ``empty``
-  ``eq/ne/lt/le/gt/ge`` ``and/or/not``), time (``now`` ``date``), and
-  ``env`` ``index`` ``toString``. The random/crypto family (uuidv4,
-  randAlpha, genPrivateKey, …) is deliberately unregistered —
-  nondeterminism breaks replay, and compile fails fast instead.
+  ``omit`` ``dig`` ``deepCopy``), flow/compare (``ternary`` ``default``
+  ``coalesce`` ``empty`` ``eq/ne/lt/le/gt/ge`` ``and/or/not`` ``all``
+  ``any`` ``fail`` ``required``), time (``now`` ``date`` ``toDate``
+  ``dateModify`` ``duration`` ``ago`` ``htmlDate`` ``unixEpoch``), the
+  full regex family (``regexFind(All)`` ``regexSplit`` ``regexQuoteMeta``
+  ``regexReplaceAllLiteral``), semver (``semver`` ``semverCompare``),
+  type inspection (``typeOf`` ``kindOf`` ``kindIs`` ``typeIs``
+  ``deepEqual``), sequences (``seq`` ``until`` ``untilStep`` ``chunk``
+  ``slice``), URLs (``urlParse`` ``urlJoin`` ``urlquery``), and ``env``
+  ``index`` ``toString``. The random/crypto family (uuidv4, randAlpha,
+  genPrivateKey, …) is deliberately unregistered — nondeterminism breaks
+  replay, and the compile error names the excluded family.
 - parenthesized sub-expressions as operands: ``get (dict "a" 1) "a"``,
   ``(list 1 2 3) | first`` — a paren group may itself contain pipes and is
   evaluated recursively, with trailing ``.field`` access on the result.
@@ -442,6 +449,218 @@ def _regex_split(pattern: str, s: Any, n: Any) -> list[str]:
     return parts
 
 
+# --- sprig long-tail helpers (deterministic families only) ---------------
+
+_GO_DUR_RE = re.compile(r"(-?\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)")
+_GO_DUR_UNITS = {
+    "ns": 1e-9,
+    "us": 1e-6,
+    "µs": 1e-6,
+    "ms": 1e-3,
+    "s": 1.0,
+    "m": 60.0,
+    "h": 3600.0,
+}
+
+
+def _go_duration_seconds(s: Any) -> float:
+    """Go time.ParseDuration subset: signed multi-part like "-1h30m"."""
+    text = str(s).strip()
+    neg = text.startswith("-")
+    if text.startswith(("-", "+")):
+        text = text[1:]
+    parts = _GO_DUR_RE.findall(text)
+    if not parts or "".join(n + u for n, u in parts) != text:
+        raise ValueError(f"invalid duration {s!r}")
+    total = sum(float(n) * _GO_DUR_UNITS[u] for n, u in parts)
+    return -total if neg else total
+
+
+def _duration_str(secs: Any) -> str:
+    """sprig duration: integer seconds → Go duration string ("1m35s")."""
+    n = int(_num(secs))
+    if n == 0:
+        return "0s"
+    sign = "-" if n < 0 else ""
+    n = abs(n)
+    h, rem = divmod(n, 3600)
+    m, s = divmod(rem, 60)
+    out = sign
+    if h:
+        out += f"{h}h"
+    if m:
+        out += f"{m}m"
+    if s or (not h and not m):
+        out += f"{s}s"
+    return out
+
+
+def _to_date(fmt: str, s: Any) -> _dt.datetime:
+    """sprig toDate: parse a string with a Go reference layout."""
+    strf = _GO_LAYOUT_RE.sub(lambda m: _GO_LAYOUT_MAP[m.group(0)], str(fmt))
+    strf = strf.replace("Z07:00", "%z").replace("-07:00", "%z").replace(
+        "-0700", "%z"
+    )
+    return _dt.datetime.strptime(str(s), strf)
+
+
+def _trunc(n: Any, s: Any) -> str:
+    n, s = int(n), _go_str(s)
+    if n >= 0:
+        return s[:n]
+    return s[n:]
+
+
+def _wrap_with(width: Any, sep: str, s: Any) -> str:
+    """Greedy word wrap at width (sprig wrapWith/wrap semantics)."""
+    width = max(int(width), 1)
+    words = _go_str(s).split()
+    lines: list[str] = []
+    cur = ""
+    for w in words:
+        if not cur:
+            cur = w
+        elif len(cur) + 1 + len(w) <= width:
+            cur += " " + w
+        else:
+            lines.append(cur)
+            cur = w
+    if cur:
+        lines.append(cur)
+    return str(sep).join(lines)
+
+
+def _chunk(size: Any, seq: Any) -> list:
+    size = max(int(size), 1)
+    seq = list(seq)
+    return [seq[i : i + size] for i in range(0, len(seq), size)]
+
+
+def _slice(seq: Any, *idx: Any) -> Any:
+    seq = list(seq)
+    if not idx:
+        return seq
+    i = int(idx[0])
+    j = int(idx[1]) if len(idx) > 1 else len(seq)
+    return seq[i:j]
+
+
+def _dig(*args: Any) -> Any:
+    """sprig dig: keys..., default, dict — nested lookup with fallback."""
+    if len(args) < 3:
+        raise ValueError("dig needs at least 3 args: key default dict")
+    *keys, default, d = args
+    cur = d
+    for k in keys:
+        if not isinstance(cur, dict) or str(k) not in cur:
+            return default
+        cur = cur[str(k)]
+    return cur
+
+
+def _type_of(v: Any) -> str:
+    if v is None:
+        return "<nil>"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int64"
+    if isinstance(v, float):
+        return "float64"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, dict):
+        return "map[string]interface {}"
+    if isinstance(v, (list, tuple)):
+        return "[]interface {}"
+    return type(v).__name__
+
+
+def _kind_of(v: Any) -> str:
+    if v is None:
+        return "invalid"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int64"
+    if isinstance(v, float):
+        return "float64"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, dict):
+        return "map"
+    if isinstance(v, (list, tuple)):
+        return "slice"
+    return type(v).__name__
+
+
+def _required(msg: Any, v: Any) -> Any:
+    if v is None or v == "":
+        raise ValueError(str(msg))
+    return v
+
+
+def _to_ordinal(n: Any) -> str:
+    n = int(_num(n))
+    if 10 <= n % 100 <= 20:
+        suf = "th"
+    else:
+        suf = {1: "st", 2: "nd", 3: "rd"}.get(n % 10, "th")
+    return f"{n}{suf}"
+
+
+def _url_parse(s: Any) -> dict:
+    from urllib.parse import urlsplit
+
+    u = urlsplit(_go_str(s))
+    userinfo = ""
+    if "@" in u.netloc:
+        userinfo = u.netloc.rsplit("@", 1)[0]
+    return {
+        "scheme": u.scheme,
+        "host": u.netloc.rsplit("@", 1)[-1],
+        "hostname": u.hostname or "",
+        "path": u.path,
+        "query": u.query,
+        "fragment": u.fragment,
+        "userinfo": userinfo,
+        "opaque": "",
+    }
+
+
+def _url_join(d: Any) -> str:
+    host = d.get("host", "")
+    if d.get("userinfo"):
+        host = f"{d['userinfo']}@{host}"
+    out = ""
+    if d.get("scheme"):
+        out += d["scheme"] + "://"
+    out += host + d.get("path", "")
+    if d.get("query"):
+        out += "?" + d["query"]
+    if d.get("fragment"):
+        out += "#" + d["fragment"]
+    return out
+
+
+def _seq(*ns: Any) -> str:
+    """sprig seq: bash-seq semantics, SPACE-JOINED STRING output."""
+    ns = [int(_num(n)) for n in ns]
+    if len(ns) == 1:
+        start, step, end = 1, 1, ns[0]
+    elif len(ns) == 2:
+        start, end = ns
+        step = 1 if end >= start else -1
+    elif len(ns) == 3:
+        start, step, end = ns
+    else:
+        return ""
+    if step == 0:
+        return ""
+    vals = range(start, end + (1 if step > 0 else -1), step)
+    return " ".join(str(v) for v in vals)
+
+
 # --- semver family (sprig semver/semverCompare, Masterminds/semver rules) --
 
 _SEMVER_RE = re.compile(
@@ -668,6 +887,80 @@ _FUNCS: dict[str, Any] = {
     # semver family (deterministic, so in-scope unlike random/crypto)
     "semver": _semver_dict,
     "semverCompare": _semver_compare,
+    # sprig long tail, round 5: math/sequence
+    "ceil": lambda n: float(__import__("math").ceil(_num(n))),
+    "floor": lambda n: float(__import__("math").floor(_num(n))),
+    # sprig round: half-away-from-zero at `places` decimals (Go math.Round)
+    "round": lambda v, places=0, *_: (
+        lambda x, p: float(
+            __import__("math").floor(x * 10**p + 0.5) / 10**p
+            if x >= 0
+            else -__import__("math").floor(-x * 10**p + 0.5) / 10**p
+        )
+    )(_num(v), int(places)),
+    "add1": lambda n: _num(n) + 1,
+    "sub1": lambda n: _num(n) - 1,
+    "biggest": lambda *ns: max(_num(n) for n in ns),
+    "smallest": lambda *ns: min(_num(n) for n in ns),
+    "seq": _seq,
+    "until": lambda n: list(range(int(_num(n)))),
+    "untilStep": lambda a, b, s: list(range(int(_num(a)), int(_num(b)), int(_num(s))))
+    if int(_num(s)) != 0
+    else [],
+    "int64": lambda v: int(_num(v)),
+    "toDecimal": lambda v: int(str(v), 8),
+    "toOrdinal": _to_ordinal,
+    # strings
+    "trunc": _trunc,
+    "cat": lambda *vs: " ".join(_go_str(v) for v in vs),
+    "initials": lambda s: "".join(w[0] for w in _go_str(s).split() if w),
+    "swapcase": lambda s: _go_str(s).swapcase(),
+    "wrap": lambda width, s: _wrap_with(width, "\n", s),
+    "wrapWith": _wrap_with,
+    "toStrings": lambda seq: [_go_str(x) for x in seq],
+    "urlquery": lambda s: __import__("urllib.parse", fromlist=["quote_plus"]).quote_plus(
+        _go_str(s)
+    ),
+    # collections
+    "chunk": _chunk,
+    "slice": _slice,
+    "all": lambda *vs: all(not _sprig_empty(v) for v in vs),
+    "any": lambda *vs: any(not _sprig_empty(v) for v in vs),
+    "dig": _dig,
+    "deepCopy": lambda v: __import__("copy").deepcopy(v),
+    "deepEqual": lambda a, b: a == b,
+    # type inspection
+    "typeOf": _type_of,
+    "kindOf": _kind_of,
+    "typeIs": lambda t, v: _type_of(v) == str(t),
+    "typeIsLike": lambda t, v: _type_of(v) == str(t),
+    "kindIs": lambda t, v: _kind_of(v) == str(t),
+    # flow control
+    "fail": lambda msg: (_ for _ in ()).throw(ValueError(str(msg))),
+    "required": _required,
+    # encoding/hash
+    "toPrettyJson": lambda v: json.dumps(v, indent=2, ensure_ascii=False),
+    "toRawJson": lambda v: _to_json(v),
+    "sha512sum": lambda s: __import__("hashlib")
+    .sha512(_go_str(s).encode("utf-8"))
+    .hexdigest(),
+    "adler32sum": lambda s: str(
+        __import__("zlib").adler32(_go_str(s).encode("utf-8"))
+    ),
+    # URLs
+    "urlParse": _url_parse,
+    "urlJoin": _url_join,
+    # time (deterministic under the injectable clock)
+    "toDate": _to_date,
+    "mustToDate": _to_date,
+    "dateModify": lambda d, t: t
+    + _dt.timedelta(seconds=_go_duration_seconds(d)),
+    "mustDateModify": lambda d, t: t
+    + _dt.timedelta(seconds=_go_duration_seconds(d)),
+    "unixEpoch": lambda t: int(t.timestamp()),
+    "duration": _duration_str,
+    "htmlDate": lambda t: _date("2006-01-02", t),
+    "ago": lambda t: _duration_str(int((_now_fn() - t).total_seconds())),
     "now": lambda: _now_fn(),
     "date": _date,
     "toToml": _to_toml,
@@ -995,6 +1288,8 @@ _MIN_ARITY = {
     "gt": 2,
     "ge": 2,
     "coalesce": 1,
+    "biggest": 1,
+    "smallest": 1,
 }
 
 

@@ -122,3 +122,17 @@ def test_q38_ivf_no_shuffle_before_cell_join(spark):
     assert "BroadcastHashJoin" in plan
     # partial top-k runs before the one shuffle (WindowGroupLimit pushdown)
     assert "WindowGroupLimit" in plan.split("Exchange hashpartitioning")[1]
+
+
+def test_q84_topk_is_take_ordered_not_full_sort(spark):
+    # deterministic top-k must plan as TakeOrderedAndProject (per-partition
+    # k + merge), never a global Sort feeding a Limit
+    plan = plan_of(spark, "q84_dup_span_audit", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q83_total_is_broadcast_single_row(spark):
+    # the corpus-total join must be a broadcast nested loop over ONE row,
+    # not a shuffled join of the per-doc aggregate
+    plan = plan_of(spark, "q83_token_commonness", mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

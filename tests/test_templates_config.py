@@ -588,3 +588,88 @@ def test_template_semver_family():
     assert t(">=1.0.0", "1.2.3-rc.1") == "false"  # prerelease gate
     with pytest.raises(ValueError, match="invalid semantic version"):
         compile_template('{{ semver "not-a-version" }}')(ITEM)
+
+
+def test_template_sprig_round5_math_and_seq():
+    assert compile_template("{{ ceil 1.1 }}")(ITEM) == "2.0"
+    assert compile_template("{{ floor 1.9 }}")(ITEM) == "1.0"
+    assert compile_template("{{ round 123.5555 3 }}")(ITEM) == "123.556"
+    assert compile_template("{{ round 123.49999 0 }}")(ITEM) == "123.0"
+    assert compile_template("{{ add1 41 }}")(ITEM) == "42"
+    assert compile_template("{{ sub1 43 }}")(ITEM) == "42"
+    assert compile_template("{{ biggest 1 7 3 }}")(ITEM) == "7"
+    assert compile_template("{{ seq 5 }}")(ITEM) == "1 2 3 4 5"
+    assert compile_template("{{ seq 2 5 }}")(ITEM) == "2 3 4 5"
+    assert compile_template("{{ seq 1 2 9 }}")(ITEM) == "1 3 5 7 9"
+    assert compile_template('{{ until 4 | join "," }}')(ITEM) == "0,1,2,3"
+    assert compile_template('{{ untilStep 3 10 2 | join "," }}')(ITEM) == "3,5,7,9"
+    assert compile_template('{{ toDecimal "777" }}')(ITEM) == "511"
+    assert compile_template("{{ toOrdinal 1 }}{{ toOrdinal 2 }}{{ toOrdinal 13 }}{{ toOrdinal 22 }}")(ITEM) == "1st2nd13th22nd"
+
+
+def test_template_sprig_round5_strings():
+    assert compile_template('{{ trunc 5 "hello world" }}')(ITEM) == "hello"
+    assert compile_template('{{ trunc -5 "hello world" }}')(ITEM) == "world"
+    assert compile_template('{{ cat "a" 1 "b" }}')(ITEM) == "a 1 b"
+    assert compile_template('{{ initials "first try" }}')(ITEM) == "ft"
+    assert compile_template('{{ swapcase "aB" }}')(ITEM) == "Ab"
+    assert compile_template('{{ wrapWith 5 "|" "aaa bb c ddddd" }}')(ITEM) == "aaa|bb c|ddddd"
+    assert compile_template('{{ urlquery "a b&c" }}')(ITEM) == "a+b%26c"
+    assert compile_template('{{ toStrings (list 1 2) | join "-" }}')(ITEM) == "1-2"
+
+
+def test_template_sprig_round5_collections_types_flow():
+    assert compile_template('{{ chunk 2 (list 1 2 3 4 5) | len }}')(ITEM) == "3"
+    assert compile_template('{{ slice (list 1 2 3 4) 1 3 | join "," }}')(ITEM) == "2,3"
+    assert compile_template('{{ all 1 "x" true }}')(ITEM) == "true"
+    assert compile_template('{{ all 1 "" true }}')(ITEM) == "false"
+    assert compile_template('{{ any 0 "" false }}')(ITEM) == "false"
+    assert compile_template('{{ dig "a" "b" "miss" (dict "a" (dict "b" "hit")) }}')(ITEM) == "hit"
+    assert compile_template('{{ dig "a" "z" "miss" (dict "a" (dict "b" "hit")) }}')(ITEM) == "miss"
+    assert compile_template("{{ typeOf 5 }}")(ITEM) == "int64"
+    assert compile_template('{{ kindOf (list 1) }}')(ITEM) == "slice"
+    assert compile_template('{{ kindIs "map" (dict) }}')(ITEM) == "true"
+    assert compile_template('{{ deepEqual (list 1 2) (list 1 2) }}')(ITEM) == "true"
+    with pytest.raises(ValueError, match="boom"):
+        compile_template('{{ fail "boom" }}')(ITEM)
+    with pytest.raises(ValueError, match="need it"):
+        compile_template('{{ required "need it" "" }}')(ITEM)
+    assert compile_template('{{ required "need it" "v" }}')(ITEM) == "v"
+
+
+def test_template_sprig_round5_encoding_urls_time():
+    import datetime
+
+    from binwatch_spark.streaming import templates as T
+
+    assert (
+        compile_template('{{ toPrettyJson (dict "a" 1) }}')(ITEM)
+        == '{\n  "a": 1\n}'
+    )
+    assert compile_template('{{ adler32sum "abc" }}')(ITEM) == "38600999"
+    u = '{{ (urlParse "https://u:p@h.com:8080/p?q=1#f").hostname }}'
+    assert compile_template(u)(ITEM) == "h.com"
+    assert (
+        compile_template(
+            '{{ urlJoin (dict "scheme" "https" "host" "h.com" "path" "/p" "query" "q=1") }}'
+        )(ITEM)
+        == "https://h.com/p?q=1"
+    )
+    # injectable clock keeps time functions deterministic
+    fixed = datetime.datetime(2024, 3, 5, 14, 7, 9)
+    old = T._now_fn
+    T._now_fn = lambda: fixed
+    try:
+        t = compile_template(
+            '{{ (toDate "2006-01-02" "2024-03-01" | dateModify "48h") | date "2006-01-02" }}'
+        )
+        assert t(ITEM) == "2024-03-03"
+        assert compile_template('{{ now | htmlDate }}')(ITEM) == "2024-03-05"
+        assert (
+            compile_template('{{ ago (toDate "2006-01-02 15:04:05" "2024-03-05 14:07:04") }}')(ITEM)
+            == "5s"
+        )
+        assert compile_template("{{ duration 95 }}")(ITEM) == "1m35s"
+        assert compile_template("{{ duration 3600 }}")(ITEM) == "1h"
+    finally:
+        T._now_fn = old
