@@ -832,6 +832,143 @@ def _merge_dicts(dst: dict, *srcs: dict) -> dict:
     return dst
 
 
+def _merge_overwrite(dst: dict, *srcs: dict) -> dict:
+    # sprig mergeOverwrite: right wins (src values overwrite dst), recursing
+    # into nested dicts.
+    for src in srcs:
+        for k, v in src.items():
+            if k in dst and isinstance(dst[k], dict) and isinstance(v, dict):
+                _merge_overwrite(dst[k], v)
+            else:
+                dst[k] = v
+    return dst
+
+
+def _go_path_clean(p: Any) -> str:
+    """Go path.Clean (purely lexical, POSIX separators)."""
+    s = _go_str(p)
+    if s == "":
+        return "."
+    return __import__("posixpath").normpath(s)
+
+
+def _go_path_base(p: Any) -> str:
+    """Go path.Base: last element after trailing slashes are removed;
+    "" → ".", all-slashes → "/"."""
+    s = _go_str(p)
+    if s == "":
+        return "."
+    s = s.rstrip("/")
+    if s == "":
+        return "/"
+    return s.rsplit("/", 1)[-1]
+
+
+def _go_path_dir(p: Any) -> str:
+    """Go path.Dir: everything before the final element, Cleaned."""
+    d = __import__("posixpath").dirname(_go_str(p))
+    return _go_path_clean(d) if d else "."
+
+
+def _go_path_ext(p: Any) -> str:
+    """Go path.Ext: suffix from the final dot in the final element."""
+    base = _go_str(p).rsplit("/", 1)[-1]
+    i = base.rfind(".")
+    return base[i:] if i >= 0 else ""
+
+
+def _commons_abbrev(s: str, offset: int, maxw: int) -> str:
+    # Apache commons StringUtils.abbreviate(str, offset, maxWidth) — the
+    # algorithm goutils.AbbreviateFull (sprig abbrevboth) delegates to.
+    if len(s) <= maxw:
+        return s
+    offset = min(offset, len(s))
+    if len(s) - offset < maxw - 3:
+        offset = len(s) - (maxw - 3)
+    if offset <= 4:
+        return s[: maxw - 3] + "..."
+    if offset + maxw - 3 < len(s):
+        return "..." + _commons_abbrev(s[offset:], 0, maxw - 3)
+    return "..." + s[len(s) - (maxw - 3) :]
+
+
+def _abbrevboth(left: Any, width: Any, s: Any) -> str:
+    # sprig errors on width < 7 (both-sided ellipses need the room); clamp
+    # like abbrev does so a compile-valid template can't raise at render.
+    return _commons_abbrev(str(s), int(left), max(int(width), 7))
+
+
+def _split_dict(sep: Any, s: Any) -> dict:
+    """sprig split: parts keyed _0.._n (Go strings.Split)."""
+    return {f"_{i}": p for i, p in enumerate(_go_str(s).split(str(sep)))}
+
+
+def _splitn_dict(sep: Any, n: Any, s: Any) -> dict:
+    """sprig splitn: Go strings.SplitN — n<0 unbounded, n=0 no parts,
+    n>0 at most n parts."""
+    n = int(_num(n))
+    if n == 0:
+        return {}
+    text = _go_str(s)
+    parts = text.split(str(sep)) if n < 0 else text.split(str(sep), n - 1)
+    return {f"_{i}": p for i, p in enumerate(parts)}
+
+
+def _untitle(s: Any) -> str:
+    """sprig untitle: lowercase the first letter of every word."""
+    return re.sub(
+        r"(^|\s)(\S)",
+        lambda m: m.group(1) + m.group(2).lower(),
+        _go_str(s),
+    )
+
+
+def _date_in_zone(fmt: Any, t: Any, zone: Any) -> str:
+    """sprig dateInZone: format in a named IANA zone; "Local" uses the host
+    zone, unknown zones fall back to UTC (sprig's own fallback)."""
+    if isinstance(t, (int, float)) and not isinstance(t, bool):
+        t = _dt.datetime.fromtimestamp(t, _dt.timezone.utc)
+    if not isinstance(t, _dt.datetime):
+        raise ValueError(f"dateInZone: cannot format {type(t).__name__}")
+    if t.tzinfo is None:
+        t = t.astimezone()
+    z = str(zone)
+    if z == "Local":
+        t = t.astimezone()
+    else:
+        try:
+            from zoneinfo import ZoneInfo
+
+            t = t.astimezone(ZoneInfo(z or "UTC"))
+        except Exception:
+            t = t.astimezone(_dt.timezone.utc)
+    return _date(fmt, t)
+
+
+def _duration_round(d: Any) -> str:
+    """sprig durationRound: truncate a duration to its most significant
+    unit (y=365d, mo=30d, d, h, m, s)."""
+    if isinstance(d, (int, float)) and not isinstance(d, bool):
+        secs = float(d)
+    elif isinstance(d, _dt.timedelta):
+        secs = d.total_seconds()
+    else:
+        secs = _go_duration_seconds(d)
+    sign = "-" if secs < 0 else ""
+    u = abs(secs)
+    for unit, name in (
+        (365 * 86400, "y"),
+        (30 * 86400, "mo"),
+        (86400, "d"),
+        (3600, "h"),
+        (60, "m"),
+        (1, "s"),
+    ):
+        if u >= unit:
+            return f"{sign}{int(u // unit)}{name}"
+    return "0s"
+
+
 _FUNCS: dict[str, Any] = {
     # tmpl.go:38-47 extras
     "toJson": lambda v: _to_json(v),
@@ -1051,7 +1188,55 @@ _FUNCS: dict[str, Any] = {
     "ge": lambda a, b: a >= b,
     "and": lambda *vs: vs[-1] if all(vs) else next(v for v in vs if not v),
     "or": lambda *vs: next((v for v in vs if v), vs[-1]),
+    # sprig float math (variadic like the int family, always float out)
+    "addf": lambda *ns: float(sum(_num(n) for n in ns)),
+    "add1f": lambda n: float(_num(n)) + 1.0,
+    "subf": lambda a, *ns: float(_num(a)) - float(sum(_num(n) for n in ns)),
+    "mulf": lambda *ns: float(__import__("math").prod(_num(n) for n in ns)),
+    "divf": lambda a, *ns: __import__("functools").reduce(
+        lambda x, y: x / y, (float(_num(n)) for n in ns), float(_num(a))
+    ),
+    "maxf": lambda *ns: float(max(_num(n) for n in ns)),
+    "minf": lambda *ns: float(min(_num(n) for n in ns)),
+    # Go path package (sprig registers both the path and filepath spellings;
+    # on POSIX hosts they are the same lexical rules)
+    "base": _go_path_base,
+    "dir": _go_path_dir,
+    "clean": _go_path_clean,
+    "ext": _go_path_ext,
+    "isAbs": lambda p: _go_str(p).startswith("/"),
+    "osBase": _go_path_base,
+    "osDir": _go_path_dir,
+    "osClean": _go_path_clean,
+    "osExt": _go_path_ext,
+    "osIsAbs": lambda p: _go_str(p).startswith("/"),
+    # string/collection stragglers
+    "abbrevboth": _abbrevboth,
+    "untitle": _untitle,
+    "split": _split_dict,
+    "splitn": _splitn_dict,
+    "pluck": lambda k, *ds: [d[str(k)] for d in ds if isinstance(d, dict) and str(k) in d],
+    "mergeOverwrite": _merge_overwrite,
+    # time stragglers
+    "dateInZone": _date_in_zone,
+    "htmlDateInZone": lambda t, zone: _date_in_zone("2006-01-02", t, zone),
+    "durationRound": _duration_round,
 }
+
+# sprig's must* regex family differs from the plain spellings only in Go
+# error plumbing (plain panics, must returns err); this engine raises on a
+# bad pattern either way, so the must spellings are straight aliases.
+# "trimall" is sprig's own lowercase alias for trimAll (functions.go).
+for _alias, _target in (
+    ("mustRegexMatch", "regexMatch"),
+    ("mustRegexFind", "regexFind"),
+    ("mustRegexFindAll", "regexFindAll"),
+    ("mustRegexReplaceAll", "regexReplaceAll"),
+    ("mustRegexReplaceAllLiteral", "regexReplaceAllLiteral"),
+    ("mustRegexSplit", "regexSplit"),
+    ("trimall", "trimAll"),
+):
+    _FUNCS[_alias] = _FUNCS[_target]
 
 
 def _split_pipes(expr: str) -> list[str]:
@@ -1268,6 +1453,13 @@ _EXCLUDED_SPRIG = {
     "genSignedCert": "crypto",
     "htpasswd": "crypto",
     "bcrypt": "crypto",
+    "encryptAES": "crypto",
+    "decryptAES": "crypto",
+    "buildCustomCert": "crypto",
+    "genCAWithKey": "crypto",
+    "genSelfSignedCertWithKey": "crypto",
+    "genSignedCertWithKey": "crypto",
+    "getHostByName": "network (DNS lookup)",
     "expandenv": "env-expansion (removed by the reference itself, tmpl.go:36)",
 }
 
@@ -1290,6 +1482,13 @@ _MIN_ARITY = {
     "coalesce": 1,
     "biggest": 1,
     "smallest": 1,
+    "addf": 1,
+    "subf": 1,
+    "mulf": 1,
+    "divf": 1,
+    "maxf": 1,
+    "minf": 1,
+    "pluck": 1,
 }
 
 

@@ -673,3 +673,109 @@ def test_template_sprig_round5_encoding_urls_time():
         assert compile_template("{{ duration 3600 }}")(ITEM) == "1h"
     finally:
         T._now_fn = old
+
+
+def test_template_sprig_round5_float_math_paths():
+    assert compile_template("{{ addf 1.5 2 0.5 }}")(ITEM) == "4.0"
+    assert compile_template("{{ add1f 1.5 }}")(ITEM) == "2.5"
+    assert compile_template("{{ subf 10 2.5 1.5 }}")(ITEM) == "6.0"
+    assert compile_template("{{ mulf 2 2.5 }}")(ITEM) == "5.0"
+    assert compile_template("{{ divf 10 4 }}")(ITEM) == "2.5"
+    assert compile_template("{{ maxf 1.5 7.25 3 }}")(ITEM) == "7.25"
+    assert compile_template("{{ minf 1.5 7.25 3 }}")(ITEM) == "1.5"
+    # Go path package semantics (POSIX lexical rules)
+    assert compile_template('{{ base "/a/b/c.txt" }}')(ITEM) == "c.txt"
+    assert compile_template('{{ base "/a/b/" }}')(ITEM) == "b"
+    assert compile_template('{{ base "" }}')(ITEM) == "."
+    assert compile_template('{{ base "///" }}')(ITEM) == "/"
+    assert compile_template('{{ dir "/a/b/c.txt" }}')(ITEM) == "/a/b"
+    assert compile_template('{{ dir "a" }}')(ITEM) == "."
+    assert compile_template('{{ clean "/a/./b/../c" }}')(ITEM) == "/a/c"
+    assert compile_template('{{ ext "/a/b.tar.gz" }}')(ITEM) == ".gz"
+    assert compile_template('{{ ext "/a/b" }}')(ITEM) == ""
+    assert compile_template('{{ isAbs "/a" }}')(ITEM) == "true"
+    assert compile_template('{{ osIsAbs "a" }}')(ITEM) == "false"
+    assert compile_template('{{ osBase "/a/b" }}')(ITEM) == "b"
+
+
+def test_template_sprig_round5_string_dict_stragglers():
+    # abbrevboth: sprig's own doc example
+    assert (
+        compile_template('{{ abbrevboth 5 10 "1234 5678 9123" }}')(ITEM)
+        == "...5678..."
+    )
+    assert compile_template('{{ abbrevboth 5 10 "short" }}')(ITEM) == "short"
+    assert compile_template('{{ untitle "Hello World" }}')(ITEM) == "hello world"
+    assert compile_template('{{ trimall "$" "$5.00$" }}')(ITEM) == "5.00"
+    # split/splitn return dicts keyed _0.._n (Go strings.Split/SplitN)
+    assert compile_template('{{ (split "-" "a-b-c")._1 }}')(ITEM) == "b"
+    assert compile_template('{{ (splitn "-" 2 "a-b-c")._1 }}')(ITEM) == "b-c"
+    assert (
+        compile_template(
+            '{{ pluck "a" (dict "a" 1) (dict "b" 2) (dict "a" 3) | join "," }}'
+        )(ITEM)
+        == "1,3"
+    )
+    # mergeOverwrite: right wins, recursing into nested maps (merge: left wins)
+    assert (
+        compile_template(
+            '{{ (mergeOverwrite (dict "a" (dict "x" 1 "y" 2)) (dict "a" (dict "x" 9))).a.x }}'
+        )(ITEM)
+        == "9"
+    )
+    assert (
+        compile_template(
+            '{{ (merge (dict "a" 1) (dict "a" 9 "b" 2)).a }}'
+        )(ITEM)
+        == "1"
+    )
+    # must* spellings alias the plain regex family
+    assert compile_template('{{ mustRegexFind "[0-9]+" "ab12cd" }}')(ITEM) == "12"
+    assert compile_template('{{ mustRegexMatch "^a" "abc" }}')(ITEM) == "true"
+    assert (
+        compile_template('{{ mustRegexSplit "-" "a-b-c" -1 | join "," }}')(ITEM)
+        == "a,b,c"
+    )
+
+
+def test_template_sprig_round5_time_zone_duration():
+    import datetime
+
+    from binwatch_spark.streaming import templates as T
+
+    fixed = datetime.datetime(2024, 3, 5, 14, 7, 9, tzinfo=datetime.timezone.utc)
+    old = T._now_fn
+    T._now_fn = lambda: fixed
+    try:
+        assert (
+            compile_template('{{ dateInZone "2006-01-02 15:04" (now) "UTC" }}')(ITEM)
+            == "2024-03-05 14:07"
+        )
+        # IANA zone conversion: UTC 14:07 is 09:07 in New York (EST, March 5)
+        assert (
+            compile_template(
+                '{{ dateInZone "15:04" (now) "America/New_York" }}'
+            )(ITEM)
+            == "09:07"
+        )
+        # unknown zone falls back to UTC (sprig's fallback)
+        assert (
+            compile_template('{{ dateInZone "15:04" (now) "No/Such_Zone" }}')(ITEM)
+            == "14:07"
+        )
+        assert (
+            compile_template('{{ htmlDateInZone (now) "UTC" }}')(ITEM)
+            == "2024-03-05"
+        )
+    finally:
+        T._now_fn = old
+    assert compile_template('{{ durationRound "2h10m5s" }}')(ITEM) == "2h"
+    assert compile_template('{{ durationRound "2400h10m5s" }}')(ITEM) == "3mo"
+    assert compile_template('{{ durationRound "-90m" }}')(ITEM) == "-1h"
+    assert compile_template('{{ durationRound 59 }}')(ITEM) == "59s"
+
+
+def test_template_sprig_round5_new_exclusions_fail_fast():
+    for fn in ("encryptAES", "getHostByName", "buildCustomCert"):
+        with pytest.raises(ValueError, match="deliberately not"):
+            compile_template("{{ " + fn + ' "x" }}')
