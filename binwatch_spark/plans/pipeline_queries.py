@@ -234,3 +234,110 @@ def q74_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+# Temperature exponent for mixture weighting: w_i ∝ n_i^alpha with alpha=0.5
+# (sqrt), the standard multilingual-sampling flattening (e.g. the
+# temperature-based sampling in multilingual pretraining). sqrt is IEEE
+# correctly-rounded in both engines, so the only order-sensitive float step
+# is the k-row normalizing sum, absorbed by round(8).
+MIX_ROUND = 8
+
+
+@register(
+    "q86_mixture_weights",
+    oracle=f"""
+WITH s AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source)
+SELECT source, n_docs, n_tokens,
+  round(sqrt(CAST(n_tokens AS DOUBLE))
+        / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER (), {MIX_ROUND})
+    AS mix_weight
+FROM s
+""",
+)
+def q86_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: per-source token totals and the
+    temperature-flattened sampling weight w_i = sqrt(n_i) / Σ sqrt(n_j) a
+    data-loader uses to balance sources (upweights scarce sources, tempers
+    dominant ones). Plan: one two-stage integer aggregate over the corpus
+    (map-side partial sums; exact, order-insensitive), then the normalizing
+    window runs on the AGGREGATED frame — #sources rows, not corpus rows —
+    so the unpartitioned window is a no-op at any corpus scale."""
+    docs = load(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    w = F.sqrt(F.col("n_tokens").cast("double"))
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            w / F.sum(w).over(Window.partitionBy()), MIX_ROUND
+        ).alias("mix_weight"),
+    )
+
+
+# Length-trim bounds: documents outside [p01, p99] of their language's
+# token-length distribution are curation outliers (truncated fragments /
+# concatenation artifacts). Continuous-interpolation percentiles match
+# between Spark `percentile` and DuckDB `quantile_cont` (q43); bounds are
+# rounded to 6 dp on BOTH sides before the comparison so the gate predicate
+# is engine-identical.
+TRIM_LO = 0.01
+TRIM_HI = 0.99
+
+
+@register(
+    "q88_length_trim_filter",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+b AS (
+  SELECT lang, round(quantile_cont(n_tokens, {TRIM_LO}), 6) AS lo,
+               round(quantile_cont(n_tokens, {TRIM_HI}), 6) AS hi
+  FROM t GROUP BY lang)
+SELECT t.doc_id, t.lang, t.n_tokens
+FROM t JOIN b ON t.lang = b.lang
+WHERE t.n_tokens >= b.lo AND t.n_tokens <= b.hi
+""",
+)
+def q88_length_trim_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-outlier trim: keep documents whose token count
+    lies within [p01, p99] of their language's distribution — the standard
+    curation pass that drops truncated fragments and concatenation
+    artifacts without a hand-tuned global threshold. Plan: exact interpolated
+    percentiles per language (one aggregate; the result is #languages rows),
+    broadcast the bounds back, filter map-side. At 100 TB swap the exact
+    percentile for approx_percentile and the shape is one scan + one
+    broadcast join — no corpus-sized shuffle."""
+    from pyspark.sql.functions import broadcast
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    pcts = F.percentile(
+        F.col("n_tokens"), F.array(F.lit(TRIM_LO), F.lit(TRIM_HI))
+    )
+    bounds = (
+        t.groupBy("lang")
+        .agg(pcts.alias("_p"))
+        .select(
+            "lang",
+            F.round(F.col("_p")[0], 6).alias("lo"),
+            F.round(F.col("_p")[1], 6).alias("hi"),
+        )
+    )
+    return (
+        t.join(broadcast(bounds), "lang")
+        .filter((F.col("n_tokens") >= F.col("lo")) & (F.col("n_tokens") <= F.col("hi")))
+        .select("doc_id", "lang", "n_tokens")
+    )

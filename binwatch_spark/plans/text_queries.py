@@ -477,3 +477,37 @@ def q83_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("_n") * F.col("n_tokens"))
         ).alias("commonness"),
     )
+
+
+@register(
+    "q87_type_token_ratio",
+    oracle="""
+WITH tok AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS t FROM documents)
+SELECT lang,
+  CAST(count(DISTINCT t) AS BIGINT) AS vocab_size,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  round(CAST(count(DISTINCT t) AS DOUBLE) / count(*), 8) AS type_token_ratio
+FROM tok GROUP BY lang
+""",
+)
+def q87_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: per-language type (distinct token) and
+    token counts plus the type-token ratio — the quick corpus-health signal
+    for over-deduplicated (TTR too high) or boilerplate-heavy (TTR too low)
+    slices. Plan: one map-side explode to (lang, token), then a single
+    count-distinct aggregate — Spark expands count(DISTINCT) into a
+    two-stage partial/final over (lang, token), which is exactly the
+    scalable shape (no per-group set materialization). The final division
+    is one double op on integer-exact inputs, rounded to 8 dp."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("t")
+    )
+    return tok.groupBy("lang").agg(
+        F.count_distinct(F.col("t")).alias("vocab_size"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.count_distinct(F.col("t")).cast("double") / F.count(F.lit(1)), 8
+        ).alias("type_token_ratio"),
+    )

@@ -136,3 +136,28 @@ def test_q83_total_is_broadcast_single_row(spark):
     # not a shuffled join of the per-doc aggregate
     plan = plan_of(spark, "q83_token_commonness", mode="simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q88_bounds_join_is_broadcast(spark):
+    # per-language bounds frame is #languages rows: the join back to the
+    # corpus must be a broadcast hash join, never a shuffled sort-merge
+    plan = plan_of(spark, "q88_length_trim_filter", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q87_distinct_count_is_staged_aggregate(spark):
+    # count(DISTINCT token) must expand to partial/final hash aggregates
+    # (scalable two-stage shape), not a per-group set collect
+    plan = plan_of(spark, "q87_type_token_ratio", mode="simple")
+    assert "HashAggregate" in plan
+    assert "collect_set" not in plan
+
+
+def test_q86_window_runs_on_aggregated_frame(spark):
+    # the unpartitioned normalizing window is safe ONLY because it runs on
+    # the post-aggregate #sources-row frame: the window node must sit above
+    # the aggregate in the plan, never directly over the scan
+    plan = plan_of(spark, "q86_mixture_weights", mode="simple")
+    w = plan.index("Window")
+    assert "HashAggregate" in plan[w:]
