@@ -779,3 +779,116 @@ def test_template_sprig_round5_new_exclusions_fail_fast():
     for fn in ("encryptAES", "getHostByName", "buildCustomCert"):
         with pytest.raises(ValueError, match="deliberately not"):
             compile_template("{{ " + fn + ' "x" }}')
+
+
+def test_config_full_reference_surface_roundtrip():
+    """Every YAML field in the reference's config struct
+    (api/v1alpha2/config.go:22-167) set to a non-default value must land on
+    the parsed JobConfig — field-by-field parity evidence for the whole
+    surface, not just the fields the example happens to use."""
+    import yaml as _yaml
+
+    from binwatch_spark.config import parse
+
+    doc = _yaml.safe_load("""
+logger:
+  level: warn
+server:
+  id: srv-9
+  host: 10.1.2.3
+  port: 9191
+  stopInError: true
+  restartSyncerOnError: true
+  senderWorkers: 4
+  pool:
+    size: 77
+    itemByRow: true
+  cache:
+    enabled: true
+    type: local
+    local:
+      path: /tmp/bw-cache
+    redis:
+      host: r.example
+      port: 6379
+      password: s3cret
+source:
+  flavor: mariadb
+  serverID: 4242
+  host: db.example
+  port: 3307
+  user: repl
+  password: replpw
+  dbTables:
+    shop:
+      - orders
+      - customers
+  readTimeout: 45s
+  heartbeatPeriod: 15s
+  startLocation:
+    file: mysql-bin.000007
+    position: 1234
+sharding:
+  enabled: true
+  count: 8
+  index: 3
+  keyTemplate: "{{ .db }}.{{ .table }}"
+connectors:
+  - name: hook
+    type: webhook
+    webhook:
+      url: https://sink.example/ev
+      method: PUT
+      headers:
+        X-Team: data
+      credentials:
+        username: u1
+        password: p1
+      tlsSkipVerify: true
+  - name: bus
+    type: google_pubsub
+    pubsub:
+      projectID: proj-1
+      topicID: topic-1
+routes:
+  - name: orders-route
+    operations: [INSERT, DELETE]
+    connector: hook
+    template: "{{ .db }}"
+    dbTable: shop.orders
+""")
+    cfg = parse(doc)
+    assert cfg.logger.level == "warn" and cfg.logger.spark_level() == "WARN"
+    s = cfg.server
+    assert (s.id, s.host, s.port) == ("srv-9", "10.1.2.3", 9191)
+    assert s.stop_in_error and s.restart_syncer_on_error
+    assert s.sender_workers == 4 and s.pool_size == 77 and s.item_by_row
+    # cache.local.path maps onto the Spark checkpoint dir (documented
+    # supersession of the reference's local/redis cache backends)
+    assert s.checkpoint_dir == "/tmp/bw-cache"
+    src = cfg.source
+    assert (src.flavor, src.server_id) == ("mariadb", 4242)
+    assert (src.host, src.port, src.user, src.password) == (
+        "db.example", 3307, "repl", "replpw",
+    )
+    assert src.db_tables == {"shop": ["orders", "customers"]}
+    assert src.allowlist == ["shop.orders", "shop.customers"]
+    assert (src.read_timeout, src.heartbeat_period) == ("45s", "15s")
+    assert (src.start_location.file, src.start_location.position) == (
+        "mysql-bin.000007", 1234,
+    )
+    sh = cfg.sharding
+    assert sh.enabled and (sh.count, sh.index) == (8, 3)
+    assert sh.key_template == "{{ .db }}.{{ .table }}"
+    hook = cfg.connector_by_name("hook")
+    assert hook.type == "webhook"
+    w = hook.webhook
+    assert (w.url, w.method) == ("https://sink.example/ev", "PUT")
+    assert w.headers == {"X-Team": "data"}
+    assert (w.username, w.password, w.tls_skip_verify) == ("u1", "p1", True)
+    bus = cfg.connector_by_name("bus")
+    assert (bus.pubsub.project_id, bus.pubsub.topic_id) == ("proj-1", "topic-1")
+    (route,) = cfg.routes
+    assert (route.name, route.connector) == ("orders-route", "hook")
+    assert route.operations == ["INSERT", "DELETE"]
+    assert (route.db_table, route.template) == ("shop.orders", "{{ .db }}")
