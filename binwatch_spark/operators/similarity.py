@@ -188,15 +188,21 @@ def _assign_cells(
     @pandas_udf("array<bigint>")
     def top_cells(embs: pd.Series, norms: pd.Series) -> pd.Series:
         cids_, cemb_, cnorm_ = cent_bc.value
-        a = np.stack(embs.to_numpy()).astype(np.float64)
-        acc = np.zeros((a.shape[0], cids_.shape[0]), dtype=np.float64)
-        for d in range(a.shape[1]):
-            acc = acc + a[:, d : d + 1] * cemb_[:, d][None, :]
-        sims = acc / (norms.to_numpy()[:, None] * cnorm_[None, :])
-        out = []
-        for r in range(sims.shape[0]):
-            order = np.lexsort((cids_, -sims[r]))
-            out.append(cids_[order[:n]].tolist())
+        raw = embs.to_numpy()
+        # NULL embeddings get an empty cell list (explode drops the row) —
+        # np.stack on a batch containing None would fail the whole task.
+        valid = np.array([e is not None for e in raw], dtype=bool)
+        out: list[list[int]] = [[] for _ in range(len(raw))]
+        if valid.any():
+            a = np.stack(raw[valid]).astype(np.float64)
+            acc = np.zeros((a.shape[0], cids_.shape[0]), dtype=np.float64)
+            for d in range(a.shape[1]):
+                acc = acc + a[:, d : d + 1] * cemb_[:, d][None, :]
+            nm = norms.to_numpy()[valid].astype(np.float64)
+            sims = acc / (nm[:, None] * cnorm_[None, :])
+            for r, idx in enumerate(np.nonzero(valid)[0]):
+                order = np.lexsort((cids_, -sims[r]))
+                out[idx] = cids_[order[:n]].tolist()
         return pd.Series(out)
 
     top_cells = top_cells.asNondeterministic()

@@ -127,7 +127,10 @@ def compact(
         )
     total = 0
     for d, names in by_dir.items():
-        p = jvm.org.apache.hadoop.fs.Path(d)
+        # the DIRECTORY component is URI-encoded too — decode it before
+        # building the Hadoop Path or listStatus targets a literal "%20"
+        # directory and the listing fails/returns empty
+        p = jvm.org.apache.hadoop.fs.Path(unquote(d))
         fs = p.getFileSystem(conf)
         for status in fs.listStatus(p):
             # basename match sidesteps scheme-normalization differences

@@ -294,13 +294,12 @@ def q81_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _split_case_sql() -> str:
-    from binwatch_spark.plans.pipeline_queries import TRAIN_PCT, VAL_PCT
+    # q73's split rule, not a copy of it: both the oracle CASE and the
+    # DataFrame column come from pipeline_queries so the decontamination
+    # train set can never drift from the split the pipeline actually uses.
+    from binwatch_spark.plans.pipeline_queries import split_case_sql
 
-    return (
-        f"CASE WHEN {polyhash_sql('text')} % 100 < {TRAIN_PCT} THEN 'train'"
-        f" WHEN {polyhash_sql('text')} % 100 < {TRAIN_PCT + VAL_PCT}"
-        " THEN 'val' ELSE 'test' END"
-    )
+    return split_case_sql()
 
 
 @register(
@@ -338,17 +337,10 @@ def q82_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark evaluation. Composes the q73 split expression with the q81
     span encoder; int64 span keys through every exchange. See
     operators/dedup.cross_split_contamination for the plan audit."""
-    from binwatch_spark.plans.pipeline_queries import TRAIN_PCT, VAL_PCT
-    from binwatch_spark.functions.texthash import polyhash
+    from binwatch_spark.plans.pipeline_queries import split_column
 
     docs = load(spark, sf_dir, "documents")
-    bucket = polyhash(F.col("text")) % 100
-    with_split = docs.withColumn(
-        "_sp",
-        F.when(bucket < TRAIN_PCT, "train")
-        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
-        .otherwise("test"),
-    )
+    with_split = docs.withColumn("_sp", split_column())
     return dedup.cross_split_contamination(
         with_split, "text", "doc_id", "_sp", "train", window=SPAN_WINDOW
     )

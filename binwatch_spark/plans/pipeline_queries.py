@@ -158,15 +158,31 @@ def q72_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRAIN_PCT, VAL_PCT = 80, 10  # remainder = test
 
 
+def split_column() -> "F.Column":
+    """THE train/val/test split rule, as a Column over ``text`` — the single
+    definition shared by q73 and q82 (decontamination composes the same
+    split; a drifting copy would silently break its train-set semantics)."""
+    bucket = polyhash(F.col("text")) % 100
+    return (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
+def split_case_sql() -> str:
+    """The oracle-side spelling of :func:`split_column` (same sharing
+    contract)."""
+    return (
+        f"CASE WHEN {polyhash_sql('text')} % 100 < {TRAIN_PCT} THEN 'train'"
+        f" WHEN {polyhash_sql('text')} % 100 < {TRAIN_PCT + VAL_PCT}"
+        " THEN 'val' ELSE 'test' END"
+    )
+
+
 @register(
     "q73_hash_split",
-    oracle=f"""
-SELECT doc_id, lang,
-  CASE WHEN {polyhash_sql("text")} % 100 < {TRAIN_PCT} THEN 'train'
-       WHEN {polyhash_sql("text")} % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val'
-       ELSE 'test' END AS split
-FROM documents
-""",
+    oracle=f"SELECT doc_id, lang, {split_case_sql()} AS split FROM documents",
 )
 def q73_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by content hash — the split
@@ -175,15 +191,7 @@ def q73_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     train/test leakage through dup pairs), which an RNG split cannot
     guarantee. Map-side expression, no shuffle, no state."""
     docs = load(spark, sf_dir, "documents")
-    bucket = polyhash(F.col("text")) % 100
-    return docs.select(
-        "doc_id",
-        "lang",
-        F.when(bucket < TRAIN_PCT, "train")
-        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
-        .otherwise("test")
-        .alias("split"),
-    )
+    return docs.select("doc_id", "lang", split_column().alias("split"))
 
 
 CHUNK_TOKENS, CHUNK_STRIDE = 64, 48  # 16-token overlap between windows

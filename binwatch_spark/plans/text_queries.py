@@ -425,7 +425,8 @@ WITH toks AS (
 SELECT t.doc_id,
        count(*) AS n_tokens,
        CAST(sum(c.c) AS BIGINT) AS freq_sum,
-       CAST(sum(c.c) AS DOUBLE) / ((SELECT n FROM total) * count(*))
+       CAST(sum(c.c) AS DOUBLE)
+         / (CAST((SELECT n FROM total) AS DOUBLE) * count(*))
          AS commonness
 FROM toks t JOIN counts c ON t.tok = c.tok
 GROUP BY t.doc_id
@@ -450,14 +451,27 @@ def q83_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from binwatch_spark.tables import spread
 
     docs = load(spark, sf_dir, "documents")
-    toks = spread(docs, "doc_id").select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.split(F.lower(F.col("text")), " "), lambda t: F.xxhash64(t)
-            )
-        ).alias("_th"),
+    # Persist the hashed token frame: it feeds the corpus count table AND
+    # the per-doc join (and counts feeds total + the join), so without the
+    # cache the scan+explode+hash pipeline runs ~3× per execution — the
+    # same two-consumer shape duplicated_span_stats caches away. Eager
+    # count so concurrent stages don't race to fill the lazy cache.
+    toks = (
+        spread(docs, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.split(F.lower(F.col("text")), " "), lambda t: F.xxhash64(t)
+                )
+            ).alias("_th"),
+        )
+        .persist()
     )
+    from binwatch_spark.operators.dedup import _EAGER
+
+    if _EAGER:
+        toks.count()
     counts = toks.groupBy("_th").agg(F.count(F.lit(1)).alias("_c"))
     total = counts.agg(F.sum("_c").alias("_n"))
     per_doc = (
@@ -468,13 +482,17 @@ def q83_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_c").alias("freq_sum"),
         )
     )
+    # _n is cast to double BEFORE the product: corpus_total × n_tokens as
+    # bigint×bigint overflows int64 at ~2e13 corpus tokens × 5e5-token
+    # docs (ANSI error at the 100 TB posture this query documents); the
+    # double product is exact below 2^53 so the sf0.01 hash is unchanged.
     return per_doc.crossJoin(F.broadcast(total)).select(
         "doc_id",
         "n_tokens",
         "freq_sum",
         (
             F.col("freq_sum").cast("double")
-            / (F.col("_n") * F.col("n_tokens"))
+            / (F.col("_n").cast("double") * F.col("n_tokens"))
         ).alias("commonness"),
     )
 

@@ -36,15 +36,32 @@ from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPart
 from binwatch_spark.sources.envelope import ENVELOPE_SCHEMA
 
 
+_DUR_PART_RE = __import__("re").compile(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)")
+
+
 def _parse_duration_seconds(text: str) -> float:
-    """Go-style duration strings ("90s", "500ms", "1m", "1h") → seconds;
-    bare numbers are seconds (config.go readTimeout/heartbeatPeriod)."""
+    """Go time.ParseDuration strings → seconds, including signed multi-part
+    forms ("1m30s", "-1h15m") the reference's readTimeout/heartbeatPeriod
+    accept (config.go time.Duration fields); bare numbers are seconds."""
     s = str(text).strip()
-    units = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0}
-    for suffix in ("ms", "s", "m", "h"):
-        if s.endswith(suffix):
-            return float(s[: -len(suffix)]) * units[suffix]
-    return float(s)
+    neg = s.startswith("-")
+    if s[:1] in "+-":
+        s = s[1:]
+    parts = _DUR_PART_RE.findall(s)
+    if parts and "".join(n + u for n, u in parts) == s:
+        units = {
+            "ns": 1e-9,
+            "us": 1e-6,
+            "µs": 1e-6,
+            "ms": 0.001,
+            "s": 1.0,
+            "m": 60.0,
+            "h": 3600.0,
+        }
+        total = sum(float(n) * units[u] for n, u in parts)
+    else:
+        total = float(s)
+    return -total if neg else total
 
 
 @dataclass(frozen=True, order=True)

@@ -137,10 +137,12 @@ def _sequence_batch(batch_df: DataFrame, workers: int = 1) -> DataFrame:
     suffix range (MySQL suffixes are ≤7-digit ints ≪ 2^30) so a hashed
     file cannot collide with a suffixed one, below 2^31 so the <<32 stays
     inside signed 64-bit, and distinct hashed files collide only at ~2^-30.
-    A suffix ≥ 2^31 (impossible from MySQL, whose rotation counter is at
-    most 7 digits, but possible in a hand-built replay dir) would overflow
-    the shift into negative ids — such names are routed to the hash
-    fallback instead (ADVICE r04). SINGLE-STREAM ASSUMPTION: one server's
+    A suffix ≥ 2^30 (impossible from MySQL, whose rotation counter is at
+    most 7 digits, but possible in a hand-built replay dir) is routed to
+    the hash fallback instead (ADVICE r04): ≥ 2^31 would overflow the
+    shift into negative ids, and [2^30, 2^31) is the band the hash
+    fallback itself maps into — keeping literal and hashed file ids in
+    disjoint bands. SINGLE-STREAM ASSUMPTION: one server's
     binlog series per pipeline, like the reference (one syncer per config,
     blreaderwork.go:119) — two distinct basenames sharing a numeric suffix
     (a-bin.000002 + b-bin.000002 in a merged replay dir) would collide to
@@ -156,9 +158,12 @@ def _sequence_batch(batch_df: DataFrame, workers: int = 1) -> DataFrame:
     suffix = F.nullif(
         F.regexp_extract("binlog_file", r"(\d+)$", 1), F.lit("")
     ).cast("bigint")
-    # cast overflow (≥2^63 digits) already nulls out; this guards the
-    # 2^31..2^63 window where the shift below would go negative
-    suffix = F.when(suffix < F.lit(1 << 31), suffix)
+    # cast overflow (≥2^63 digits) already nulls out; this guards both the
+    # 2^31..2^63 window where the shift below would go negative AND the
+    # [2^30, 2^31) band reserved for the hash fallback — a literal suffix
+    # there would collide with a hashed file's id range, so it routes to
+    # the hash fallback too (keeping literal and hashed bands disjoint)
+    suffix = F.when(suffix < F.lit(1 << 30), suffix)
     file_seq = F.coalesce(
         suffix,
         (F.pmod(F.xxhash64("binlog_file"), F.lit(1 << 30)) + F.lit(1 << 30)).cast(

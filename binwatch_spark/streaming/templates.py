@@ -441,12 +441,30 @@ def _regex_find_all(pattern: str, s: Any, n: Any) -> list[str]:
 def _regex_split(pattern: str, s: Any, n: Any) -> list[str]:
     """sprig regexSplit: Go re.Split(s, n) — n is the max number of
     SUBSTRINGS (not splits); n == 0 returns an empty list, n < 0 splits
-    fully."""
+    fully. Split on match SPANS, not re.split: Python's re.split
+    interleaves capture-group text into the result, which Go's
+    regexp.Split never does (subexpressions are ignored)."""
     n = int(n)
     if n == 0:
         return []
-    parts = re.split(str(pattern), _go_str(s), maxsplit=0 if n < 0 else n - 1)
-    return parts
+    pat, text = str(pattern), _go_str(s)
+    if pat and not text:
+        return [""]
+    matches = [m.span() for m in re.finditer(pat, text)]
+    if n >= 0:
+        matches = matches[:n]
+    out: list[str] = []
+    beg = end = 0
+    for b, e in matches:
+        if n > 0 and len(out) >= n - 1:
+            break
+        end = b
+        if e != 0:
+            out.append(text[beg:end])
+        beg = e
+    if end != len(text):
+        out.append(text[beg:])
+    return out
 
 
 # --- sprig long-tail helpers (deterministic families only) ---------------
@@ -477,22 +495,20 @@ def _go_duration_seconds(s: Any) -> float:
 
 
 def _duration_str(secs: Any) -> str:
-    """sprig duration: integer seconds → Go duration string ("1m35s")."""
+    """sprig duration: integer seconds → Go duration string. Go's
+    time.Duration.String() always prints the LOWER units once a higher unit
+    appears ("1h0m0s", "1m0s"), never elides them — replay/redelivery
+    payload comparison against the Go binary depends on the exact text."""
     n = int(_num(secs))
-    if n == 0:
-        return "0s"
     sign = "-" if n < 0 else ""
     n = abs(n)
     h, rem = divmod(n, 3600)
     m, s = divmod(rem, 60)
-    out = sign
     if h:
-        out += f"{h}h"
+        return f"{sign}{h}h{m}m{s}s"
     if m:
-        out += f"{m}m"
-    if s or (not h and not m):
-        out += f"{s}s"
-    return out
+        return f"{sign}{m}m{s}s"
+    return f"{sign}{s}s"
 
 
 def _to_date(fmt: str, s: Any) -> _dt.datetime:

@@ -357,3 +357,9 @@ def test_parse_duration_units():
     assert _parse_duration_seconds("2m") == 120.0
     assert _parse_duration_seconds("1h") == 3600.0
     assert _parse_duration_seconds("7") == 7.0
+    # Go time.Duration accepts signed multi-part forms — the reference's
+    # readTimeout/heartbeatPeriod are time.Duration fields, so "1m30s"
+    # must parse, not crash the source at stream open
+    assert _parse_duration_seconds("1m30s") == 90.0
+    assert _parse_duration_seconds("1h15m10s") == 4510.0
+    assert _parse_duration_seconds("-1m30s") == -90.0

@@ -74,3 +74,20 @@ def test_multiprobe_plan_stays_equijoin(spark):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan
+
+
+def test_ivf_tolerates_null_embeddings(spark):
+    """A NULL candidate embedding must be dropped (no cell assignment), not
+    crash the Arrow batch in the map-side cell-assignment kernel."""
+    from binwatch_spark.operators.similarity import ivf_knn
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cent_id long, cent_emb array<float>"
+    )
+    cands = spark.createDataFrame(
+        [(10, [0.9, 0.1]), (11, None), (12, [0.1, 0.9])],
+        "cand_id long, c_emb array<float>",
+    )
+    qs = spark.createDataFrame([(1, [1.0, 0.0])], "query_id long, q_emb array<float>")
+    rows = ivf_knn(qs, cands, cents, k=5, n_probe=2).collect()
+    assert {r["cand_id"] for r in rows} == {10, 12}

@@ -158,3 +158,27 @@ def test_compact_small_files(spark, tmp_path):
     assert n_out <= 6  # ceil(total/target) with parquet overhead slack
     # nothing lost or duplicated
     assert spark.read.parquet(out).count() == docs.count()
+
+
+def test_compact_uri_escapable_dir(spark, tmp_path):
+    """ADVICE r04 follow-through: inputFiles() URI-encodes the DIRECTORY
+    component too (space -> %20) — compact must decode it before listStatus
+    or the sizes come back empty and everything rewrites into one file."""
+    from binwatch_spark.operators.storage import compact
+    from binwatch_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    src = f"{tmp_path}/frag mented dir"
+    out = f"{tmp_path}/compacted"
+    docs = load(spark, SF_SMALL, "documents")
+    docs.repartition(16).write.parquet(src)
+    import glob
+
+    total = sum(
+        __import__("os").path.getsize(f) for f in glob.glob(f"{src}/part-*")
+    )
+    target = max(1, total // 4)
+    n_out = compact(spark, src, out, target_file_bytes=target)
+    # sizes were actually observed (not zero): more than one output file
+    assert n_out > 1
+    assert spark.read.parquet(out).count() == docs.count()

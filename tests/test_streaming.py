@@ -549,6 +549,10 @@ def test_sequence_batch_huge_suffix_routes_to_hash_fallback(spark):
             ("weird-bin.99999999999", 10),   # > 2^31: hash fallback
             ("mysql-bin.000003", 10),        # normal suffix path
             ("no-suffix-name", 10),          # no digits: hash fallback
+            ("odd-bin.2000000000", 10),      # in [2^30, 2^31): the hash
+                                             # band — must ALSO fall back or
+                                             # it could collide with a
+                                             # hashed file's id range
         ],
         "binlog_file string, binlog_position long",
     )
@@ -558,7 +562,8 @@ def test_sequence_batch_huge_suffix_routes_to_hash_fallback(spark):
     }
     assert all(v > 0 for v in rows.values())
     assert rows["mysql-bin.000003"] == (3 << 32) + 1
-    # fallback ids live in the [2^30, 2^31) << 32 band
-    for name in ("weird-bin.99999999999", "no-suffix-name"):
+    # fallback ids live in the [2^30, 2^31) << 32 band; literal suffixes
+    # stay below it, so the bands are disjoint by construction
+    for name in ("weird-bin.99999999999", "no-suffix-name", "odd-bin.2000000000"):
         assert (1 << 30) <= (rows[name] >> 32) < (1 << 31)
-    assert len(set(rows.values())) == 3
+    assert len(set(rows.values())) == 4

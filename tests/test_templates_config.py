@@ -502,6 +502,12 @@ def test_template_regex_family_completeness():
         == "a|b,c"
     )
     assert compile_template('{{ regexSplit "," "a,b" 0 | len }}')(ITEM) == "0"
+    # Go regexp.Split ignores capture groups; Python re.split would
+    # interleave the group text ("a", ",", "b")
+    assert (
+        compile_template('{{ regexSplit "(,)" "a,b" -1 | join "|" }}')(ITEM)
+        == "a|b"
+    )
     assert (
         compile_template('{{ regexQuoteMeta "a.b*c" }}')(ITEM) == r"a\.b\*c"
     )
@@ -669,8 +675,10 @@ def test_template_sprig_round5_encoding_urls_time():
             compile_template('{{ ago (toDate "2006-01-02 15:04:05" "2024-03-05 14:07:04") }}')(ITEM)
             == "5s"
         )
-        assert compile_template("{{ duration 95 }}")(ITEM) == "1m35s"
-        assert compile_template("{{ duration 3600 }}")(ITEM) == "1h"
+        assert compile_template("{{ duration 95 }}")(ITEM) == "1m35s"  # Go Duration.String()
+        assert compile_template("{{ duration 3600 }}")(ITEM) == "1h0m0s"
+        assert compile_template("{{ duration 60 }}")(ITEM) == "1m0s"
+        assert compile_template("{{ duration 0 }}")(ITEM) == "0s"
     finally:
         T._now_fn = old
 
