@@ -298,3 +298,69 @@ def q48_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8(emb, "embedding", "vec_id").select(
         "vec_id", "scale", "dim", "q"
     )
+
+
+def _recall_sql() -> str:
+    # exact top-3 over the SAME query/candidate split as the IVF rung
+    exact_cos = (
+        "list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))"
+    )
+    return f"""
+WITH ivf AS ({_ivf_sql()}),
+exact AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY {exact_cos} DESC, c.vec_id) AS rn
+    FROM embeddings q CROSS JOIN embeddings c
+    WHERE q.vec_id < 20 AND c.vec_id >= 20) WHERE rn <= 3)
+SELECT e.query_id,
+  count(*) AS n_exact,
+  CAST(sum(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_hit,
+  round(CAST(sum(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*), 8) AS recall
+FROM exact e LEFT JOIN ivf i USING (query_id, cand_id)
+GROUP BY e.query_id
+"""
+
+
+@register("q89_ann_recall", oracle=_recall_sql())
+def q89_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: per-query recall@3 of the IVF rung (q38's
+    exact configuration) against the brute-force cosine top-3 over the same
+    query/candidate split — the measurement that decides whether an
+    approximate index is good enough to replace the exact baseline. Both
+    sides are deterministic (stride centroids, fixed tiebreaks), so the
+    whole evaluation is oracle-checkable end-to-end. Scale posture: the
+    exact side is the O(q·n) baseline — at 100 TB this evaluation runs on a
+    SAMPLED query set (hundreds of queries), which is exactly how recall is
+    audited in production; the IVF side stays the cheap path."""
+    from binwatch_spark.operators.similarity import brute_force_knn, ivf_knn
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cands = emb.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    cents = emb.filter(F.col("vec_id") % IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    ivf = ivf_knn(queries, cands, cents, 3, n_probe=IVF_NPROBE).select(
+        "query_id", "cand_id", F.lit(1).alias("_hit")
+    )
+    exact = brute_force_knn(queries, cands, 3).select("query_id", "cand_id")
+    joined = exact.join(ivf, ["query_id", "cand_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        F.round(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)),
+            8,
+        ).alias("recall"),
+    )
