@@ -67,6 +67,12 @@ class SourceConfig:
     # Spark extension: replay a recorded envelope stream instead of a live
     # binlog (sources/envelope.py) — used by tests and dev.
     replay_dir: str = ""
+    # Spark extension: micro-batch admission control for the live source —
+    # cap each trigger at this many binlog BYTES (positions are byte
+    # offsets) so catch-up over a backlog runs as bounded, checkpointed
+    # steps instead of one giant batch. 0 = unbounded (reference behavior:
+    # the Go service is a one-event-at-a-time loop and needs no batching).
+    max_bytes_per_batch: int = 0
 
     @property
     def allowlist(self) -> list[str]:
@@ -289,6 +295,7 @@ def parse(doc: dict) -> JobConfig:
             heartbeat_period=str(source_d.get("heartbeatPeriod", "60s")),
             start_location=start,
             replay_dir=source_d.get("replayDir", ""),
+            max_bytes_per_batch=int(source_d.get("maxBytesPerBatch", 0)),
         ),
         sharding=ShardingConfig(
             enabled=bool(sharding_d.get("enabled", False)),

@@ -135,6 +135,37 @@ class ReplayBinlogClient:
             if start < loc <= end:
                 yield rec
 
+    def bounded_latest(
+        self, start: BinlogLocation, max_bytes: int
+    ) -> BinlogLocation:
+        """Largest location ≤ the tip whose byte distance from ``start`` is
+        within ``max_bytes`` (positions are byte offsets; across a rotation
+        the new file counts from 0) — the admission-control bound for one
+        micro-batch. When even the FIRST record past ``start`` exceeds the
+        budget it is admitted alone (one over-budget event per batch beats
+        a permanent stall)."""
+        locs = sorted(
+            BinlogLocation(r["binlog_file"], int(r["binlog_position"]))
+            for r in self._records()
+        )
+        budget = max_bytes
+        cur = start
+        for loc in locs:
+            if loc <= start:
+                continue
+            delta = (
+                loc.position - cur.position
+                if loc.file == cur.file
+                else loc.position
+            )
+            if delta > budget:
+                if cur == start:  # progress guarantee
+                    cur = loc
+                break
+            budget -= delta
+            cur = loc
+        return cur
+
 
 class MySQLBinlogClient:
     """Live replication client. ROW binlog format only.
@@ -185,6 +216,30 @@ class MySQLBinlogClient:
 
     def latest_location(self) -> BinlogLocation:
         return self.master_location()
+
+    def bounded_latest(
+        self, start: BinlogLocation, max_bytes: int
+    ) -> BinlogLocation:
+        """Admission-control bound for the live client. Within the current
+        binlog file the bound is exact (positions are byte offsets:
+        ``start + max_bytes``). When the master has rotated past the
+        current file, file lengths are unknowable without reading, so the
+        step is FILE-granular: one batch consumes the remainder of the
+        current file (bounded by the server's max_binlog_size), landing at
+        ``(next_file, 0)`` — MySQL rotation names are sequential, so the
+        next name is synthesized from the numeric suffix. Always returns a
+        location strictly past ``start`` while data remains (no stall)."""
+        tip = self.latest_location()
+        if tip <= start:
+            return tip
+        if tip.file == start.file:
+            return min(tip, BinlogLocation(start.file, start.position + max_bytes))
+        m = __import__("re").search(r"^(.*?)(\d+)$", start.file)
+        if not m:  # non-numeric name: cannot synthesize rotation; take the tip
+            return tip
+        stem, digits = m.groups()
+        nxt = f"{stem}{int(digits) + 1:0{len(digits)}d}"
+        return min(tip, BinlogLocation(nxt, 0))
 
     def _heartbeat_seconds(self) -> float:
         """slave_heartbeat for the replication stream — the server emits
@@ -316,6 +371,24 @@ class BinlogStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict[str, str]):
         self._options = dict(options)
         self._client = _make_client(self._options)
+        # Admission control (backpressure): cap each micro-batch at
+        # maxBytesPerBatch binlog BYTES — binlog positions are byte offsets
+        # within a file, so `last + maxBytes` is a valid bound; when the tip
+        # is in a LATER file the candidate caps the batch at the remainder
+        # of the current file and the next trigger advances into the next
+        # file. Without a cap, a stream restarted against hours of backlog
+        # replays it as ONE giant micro-batch (memory + latency spike); the
+        # cap turns catch-up into bounded, checkpointed steps. The Python
+        # DataSource API has no SupportsAdmissionControl hook, so the last
+        # planned end offset is tracked reader-side; after a checkpoint
+        # restart the FIRST batch is unbounded (the reader only learns the
+        # restored offset when partitions() is called), every later batch
+        # is capped — documented best-effort.
+        raw = self._options.get("maxbytesperbatch") or self._options.get(
+            "maxBytesPerBatch"
+        )
+        self._max_bytes = int(raw) if raw else 0
+        self._last: BinlogLocation | None = None
 
     def initialOffset(self) -> dict:
         # S2 priority: explicit startLocation beats everything; Spark itself
@@ -324,16 +397,27 @@ class BinlogStreamReader(DataSourceStreamReader):
         file = self._options.get("startfile") or self._options.get("startFile")
         pos = self._options.get("startposition") or self._options.get("startPosition")
         if file:
-            return BinlogLocation(file, int(pos or 0)).as_offset()
-        return self._client.master_location().as_offset()
+            start = BinlogLocation(file, int(pos or 0))
+        else:
+            start = self._client.master_location()
+        self._last = start
+        return start.as_offset()
 
     def latestOffset(self) -> dict:
-        return self._client.latest_location().as_offset()
+        tip = self._client.latest_location()
+        if self._max_bytes and self._last is not None and tip > self._last:
+            bounded = self._client.bounded_latest(self._last, self._max_bytes)
+            if bounded > self._last:
+                tip = min(tip, bounded)
+        self._last = tip
+        return tip.as_offset()
 
     def partitions(self, start: dict, end: dict):
         # One ordered partition per micro-batch: binlog order is global order
         # (senderWorkers:1 parity, README.md:38). Parallelism comes after the
         # source via repartition in the pipeline.
+        if self._last is None:  # checkpoint restart: learn the restored offset
+            self._last = BinlogLocation.from_offset(end)
         return [_RangePartition(start, end)]
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
@@ -359,7 +443,8 @@ class BinlogStreamReader(DataSourceStreamReader):
 
 class BinlogDataSource(DataSource):
     """``spark.readStream.format("mysql-binlog")`` — options: replayDir (or
-    host/port/user/password/serverID), startFile/startPosition."""
+    host/port/user/password/serverID), startFile/startPosition,
+    maxBytesPerBatch (micro-batch admission control)."""
 
     @classmethod
     def name(cls) -> str:

@@ -84,6 +84,10 @@ def source_stream(spark: SparkSession, cfg: JobConfig) -> DataFrame:
         readTimeout=cfg.source.read_timeout,
         heartbeatPeriod=cfg.source.heartbeat_period,
     )
+    if cfg.source.max_bytes_per_batch:
+        reader = reader.options(
+            maxBytesPerBatch=str(cfg.source.max_bytes_per_batch)
+        )
     if cfg.source.start_location:
         reader = reader.options(
             startFile=cfg.source.start_location.file,

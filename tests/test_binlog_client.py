@@ -363,3 +363,26 @@ def test_parse_duration_units():
     assert _parse_duration_seconds("1m30s") == 90.0
     assert _parse_duration_seconds("1h15m10s") == 4510.0
     assert _parse_duration_seconds("-1m30s") == -90.0
+
+
+def test_live_client_bounded_latest_rules(fake_pymysqlreplication, monkeypatch):
+    """Admission bound without a server: byte-exact within the current
+    binlog file, file-granular (synthesized sequential rotation name)
+    across files — the live half of maxBytesPerBatch."""
+    from binwatch_spark.sources.binlog import BinlogLocation
+
+    client = _client()
+    tip = BinlogLocation("mysql-bin.000005", 900)
+    monkeypatch.setattr(client, "latest_location", lambda: tip)
+    # same file: exact byte cap
+    assert client.bounded_latest(
+        BinlogLocation("mysql-bin.000005", 100), 200
+    ) == BinlogLocation("mysql-bin.000005", 300)
+    # same file, cap past the tip: clamp to tip
+    assert client.bounded_latest(BinlogLocation("mysql-bin.000005", 800), 500) == tip
+    # rotated: one file per step, zero-padded sequential name
+    assert client.bounded_latest(
+        BinlogLocation("mysql-bin.000003", 123456), 200
+    ) == BinlogLocation("mysql-bin.000004", 0)
+    # nothing new: return the tip unchanged
+    assert client.bounded_latest(tip, 200) == tip

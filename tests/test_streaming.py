@@ -567,3 +567,55 @@ def test_sequence_batch_huge_suffix_routes_to_hash_fallback(spark):
     for name in ("weird-bin.99999999999", "no-suffix-name", "odd-bin.2000000000"):
         assert (1 << 30) <= (rows[name] >> 32) < (1 << 31)
     assert len(set(rows.values())) == 4
+
+
+def test_binlog_reader_max_bytes_per_batch(tmp_path):
+    """Admission control: with maxBytesPerBatch set, latestOffset advances in
+    bounded byte steps (positions are byte offsets) instead of jumping to the
+    tip — catch-up over a backlog becomes several checkpointed micro-batches.
+    Union of the capped ranges must equal the uncapped range exactly."""
+    from binwatch_spark.sources.binlog import (
+        BinlogLocation,
+        BinlogStreamReader,
+        ReplayBinlogClient,
+    )
+
+    replay = str(tmp_path / "replay")
+    write_replay(replay, EVENTS)
+    reader = BinlogStreamReader(
+        {"replaydir": replay, "maxbytesperbatch": "150"}
+    )
+    start = BinlogLocation.from_offset(reader.initialOffset())
+    offsets = []
+    prev = start
+    for _ in range(10):
+        cur = BinlogLocation.from_offset(reader.latestOffset())
+        if cur == prev:
+            break
+        # bounded progress: within one file, at most 150 bytes per step
+        if cur.file == prev.file:
+            assert cur.position - prev.position <= 150
+        offsets.append((prev, cur))
+        prev = cur
+    tip = ReplayBinlogClient(replay).latest_location()
+    assert prev == tip  # converges to the tip
+    assert len(offsets) > 1  # and actually took multiple batches
+    # no event lost or duplicated across the capped ranges
+    client = ReplayBinlogClient(replay)
+    seen = [
+        (rec["binlog_file"], rec["binlog_position"])
+        for s, e in offsets
+        for rec in client.read_range(s, e)
+    ]
+    assert seen == sorted((f, p) for f, p, *_ in EVENTS)
+
+
+def test_binlog_reader_uncapped_jumps_to_tip(tmp_path):
+    from binwatch_spark.sources.binlog import BinlogLocation, BinlogStreamReader
+
+    replay = str(tmp_path / "replay")
+    write_replay(replay, EVENTS)
+    reader = BinlogStreamReader({"replaydir": replay})
+    reader.initialOffset()
+    cur = BinlogLocation.from_offset(reader.latestOffset())
+    assert cur == BinlogLocation("mysql-bin.000002", 80)
