@@ -49,6 +49,15 @@ from binwatch_spark.tables import spread
 _EAGER = os.environ.get("SPARK_GRAFT_DEDUP_EAGER", "1") != "0"
 
 
+def eager_enabled() -> bool:
+    """Whether persist()ed intermediates are filled EAGERLY (a count() right
+    after persist) so concurrent downstream stages don't race to populate a
+    lazy cache, each recomputing the pipeline. Shared by the dedup operators
+    and the plans that follow the same two-consumer persist pattern; off via
+    SPARK_GRAFT_DEDUP_EAGER=0."""
+    return _EAGER
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Collapse exact duplicates, keeping the lowest id per text group."""
     return df.groupBy(text_col).agg(

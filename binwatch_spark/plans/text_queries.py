@@ -468,9 +468,9 @@ def q83_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    from binwatch_spark.operators.dedup import _EAGER
+    from binwatch_spark.operators.dedup import eager_enabled
 
-    if _EAGER:
+    if eager_enabled():
         toks.count()
     counts = toks.groupBy("_th").agg(F.count(F.lit(1)).alias("_c"))
     total = counts.agg(F.sum("_c").alias("_n"))

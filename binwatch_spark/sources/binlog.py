@@ -36,32 +36,18 @@ from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPart
 from binwatch_spark.sources.envelope import ENVELOPE_SCHEMA
 
 
-_DUR_PART_RE = __import__("re").compile(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)")
-
-
 def _parse_duration_seconds(text: str) -> float:
     """Go time.ParseDuration strings → seconds, including signed multi-part
     forms ("1m30s", "-1h15m") the reference's readTimeout/heartbeatPeriod
-    accept (config.go time.Duration fields); bare numbers are seconds."""
-    s = str(text).strip()
-    neg = s.startswith("-")
-    if s[:1] in "+-":
-        s = s[1:]
-    parts = _DUR_PART_RE.findall(s)
-    if parts and "".join(n + u for n, u in parts) == s:
-        units = {
-            "ns": 1e-9,
-            "us": 1e-6,
-            "µs": 1e-6,
-            "ms": 0.001,
-            "s": 1.0,
-            "m": 60.0,
-            "h": 3600.0,
-        }
-        total = sum(float(n) * units[u] for n, u in parts)
-    else:
-        total = float(s)
-    return -total if neg else total
+    accept (config.go time.Duration fields); bare numbers are seconds.
+    Delegates to the template engine's parser — ONE definition of Go
+    duration semantics in the repo, not two drifting copies."""
+    from binwatch_spark.streaming.templates import _go_duration_seconds
+
+    try:
+        return _go_duration_seconds(text)
+    except ValueError:
+        return float(str(text).strip())
 
 
 @dataclass(frozen=True, order=True)
@@ -136,7 +122,10 @@ class ReplayBinlogClient:
                 yield rec
 
     def bounded_latest(
-        self, start: BinlogLocation, max_bytes: int
+        self,
+        start: BinlogLocation,
+        max_bytes: int,
+        tip: BinlogLocation | None = None,  # unused: replay reads its files
     ) -> BinlogLocation:
         """Largest location ≤ the tip whose byte distance from ``start`` is
         within ``max_bytes`` (positions are byte offsets; across a rotation
@@ -218,7 +207,10 @@ class MySQLBinlogClient:
         return self.master_location()
 
     def bounded_latest(
-        self, start: BinlogLocation, max_bytes: int
+        self,
+        start: BinlogLocation,
+        max_bytes: int,
+        tip: BinlogLocation | None = None,
     ) -> BinlogLocation:
         """Admission-control bound for the live client. Within the current
         binlog file the bound is exact (positions are byte offsets:
@@ -228,13 +220,19 @@ class MySQLBinlogClient:
         current file (bounded by the server's max_binlog_size), landing at
         ``(next_file, 0)`` — MySQL rotation names are sequential, so the
         next name is synthesized from the numeric suffix. Always returns a
-        location strictly past ``start`` while data remains (no stall)."""
-        tip = self.latest_location()
+        location strictly past ``start`` while data remains (no stall).
+        Pass ``tip`` when the caller already fetched it — saves a second
+        SHOW MASTER STATUS round trip per trigger (and keeps the clamp on
+        the SAME snapshot the caller saw)."""
+        import re
+
+        if tip is None:
+            tip = self.latest_location()
         if tip <= start:
             return tip
         if tip.file == start.file:
             return min(tip, BinlogLocation(start.file, start.position + max_bytes))
-        m = __import__("re").search(r"^(.*?)(\d+)$", start.file)
+        m = re.search(r"^(.*?)(\d+)$", start.file)
         if not m:  # non-numeric name: cannot synthesize rotation; take the tip
             return tip
         stem, digits = m.groups()
@@ -406,7 +404,9 @@ class BinlogStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         tip = self._client.latest_location()
         if self._max_bytes and self._last is not None and tip > self._last:
-            bounded = self._client.bounded_latest(self._last, self._max_bytes)
+            bounded = self._client.bounded_latest(
+                self._last, self._max_bytes, tip=tip
+            )
             if bounded > self._last:
                 tip = min(tip, bounded)
         self._last = tip

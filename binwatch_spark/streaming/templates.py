@@ -450,7 +450,17 @@ def _regex_split(pattern: str, s: Any, n: Any) -> list[str]:
     pat, text = str(pattern), _go_str(s)
     if pat and not text:
         return [""]
-    matches = [m.span() for m in re.finditer(pat, text)]
+    # Go FindAll rejects an EMPTY match starting where the previous accepted
+    # match ended; Python finditer yields it — filter those or star/optional
+    # patterns emit spurious empty substrings ("a*" on "abc").
+    matches: list[tuple[int, int]] = []
+    prev_end = -1
+    for m in re.finditer(pat, text):
+        b, e = m.span()
+        if b == e and b == prev_end:
+            continue
+        matches.append((b, e))
+        prev_end = e
     if n >= 0:
         matches = matches[:n]
     out: list[str] = []

@@ -508,6 +508,16 @@ def test_template_regex_family_completeness():
         compile_template('{{ regexSplit "(,)" "a,b" -1 | join "|" }}')(ITEM)
         == "a|b"
     )
+    # Empty-match semantics: Go FindAll skips an empty match at the end of
+    # the previous match — the regexp.Split documentation example verbatim
+    assert (
+        compile_template('{{ regexSplit "a*" "abaabaccadaaae" 5 | join "|" }}')(ITEM)
+        == "|b|b|c|cadaaae"
+    )
+    assert (
+        compile_template('{{ regexSplit "b*" "abc" -1 | join "|" }}')(ITEM)
+        == "a|c"
+    )
     assert (
         compile_template('{{ regexQuoteMeta "a.b*c" }}')(ITEM) == r"a\.b\*c"
     )
