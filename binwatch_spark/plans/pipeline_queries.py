@@ -349,3 +349,43 @@ def q88_length_trim_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_tokens") >= F.col("lo")) & (F.col("n_tokens") <= F.col("hi")))
         .select("doc_id", "lang", "n_tokens")
     )
+
+
+SAMPLE_K_PER_STRATUM = 25
+
+
+@register(
+    "q91_fixed_size_sample",
+    oracle=f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+    row_number() OVER (PARTITION BY lang
+      ORDER BY {polyhash_sql("text")}, doc_id) AS rn
+  FROM documents)
+WHERE rn <= {SAMPLE_K_PER_STRATUM}
+""",
+)
+def q91_fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-SIZE sample: exactly {SAMPLE_K_PER_STRATUM}
+    documents per language, chosen by ranking on a content hash — the
+    distributed, reproducible replacement for reservoir sampling (same
+    sample every run and on every engine; a true reservoir is RNG- and
+    order-dependent). Complements q36/q66, which sample at a fixed RATE.
+    Plan: one shuffle on the stratum key; at scale swap row_number for a
+    per-partition top-k + merge (the TakeOrdered shape) when k ≪ stratum —
+    rank-by-hash stays embarrassingly parallel either way. The hash is
+    PROJECTED before the window: an interpreted HOF fold directly inside
+    Window.orderBy re-evaluates per sort comparison (observed 13 s → 1.2 s
+    at sf0.1 for the projected spelling)."""
+    from binwatch_spark.functions.texthash import polyhash
+
+    docs = load(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", "lang", polyhash(F.col("text")).alias("_h")
+    )
+    w = Window.partitionBy("lang").orderBy("_h", "doc_id")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_K_PER_STRATUM)
+        .select("doc_id", "lang")
+    )

@@ -529,3 +529,80 @@ def q87_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col("t")).cast("double") / F.count(F.lit(1)), 8
         ).alias("type_token_ratio"),
     )
+
+
+# BM25 configuration: the standard Okapi parameters and a fixed query-term
+# set (documents are synthetic English-ish text; these are high-df tokens).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("the", "and", "data", "model", "system")
+
+
+@register(
+    "q90_bm25",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dlen FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n_docs, avg(CAST(dlen AS DOUBLE)) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM tok
+  WHERE t IN {BM25_TERMS!r} GROUP BY doc_id, t
+), df AS (
+  SELECT t, count(*) AS df FROM tf GROUP BY t
+), scored AS (
+  SELECT tf.doc_id,
+    ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+      * (tf.tf * ({BM25_K1} + 1))
+      / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dlen / stats.avgdl))
+      AS s
+  FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats)
+SELECT doc_id, round(sum(s), 6) AS bm25,
+       CAST(count(*) AS BIGINT) AS n_terms_hit
+FROM scored GROUP BY doc_id
+""",
+)
+def q90_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 scoring of every document against a fixed query-term set —
+    the classic retrieval ranking (and the relevance feature extractor of a
+    RAG/data-curation pipeline). Corpus statistics (N, avgdl, per-term df)
+    are tiny aggregates broadcast back; tf is one (doc, term) aggregate
+    over tokens pre-filtered to the query terms, so the scan prunes
+    everything else map-side. The per-doc score sums ≤|terms| doubles;
+    round(6) absorbs summation-order and libm-ln last-ulp differences.
+    At scale the term set is the only broadcast (bytes), and every shuffle
+    carries (doc_id, term) pairs already filtered to query terms."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("t")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dlen").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("t").isin(*BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    s = idf * (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dlen") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s.alias("s"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("s"), 6).alias("bm25"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
