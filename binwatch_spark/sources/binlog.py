@@ -378,10 +378,13 @@ class BinlogStreamReader(DataSourceStreamReader):
         # replays it as ONE giant micro-batch (memory + latency spike); the
         # cap turns catch-up into bounded, checkpointed steps. The Python
         # DataSource API has no SupportsAdmissionControl hook, so the last
-        # planned end offset is tracked reader-side; after a checkpoint
-        # restart the FIRST batch is unbounded (the reader only learns the
-        # restored offset when partitions() is called), every later batch
-        # is capped — documented best-effort.
+        # planned end offset is tracked reader-side; the FIRST planned
+        # batch of a run is unbounded (Spark may ask for latestOffset
+        # before the reader has any start offset to cap against — fresh
+        # start or checkpoint restart alike), every later batch is capped.
+        # availableNow falls back to Spark's single-batch mode for Python
+        # sources, so the cap is a continuous-trigger feature — exercised
+        # E2E in tests/test_streaming.py (capped-batches drain test).
         raw = self._options.get("maxbytesperbatch") or self._options.get(
             "maxBytesPerBatch"
         )

@@ -619,3 +619,61 @@ def test_binlog_reader_uncapped_jumps_to_tip(tmp_path):
     reader.initialOffset()
     cur = BinlogLocation.from_offset(reader.latestOffset())
     assert cur == BinlogLocation("mysql-bin.000002", 80)
+
+
+def test_binlog_datasource_capped_batches_drain(spark, tmp_path):
+    """E2E through the real DataSource on a RUNNING stream: a backlog that
+    arrives after batch 0 drains through several bounded micro-batches (the
+    150-byte cap shows up as multiple offset commits), still delivering
+    every event exactly once. Batch 0 itself is uncapped by design — Spark
+    plans it before the reader has a start offset to cap against (the
+    documented restart behavior) — so the capped path is exercised by
+    appending events while the stream runs."""
+    import time
+
+    tmp = str(tmp_path)
+    write_replay(f"{tmp}/replay", EVENTS[:1])  # batch 0: just the first event
+    from binwatch_spark.sources import binlog
+
+    binlog.register(spark)
+    stream = (
+        spark.readStream.format("mysql-binlog")
+        .option("replayDir", f"{tmp}/replay")
+        .option("maxBytesPerBatch", "150")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", f"{tmp}/sink")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        # wait for batch 0 to commit, then append the backlog
+        deadline = time.time() + 60
+        while time.time() < deadline and not os.path.isdir(f"{tmp}/ckpt/commits"):
+            time.sleep(0.5)
+        while time.time() < deadline and not os.listdir(f"{tmp}/ckpt/commits"):
+            time.sleep(0.5)
+        write_replay(f"{tmp}/replay", EVENTS[1:], filename="batch2.jsonl")
+        expected = sorted((f, p) for f, p, *_ in EVENTS)
+        got: list = []
+        while time.time() < deadline and len(got) < len(expected):
+            time.sleep(1)
+            try:
+                got = sorted(
+                    (r["binlog_file"], r["binlog_position"])
+                    for r in spark.read.parquet(f"{tmp}/sink").collect()
+                )
+            except Exception:
+                got = []
+    finally:
+        q.stop()
+    assert got == expected  # complete, no dupes
+    n_batches = len(
+        [f for f in os.listdir(f"{tmp}/ckpt/offsets") if not f.startswith(".")]
+    )
+    # the 4-event backlog spans > 150 bytes of binlog positions: the capped
+    # reader must have taken at least two extra micro-batches past batch 0
+    assert n_batches >= 3

@@ -846,6 +846,7 @@ source:
   startLocation:
     file: mysql-bin.000007
     position: 1234
+  maxBytesPerBatch: 1024
 sharding:
   enabled: true
   count: 8
@@ -895,6 +896,7 @@ routes:
     assert (src.start_location.file, src.start_location.position) == (
         "mysql-bin.000007", 1234,
     )
+    assert src.max_bytes_per_batch == 1024
     sh = cfg.sharding
     assert sh.enabled and (sh.count, sh.index) == (8, 3)
     assert sh.key_template == "{{ .db }}.{{ .table }}"
