@@ -69,9 +69,12 @@ class SourceConfig:
     replay_dir: str = ""
     # Spark extension: micro-batch admission control for the live source —
     # cap each trigger at this many binlog BYTES (positions are byte
-    # offsets) so catch-up over a backlog runs as bounded, checkpointed
-    # steps instead of one giant batch. 0 = unbounded (reference behavior:
-    # the Go service is a one-event-at-a-time loop and needs no batching).
+    # offsets). The FIRST planned batch of a run is uncapped (Spark asks
+    # for the latest offset before the reader has a start to cap against);
+    # every later batch is bounded, so a backlog that builds WHILE the
+    # stream runs drains as bounded, checkpointed steps. 0 = unbounded
+    # (reference behavior: the Go service is a one-event-at-a-time loop
+    # and needs no batching).
     max_bytes_per_batch: int = 0
 
     @property

@@ -111,11 +111,13 @@ WITH cent AS (
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS cnorm
   FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0),
 c0 AS (
+  -- embedding IS NOT NULL mirrors the Spark kernel, which assigns a NULL
+  -- embedding an empty cell list (the row is dropped, not NULL-ranked)
   SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS c_emb
-  FROM embeddings WHERE vec_id >= 20),
+  FROM embeddings WHERE vec_id >= 20 AND embedding IS NOT NULL),
 q0 AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
-  FROM embeddings WHERE vec_id < 20),
+  FROM embeddings WHERE vec_id < 20 AND embedding IS NOT NULL),
 cassign AS (
   SELECT cand_id, c_emb, cid FROM (
     SELECT c0.cand_id, c0.c_emb, cent.cid,

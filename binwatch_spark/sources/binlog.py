@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass
 from typing import Any, Iterator
 
@@ -50,13 +51,44 @@ def _parse_duration_seconds(text: str) -> float:
         return float(str(text).strip())
 
 
-@dataclass(frozen=True, order=True)
+_FILE_SUFFIX_RE = re.compile(r"^(.*?)(\d+)$")
+
+
+def _file_order_key(name: str) -> tuple:
+    """Rotation-safe ordering key for a binlog file name: same-stem files
+    compare by their NUMERIC suffix, so the 999999 → 1000000 rollover
+    (MySQL widens the counter; the widened name sorts lexicographically
+    BEFORE the old one) still orders forward. Names without a numeric
+    suffix fall back to plain string order."""
+    m = _FILE_SUFFIX_RE.match(name)
+    if m:
+        return (m.group(1), 1, int(m.group(2)), "")
+    return (name, 0, 0, name)
+
+
+@dataclass(frozen=True)
 class BinlogLocation:
-    """Comparable (file, position) offset; binlog file names order
-    lexicographically (mysql-bin.000001 < mysql-bin.000002)."""
+    """Comparable (file, position) offset; same-stem binlog file names
+    order by numeric suffix (mysql-bin.000001 < mysql-bin.000002 <
+    mysql-bin.1000000 — rollover-safe, see _file_order_key)."""
 
     file: str
     position: int
+
+    def _key(self) -> tuple:
+        return (*_file_order_key(self.file), self.position)
+
+    def __lt__(self, other: "BinlogLocation") -> bool:
+        return self._key() < other._key()
+
+    def __le__(self, other: "BinlogLocation") -> bool:
+        return self._key() <= other._key()
+
+    def __gt__(self, other: "BinlogLocation") -> bool:
+        return self._key() > other._key()
+
+    def __ge__(self, other: "BinlogLocation") -> bool:
+        return self._key() >= other._key()
 
     def as_offset(self) -> dict:
         return {"file": self.file, "position": self.position}
@@ -260,12 +292,20 @@ class MySQLBinlogClient:
     def _open_stream(self, resume_from: BinlogLocation, only_events: list):
         from pymysqlreplication import BinLogStreamReader
 
+        # position 0 means "beginning of this FILE" (a rotation-capped batch
+        # boundary, or startFile with no startPosition) — pass the post-magic
+        # header offset 4, the first valid binlog position. `position or
+        # None` here would make pymysqlreplication fall back to SHOW MASTER
+        # STATUS and silently skip everything before the CURRENT tip.
+        log_pos = resume_from.position if resume_from.file else None
+        if resume_from.file and log_pos is not None and log_pos < 4:
+            log_pos = 4
         return BinLogStreamReader(
             connection_settings=self._connection_settings(),
             server_id=int(self._options.get("serverid", 100)),
             resume_stream=True,
             log_file=resume_from.file or None,
-            log_pos=resume_from.position or None,
+            log_pos=log_pos,
             only_events=only_events,
             blocking=False,
             slave_heartbeat=self._heartbeat_seconds(),

@@ -84,7 +84,35 @@ def _go_str(value: Any) -> str:
         return "true" if value else "false"
     if isinstance(value, (dict, list)):
         return _to_json(value)
+    if isinstance(value, float):
+        return _go_float_str(value)
     return str(value)
+
+
+def _go_float_str(f: float) -> str:
+    """Go %v for float64 (strconv.FormatFloat 'g', shortest, 64-bit):
+    shortest round-trip digits, scientific iff the decimal exponent is
+    < -4 or >= 6 — so 5.0 → "5", 1234567.8 → "1.2345678e+06", 0.3 → "0.3".
+    Python's str() would print "5.0" and keep fixed form to 1e16."""
+    import math
+    from decimal import Decimal
+
+    if math.isnan(f):
+        return "NaN"
+    if math.isinf(f):
+        return "+Inf" if f > 0 else "-Inf"
+    if f == 0:
+        return "-0" if math.copysign(1.0, f) < 0 else "0"
+    d = Decimal(repr(f)).normalize()
+    sign, digits, dexp = d.as_tuple()
+    nd = len(digits)
+    exp10 = nd + dexp - 1  # decimal exponent of the leading digit
+    prefix = "-" if sign else ""
+    digit_str = "".join(map(str, digits))
+    if exp10 < -4 or exp10 >= 6:
+        mant = digit_str[0] + ("." + digit_str[1:] if nd > 1 else "")
+        return f"{prefix}{mant}e{'+' if exp10 >= 0 else '-'}{abs(exp10):02d}"
+    return prefix + format(abs(d), "f")
 
 
 def _lookup(item: dict, dotted: str) -> Any:
@@ -389,6 +417,13 @@ def _num(v: Any):
         return v
     s = str(v)
     return float(s) if "." in s else int(s)
+
+
+def _dec(v: Any):
+    """Decimal coercion for the sprig float family (execDecimalOp parity)."""
+    from decimal import Decimal
+
+    return Decimal(str(_num(v)))
 
 
 def _go_div(a: Any, b: Any):
@@ -871,11 +906,16 @@ def _merge_overwrite(dst: dict, *srcs: dict) -> dict:
 
 
 def _go_path_clean(p: Any) -> str:
-    """Go path.Clean (purely lexical, POSIX separators)."""
+    """Go path.Clean (purely lexical, POSIX separators). posixpath.normpath
+    preserves a POSIX-special double leading slash ("//a") that Go
+    collapses — strip it for parity."""
     s = _go_str(p)
     if s == "":
         return "."
-    return __import__("posixpath").normpath(s)
+    out = __import__("posixpath").normpath(s)
+    if out.startswith("//"):
+        out = out[1:]
+    return out
 
 
 def _go_path_base(p: Any) -> str:
@@ -919,25 +959,42 @@ def _commons_abbrev(s: str, offset: int, maxw: int) -> str:
 
 
 def _abbrevboth(left: Any, width: Any, s: Any) -> str:
-    # sprig errors on width < 7 (both-sided ellipses need the room); clamp
-    # like abbrev does so a compile-valid template can't raise at render.
-    return _commons_abbrev(str(s), int(left), max(int(width), 7))
+    # sprig's abbrevboth returns the string UNCHANGED when width < 7
+    # (goutils is never reached) — mirror that, don't clamp-and-abbreviate.
+    if int(width) < 7:
+        return str(s)
+    return _commons_abbrev(str(s), int(left), int(width))
+
+
+def _go_split_parts(text: str, sep: str, n: int = -1) -> list[str]:
+    """Go strings.SplitN: n<0 unbounded, n=0 no parts, n>0 at most n
+    parts; an EMPTY separator splits into individual characters (Python's
+    str.split raises on it)."""
+    if n == 0:
+        return []
+    if sep == "":
+        chars = list(text)
+        if n < 0 or n >= len(chars):
+            return chars
+        return chars[: n - 1] + [text[n - 1 :]]
+    return text.split(sep) if n < 0 else text.split(sep, n - 1)
 
 
 def _split_dict(sep: Any, s: Any) -> dict:
     """sprig split: parts keyed _0.._n (Go strings.Split)."""
-    return {f"_{i}": p for i, p in enumerate(_go_str(s).split(str(sep)))}
+    return {
+        f"_{i}": p for i, p in enumerate(_go_split_parts(_go_str(s), str(sep)))
+    }
 
 
 def _splitn_dict(sep: Any, n: Any, s: Any) -> dict:
-    """sprig splitn: Go strings.SplitN — n<0 unbounded, n=0 no parts,
-    n>0 at most n parts."""
-    n = int(_num(n))
-    if n == 0:
-        return {}
-    text = _go_str(s)
-    parts = text.split(str(sep)) if n < 0 else text.split(str(sep), n - 1)
-    return {f"_{i}": p for i, p in enumerate(parts)}
+    """sprig splitn: Go strings.SplitN semantics (see _go_split_parts)."""
+    return {
+        f"_{i}": p
+        for i, p in enumerate(
+            _go_split_parts(_go_str(s), str(sep), int(_num(n)))
+        )
+    }
 
 
 def _untitle(s: Any) -> str:
@@ -973,7 +1030,9 @@ def _date_in_zone(fmt: Any, t: Any, zone: Any) -> str:
 
 def _duration_round(d: Any) -> str:
     """sprig durationRound: truncate a duration to its most significant
-    unit (y=365d, mo=30d, d, h, m, s)."""
+    unit (y=365d, mo=30d, d, h, m, s). Boundary rule is sprig's STRICT
+    `>` — exactly 1h renders "60m", exactly 1m renders "60s", exactly 1s
+    renders "0s" (durationRound's switch uses `case u > hour:` etc.)."""
     if isinstance(d, (int, float)) and not isinstance(d, bool):
         secs = float(d)
     elif isinstance(d, _dt.timedelta):
@@ -990,7 +1049,7 @@ def _duration_round(d: Any) -> str:
         (60, "m"),
         (1, "s"),
     ):
-        if u >= unit:
+        if u > unit:
             return f"{sign}{int(u // unit)}{name}"
     return "0s"
 
@@ -1183,7 +1242,7 @@ _FUNCS: dict[str, Any] = {
     "sha1sum": lambda s: __import__("hashlib")
     .sha1(_go_str(s).encode("utf-8"))
     .hexdigest(),
-    "splitList": lambda sep, s: _go_str(s).split(str(sep)),
+    "splitList": lambda sep, s: _go_split_parts(_go_str(s), str(sep)),
     "sortAlpha": lambda seq: sorted(_go_str(x) for x in seq),
     # equality-based, not hash-based (ADVICE r04): sprig's uniq works on
     # lists of dicts; dict.fromkeys would TypeError on unhashable elements
@@ -1214,13 +1273,20 @@ _FUNCS: dict[str, Any] = {
     "ge": lambda a, b: a >= b,
     "and": lambda *vs: vs[-1] if all(vs) else next(v for v in vs if not v),
     "or": lambda *vs: next((v for v in vs if v), vs[-1]),
-    # sprig float math (variadic like the int family, always float out)
-    "addf": lambda *ns: float(sum(_num(n) for n in ns)),
-    "add1f": lambda n: float(_num(n)) + 1.0,
-    "subf": lambda a, *ns: float(_num(a)) - float(sum(_num(n) for n in ns)),
-    "mulf": lambda *ns: float(__import__("math").prod(_num(n) for n in ns)),
-    "divf": lambda a, *ns: __import__("functools").reduce(
-        lambda x, y: x / y, (float(_num(n)) for n in ns), float(_num(a))
+    # sprig float math — sprig v3 computes these through decimal arithmetic
+    # (execDecimalOp) and converts the result to float64, so addf 0.1 0.2
+    # is exactly 0.3, not 0.30000000000000004; maxf/minf are plain float64
+    # in sprig and stay plain here
+    "addf": lambda *ns: float(sum((_dec(n) for n in ns), _dec(0))),
+    "add1f": lambda n: float(_dec(n) + 1),
+    "subf": lambda a, *ns: float(_dec(a) - sum((_dec(n) for n in ns), _dec(0))),
+    "mulf": lambda *ns: float(
+        __import__("functools").reduce(lambda x, y: x * y, (_dec(n) for n in ns))
+    ),
+    "divf": lambda a, *ns: float(
+        __import__("functools").reduce(
+            lambda x, y: x / y, (_dec(n) for n in ns), _dec(a)
+        )
     ),
     "maxf": lambda *ns: float(max(_num(n) for n in ns)),
     "minf": lambda *ns: float(min(_num(n) for n in ns)),

@@ -386,3 +386,38 @@ def test_live_client_bounded_latest_rules(fake_pymysqlreplication, monkeypatch):
     ) == BinlogLocation("mysql-bin.000004", 0)
     # nothing new: return the tip unchanged
     assert client.bounded_latest(tip, 200) == tip
+
+
+def test_binlog_location_rollover_ordering():
+    """MySQL widens the rotation counter at 999999 -> 1000000; the widened
+    name sorts lexicographically BEFORE the old one, so location ordering
+    must compare same-stem suffixes numerically or a capped stream stalls
+    (and read_range drops the rotated file's events)."""
+    lo = BinlogLocation("mysql-bin.999999", 500)
+    hi = BinlogLocation("mysql-bin.1000000", 4)
+    assert lo < hi and hi > lo
+    assert max(lo, hi) == hi
+    # plain numeric rotation still orders forward, position breaks ties
+    assert BinlogLocation("mysql-bin.000001", 9) < BinlogLocation(
+        "mysql-bin.000002", 4
+    )
+    assert BinlogLocation("mysql-bin.000002", 4) < BinlogLocation(
+        "mysql-bin.000002", 5
+    )
+    # non-numeric names fall back to string order
+    assert BinlogLocation("alpha", 1) < BinlogLocation("beta", 0)
+
+
+def test_open_stream_position_zero_starts_at_file_head(
+    fake_pymysqlreplication,
+):
+    """A rotation-capped batch boundary lands at (next_file, 0); the live
+    stream must open that file at the post-magic-header position 4, NOT
+    pass log_pos=None (pymysqlreplication would jump to the master tip and
+    silently skip the file's events)."""
+    client = _client()
+    stream = client._open_stream(BinlogLocation("mysql-bin.000008", 0), [])
+    kw = fake_pymysqlreplication.BinLogStreamReader.last_kwargs
+    assert kw["log_file"] == "mysql-bin.000008"
+    assert kw["log_pos"] == 4
+    stream.close()

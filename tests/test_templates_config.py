@@ -607,10 +607,10 @@ def test_template_semver_family():
 
 
 def test_template_sprig_round5_math_and_seq():
-    assert compile_template("{{ ceil 1.1 }}")(ITEM) == "2.0"
-    assert compile_template("{{ floor 1.9 }}")(ITEM) == "1.0"
+    assert compile_template("{{ ceil 1.1 }}")(ITEM) == "2"  # Go %v: float64(2) -> "2"
+    assert compile_template("{{ floor 1.9 }}")(ITEM) == "1"
     assert compile_template("{{ round 123.5555 3 }}")(ITEM) == "123.556"
-    assert compile_template("{{ round 123.49999 0 }}")(ITEM) == "123.0"
+    assert compile_template("{{ round 123.49999 0 }}")(ITEM) == "123"
     assert compile_template("{{ add1 41 }}")(ITEM) == "42"
     assert compile_template("{{ sub1 43 }}")(ITEM) == "42"
     assert compile_template("{{ biggest 1 7 3 }}")(ITEM) == "7"
@@ -694,11 +694,15 @@ def test_template_sprig_round5_encoding_urls_time():
 
 
 def test_template_sprig_round5_float_math_paths():
-    assert compile_template("{{ addf 1.5 2 0.5 }}")(ITEM) == "4.0"
+    assert compile_template("{{ addf 1.5 2 0.5 }}")(ITEM) == "4"
+    # decimal arithmetic (sprig execDecimalOp): 0.1 + 0.2 is exactly 0.3
+    assert compile_template("{{ addf 0.1 0.2 }}")(ITEM) == "0.3"
     assert compile_template("{{ add1f 1.5 }}")(ITEM) == "2.5"
-    assert compile_template("{{ subf 10 2.5 1.5 }}")(ITEM) == "6.0"
-    assert compile_template("{{ mulf 2 2.5 }}")(ITEM) == "5.0"
+    assert compile_template("{{ subf 10 2.5 1.5 }}")(ITEM) == "6"
+    assert compile_template("{{ mulf 2 2.5 }}")(ITEM) == "5"
     assert compile_template("{{ divf 10 4 }}")(ITEM) == "2.5"
+    # Go %v switches to scientific at decimal exponent >= 6
+    assert compile_template("{{ mulf 1000000 1.0 }}")(ITEM) == "1e+06"
     assert compile_template("{{ maxf 1.5 7.25 3 }}")(ITEM) == "7.25"
     assert compile_template("{{ minf 1.5 7.25 3 }}")(ITEM) == "1.5"
     # Go path package semantics (POSIX lexical rules)
@@ -912,3 +916,24 @@ routes:
     assert (route.name, route.connector) == ("orders-route", "hook")
     assert route.operations == ["INSERT", "DELETE"]
     assert (route.db_table, route.template) == ("shop.orders", "{{ .db }}")
+
+
+def test_template_go_parity_second_pass():
+    """Parity edges from the round-5 second review: Go path.Clean collapses
+    a POSIX double leading slash, abbrevboth under width 7 is identity,
+    durationRound uses strict > at unit boundaries, empty-separator split
+    is per-character, and float rendering follows Go %v."""
+    assert compile_template('{{ clean "//a/b" }}')(ITEM) == "/a/b"
+    assert compile_template('{{ dir "//a" }}')(ITEM) == "/"
+    assert compile_template('{{ abbrevboth 3 6 "hello world" }}')(ITEM) == "hello world"
+    assert compile_template('{{ durationRound "1h" }}')(ITEM) == "60m"
+    assert compile_template('{{ durationRound "1m" }}')(ITEM) == "60s"
+    assert compile_template('{{ durationRound 1 }}')(ITEM) == "0s"
+    assert compile_template('{{ durationRound "24h1s" }}')(ITEM) == "1d"
+    assert compile_template('{{ (split "" "abc")._1 }}')(ITEM) == "b"
+    assert compile_template('{{ (splitn "" 2 "abc")._1 }}')(ITEM) == "bc"
+    assert compile_template('{{ splitList "" "ab" | join "," }}')(ITEM) == "a,b"
+    # Go %v float forms: scientific >= 1e6, shortest digits, -0 preserved
+    assert compile_template("{{ float64 5 }}")(ITEM) == "5"
+    assert compile_template("{{ mulf 123456.78 1.0 }}")(ITEM) == "123456.78"
+    assert compile_template("{{ mulf 0.00001 1.0 }}")(ITEM) == "1e-05"
