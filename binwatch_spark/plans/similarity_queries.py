@@ -366,3 +366,54 @@ def q89_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("recall"),
     )
+
+
+@register(
+    "q93_embedding_dim_stats",
+    oracle="""
+WITH e AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  WHERE embedding IS NOT NULL
+), idx AS (
+  SELECT emb, unnest(range(1, len(emb) + 1)) AS i FROM e
+), v AS (
+  SELECT CAST(i - 1 AS BIGINT) AS dim, emb[i] AS x FROM idx
+)
+SELECT dim, CAST(count(*) AS BIGINT) AS n,
+  round(sum(x) / count(*), 6) AS mean,
+  round(sum(x * x) / count(*)
+        - (sum(x) / count(*)) * (sum(x) / count(*)), 6) AS var_pop,
+  min(x) AS min_v, max(x) AS max_v
+FROM v GROUP BY dim
+""",
+)
+def q93_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution statistics over the embedding corpus —
+    the whitening/normalization diagnostic an embedding pipeline runs
+    before training an ANN index or a quantizer (a dimension with variance
+    collapse or runaway scale distorts every cosine downstream; q48's int8
+    scale and q38's centroids both assume roughly isotropic inputs).
+
+    Plan: posexplode to (dim, value) and ONE hash aggregate on dim —
+    map-side partial aggregation reduces each task's n·d values to d
+    partial rows before the exchange, so the shuffle carries
+    (dim, sum, sumsq, min, max, n) × d(=64) per task regardless of corpus
+    size; the final reduce is d rows. Variance is computed from the
+    (sum, sumsq, n) moments with the identical expression the oracle
+    spells, and round(6) absorbs partial-aggregation summation order
+    (values are unit-scale floats; the q90 determinism contract). min/max
+    are exact float→double and stay unrounded."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    v = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    s, n = F.sum("x"), F.count(F.lit(1))
+    return v.groupBy(F.col("dim").cast("bigint").alias("dim")).agg(
+        n.alias("n"),
+        F.round(s / n, 6).alias("mean"),
+        F.round(F.sum(F.col("x") * F.col("x")) / n - (s / n) * (s / n), 6).alias(
+            "var_pop"
+        ),
+        F.min("x").alias("min_v"),
+        F.max("x").alias("max_v"),
+    )

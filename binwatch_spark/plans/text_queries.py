@@ -606,3 +606,97 @@ def q90_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("s"), 6).alias("bm25"),
         F.count(F.lit(1)).alias("n_terms_hit"),
     )
+
+
+# Bigram language-model smoothing constant (add-k / Jelinek-style additive
+# smoothing; shared verbatim with the DuckDB oracle below).
+LM_ADD_K = 0.5
+
+
+@register(
+    "q92_bigram_lm_score",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+           AS bg
+  FROM toks
+), bi2 AS (
+  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bi
+), c_bg AS (
+  SELECT bg, count(*) AS c_bg FROM bi2 GROUP BY bg
+), c_w AS (
+  SELECT w1, count(*) AS c_w FROM bi2 GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT tok) AS vsz
+  FROM (SELECT unnest(t) AS tok FROM toks)
+), scored AS (
+  SELECT b.doc_id,
+         ln((c_bg.c_bg + {LM_ADD_K}) / (c_w.c_w + {LM_ADD_K} * v.vsz)) AS lp
+  FROM bi2 b JOIN c_bg USING (bg) JOIN c_w USING (w1) CROSS JOIN v)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(lp) / count(*), 6) AS avg_logprob
+FROM scored GROUP BY doc_id
+""",
+)
+def q92_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM scoring — the KenLM/CCNet-style fluency
+    proxy of a pretraining curation pipeline: train add-k-smoothed bigram
+    counts on the corpus itself, then score every document by its mean
+    bigram log-probability (low scorers are the disfluent/boilerplate
+    tail the wikipedia-perplexity bucket filter drops).
+
+    Plan: bigrams come from one transform over the token array (codegen,
+    no self-join), exploded once into a persisted (doc, w1, bigram) frame
+    that feeds both LM-training aggregates AND the scoring join — three
+    consumers, one tokenization pass. The LM tables are corpus-sized, so
+    scoring joins on the bigram/context keys (shuffle carries counted
+    pairs, combined map-side); neither side is broadcast — at 100 TB the
+    bigram table alone outgrows any executor. Only the vocabulary size (one
+    row) is broadcast. The per-doc mean sums ≤doc-length doubles;
+    round(6) absorbs summation order and libm-ln last-ulp drift (the
+    q90/BM25 determinism contract). At scale you'd key the join by
+    xxhash64(bigram) as q81 does for spans — kept as the string key here so
+    the oracle shares it verbatim."""
+    docs = load(spark, sf_dir, "documents")
+    from binwatch_spark.tables import spread
+
+    toks = F.split(F.lower(F.col("text")), " ")
+    bi = (
+        spread(docs, "doc_id")
+        .withColumn("_t", toks)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(_t, 1, greatest(size(_t) - 1, 0)),"
+                    " (x, i) -> struct(x AS w1,"
+                    " concat(x, ' ', element_at(_t, i + 2)) AS bg))"
+                )
+            ).alias("_p"),
+        )
+        .select("doc_id", F.col("_p.w1").alias("w1"), F.col("_p.bg").alias("bg"))
+        .persist()
+    )
+    bi.count()  # eager fill: three consumers below share one tokenization
+    c_bg = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    c_w = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w"))
+    v = docs.select(F.explode(toks).alias("tok")).agg(
+        F.count_distinct("tok").alias("vsz")
+    )
+    lp = F.log(
+        (F.col("c_bg") + F.lit(LM_ADD_K))
+        / (F.col("c_w") + F.lit(LM_ADD_K) * F.col("vsz"))
+    )
+    scored = (
+        bi.join(c_bg, "bg")
+        .join(c_w, "w1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+    )
