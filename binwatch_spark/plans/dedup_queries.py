@@ -433,3 +433,46 @@ def q85_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs.select("i", "j")).select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
     )
+
+
+def _lsh_recall_sql() -> str:
+    # Truth side: UNBLOCKED exact Jaccard over all pairs; LSH side: the
+    # full q23 pipeline verbatim (nested CTE) — both from the same shared
+    # SQL pieces the individual queries already hash-check.
+    return f"""
+WITH truth AS (
+  SELECT x.doc_id AS i, y.doc_id AS j
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) x
+  JOIN (SELECT doc_id, {_TOKS} AS toks FROM documents) y
+    ON x.doc_id < y.doc_id
+  WHERE {_JAC} >= {JACCARD_THRESHOLD}
+), lsh AS (
+  SELECT i, j FROM ({_minhash_lsh_sql()})
+), paired AS (
+  SELECT CASE WHEN t.i IS NOT NULL THEN 1 ELSE 0 END AS tt,
+         CASE WHEN l.i IS NOT NULL THEN 1 ELSE 0 END AS ll
+  FROM truth t FULL OUTER JOIN lsh l ON t.i = l.i AND t.j = l.j)
+SELECT CAST(coalesce(sum(tt), 0) AS BIGINT) AS n_true,
+       CAST(coalesce(sum(ll), 0) AS BIGINT) AS n_lsh,
+       CAST(coalesce(sum(tt * ll), 0) AS BIGINT) AS n_hit,
+       CASE WHEN coalesce(sum(tt), 0) = 0 THEN NULL
+            ELSE round(CAST(coalesce(sum(tt * ll), 0) AS DOUBLE) / sum(tt), 8)
+       END AS recall
+FROM paired
+"""
+
+
+@register("q94_lsh_recall", oracle=_lsh_recall_sql())
+def q94_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the MinHash-LSH rung (q23's exact configuration)
+    against the unblocked exact-Jaccard truth set — the q89-for-dedup:
+    the measured number that justifies replacing exact near-dedup with the
+    banded rung at 100 TB. Truth is O(n²) so the audit runs on a
+    deterministic 2k-doc stride panel (both sides see the same universe —
+    the ratio stays unbiased; see operators/dedup.lsh_recall_audit for the
+    sampling contract). The oracle's 500-doc corpus is below the panel
+    bound, so the driver checks the unsampled path end-to-end."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.lsh_recall_audit(
+        docs, "text", "doc_id", JACCARD_THRESHOLD, max_exact_docs=2_000
+    )
