@@ -389,3 +389,73 @@ def q91_fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= SAMPLE_K_PER_STRATUM)
         .select("doc_id", "lang")
     )
+
+
+def _curation_sql() -> str:
+    # Compose the SAME SQL pieces the stage queries hash-check alone:
+    # q64's verdict CTE, q34's digest dedup, q73's split rule.
+    from binwatch_spark.plans.text_queries import _Q64_SQL
+
+    return f"""
+WITH verdicts AS ({_Q64_SQL}),
+keep AS (
+  SELECT d.doc_id, d.text, d.source, v.n_words
+  FROM documents d JOIN verdicts v USING (doc_id) WHERE v.passes
+), keepers AS (
+  SELECT min(doc_id) AS doc_id FROM keep GROUP BY sha256(text)
+), final AS (
+  SELECT keep.doc_id, keep.n_words, keep.source, {split_case_sql()} AS split
+  FROM keep JOIN keepers USING (doc_id))
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM final GROUP BY split
+"""
+
+
+@register("q95_curation_pipeline", oracle=_curation_sql())
+def q95_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pretraining curation pipeline as ONE composed plan:
+    quality filter (q64's exact rule set) → exact dedup keep-first (q34's
+    digest semantics) → deterministic content-hash split (q73's rule) →
+    per-split corpus accounting (docs, tokens, distinct sources) — the
+    summary a data team reads before shipping a training mix. Every stage
+    reuses the SAME shared expression its standalone query hash-checks, so
+    the composite cannot drift from the stages.
+
+    Scale posture: the verdict semi-join is a doc_id equi-join (at 100 TB
+    AQE broadcasts the verdict side if filtered small, else shuffle-joins
+    on the key); the dedup shuffle carries 32-byte digests, not documents;
+    the split is map-side expression math; the final aggregate reduces to
+    3 rows with map-side partial aggregation. Output is integer-only —
+    bit-exact across engines by construction."""
+    from binwatch_spark.operators.text import tokens
+    from binwatch_spark.plans.text_queries import q64_quality_filter
+
+    docs = load(spark, sf_dir, "documents")
+    passing = q64_quality_filter(spark, sf_dir).filter(F.col("passes")).select(
+        "doc_id"
+    )
+    keep = docs.join(passing, "doc_id", "left_semi").select(
+        "doc_id",
+        "text",
+        "source",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_words"),
+    )
+    keepers = (
+        keep.groupBy(F.sha2(F.col("text"), 256).alias("_dig"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    final = keep.join(keepers, "doc_id", "left_semi")
+    return (
+        final.select(
+            split_column().alias("split"), "n_words", "source"
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_tokens"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+    )
