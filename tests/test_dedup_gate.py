@@ -84,3 +84,26 @@ def test_duplicated_span_stats_semantics(spark):
     assert got[1] == (2, 1, 0.5)   # "a b c d e f" shared with doc 2
     assert got[2] == (2, 1, 0.5)
     assert got[3] == (3, 0, 0.0)
+
+
+def test_lsh_recall_audit_unsampled_subset_consistency(docs):
+    # LSH-verified pairs are a subset of the exact truth set (same
+    # tokenizer, same threshold) — the audit's join must re-derive
+    # n_hit == n_lsh, and recall must be the exact ratio.
+    row = dedup.lsh_recall_audit(docs, "text", "doc_id", 0.8).first()
+    assert row["n_hit"] == row["n_lsh"] <= row["n_true"]
+    assert row["n_true"] == 2  # (1,2) and (3,4) from the fixture
+    if row["n_true"]:
+        assert row["recall"] == round(row["n_hit"] / row["n_true"], 8)
+
+
+def test_lsh_recall_audit_stride_sampling_bounds_truth(docs):
+    # past max_exact_docs the audit must stride-sample BOTH sides: with a
+    # 2-doc bound over 6 docs, stride=3 keeps doc_ids {3, 6} only — the
+    # surviving universe has no near-dup pair, and the audit reports an
+    # empty truth set with NULL recall instead of running O(n²) unsampled.
+    row = dedup.lsh_recall_audit(
+        docs, "text", "doc_id", 0.8, max_exact_docs=2
+    ).first()
+    assert row["n_true"] == 0 and row["n_lsh"] == 0 and row["n_hit"] == 0
+    assert row["recall"] is None

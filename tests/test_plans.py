@@ -161,3 +161,42 @@ def test_q86_window_runs_on_aggregated_frame(spark):
     plan = plan_of(spark, "q86_mixture_weights", mode="simple")
     w = plan.index("Window")
     assert "HashAggregate" in plan[w:]
+
+
+def test_q92_lm_joins_are_keyed_not_broadcast_corpus(spark):
+    # LM tables are corpus-scale: scoring must join on the bigram/context
+    # KEYS; the only broadcast-nested-loop allowed is the single-row
+    # vocabulary-size frame. Partial aggregation must precede each LM
+    # count's exchange.
+    plan = plan_of(spark, "q92_bigram_lm_score", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row vocab only
+    assert plan.count("HashAggregate") >= 4  # partial+final for both LM tables
+
+
+def test_q93_dim_stats_single_shuffle_no_python(spark):
+    # per-dimension moments: ONE hash exchange on dim with map-side partial
+    # aggregation, and the whole plan stays JVM-side (no Arrow/Python eval)
+    plan = plan_of(spark, "q93_embedding_dim_stats", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan  # ArrowEvalPython / BatchEvalPython
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q94_truth_is_broadcast_bnlj_candidates_keyed(spark):
+    # the O(n²) truth side must be a BroadcastNestedLoopJoin over the tiny
+    # mask frame (never an un-broadcast CartesianProduct), and the LSH
+    # candidate stage must remain a hash equi-join on the band key
+    plan = plan_of(spark, "q94_lsh_recall", mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_q95_curation_composes_keyed_stages(spark):
+    # composed pipeline: digest dedup is a two-phase hash aggregate; the
+    # verdict/keeper joins are keyed (broadcast or shuffled hash) — no
+    # nested loop anywhere in the composition
+    plan = plan_of(spark, "q95_curation_pipeline", mode="simple")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
