@@ -476,3 +476,80 @@ def q94_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_recall_audit(
         docs, "text", "doc_id", JACCARD_THRESHOLD, max_exact_docs=2_000
     )
+
+
+def _drop_list_sql() -> str:
+    # q34's digest dedup + q42's recursive-CTE clustering, composed with
+    # exact-precedence into the actionable artifact.
+    return f"""
+WITH RECURSIVE s AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+pairs AS (
+  SELECT i, j FROM (
+    SELECT x.doc_id AS i, y.doc_id AS j, {_JAC} AS jac
+    FROM s x JOIN s y ON x.source = y.source AND x.doc_id < y.doc_id)
+  WHERE jac >= {JACCARD_THRESHOLD}),
+edges AS (SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs),
+comp(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, c.label FROM comp c JOIN edges e ON e.u = c.node
+  WHERE c.label <= e.v),
+cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM comp GROUP BY node),
+groups AS (
+  SELECT sha256(text) AS dig, min(doc_id) AS keeper FROM documents
+  GROUP BY sha256(text)),
+exact_drop AS (
+  SELECT d.doc_id, g.keeper AS keeper_doc_id
+  FROM documents d JOIN groups g ON sha256(d.text) = g.dig
+  WHERE d.doc_id <> g.keeper),
+near_drop AS (
+  SELECT cc.doc_id, cc.cluster_id AS keeper_doc_id FROM cc
+  WHERE cc.doc_id <> cc.cluster_id
+    AND cc.doc_id NOT IN (SELECT doc_id FROM exact_drop))
+SELECT doc_id, keeper_doc_id, 'exact' AS reason FROM exact_drop
+UNION ALL
+SELECT doc_id, keeper_doc_id, 'near' AS reason FROM near_drop
+"""
+
+
+@register("q96_dedup_drop_list", oracle=_drop_list_sql())
+def q96_dedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup family's actionable output: one (doc_id, keeper_doc_id,
+    reason) row per document the pipeline should DROP — exact duplicates
+    point at their digest-group keeper (q34's semantics), near-dup cluster
+    members point at their cluster canonical (q42's min-label), with exact
+    taking precedence when a document is both. This is the artifact a
+    curation run materializes and anti-joins against the corpus; q95 shows
+    the aggregate view, this is the row-level one.
+
+    Keeper pointers are ONE hop: a near-dup keeper may itself be an exact
+    drop when its identical twin lives in another source block (blocked
+    near-dup can't see across blocks); consumers chase the chain or drop
+    by doc_id only — both engines agree on the same one-hop convention.
+
+    Scale: the digest join shuffles 32-byte keys; the anti-join and CC are
+    the proven q34/q42 shapes; reasons are literals — no new shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    groups = (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("_dig"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"))
+    )
+    exact_drop = (
+        docs.select("doc_id", F.sha2(F.col("text"), 256).alias("_dig"))
+        .join(groups, "_dig")
+        .filter(F.col("doc_id") != F.col("keeper_doc_id"))
+        .select("doc_id", "keeper_doc_id")
+    )
+    cc = dedup.connected_components(
+        dedup.jaccard_pairs(
+            docs, "text", "doc_id", "source", JACCARD_THRESHOLD
+        ).select("i", "j")
+    )
+    near_drop = (
+        cc.filter(F.col("doc_id") != F.col("cluster_id"))
+        .join(exact_drop.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.col("cluster_id").alias("keeper_doc_id"))
+    )
+    return exact_drop.withColumn("reason", F.lit("exact")).unionByName(
+        near_drop.withColumn("reason", F.lit("near"))
+    )
