@@ -587,3 +587,44 @@ def q49_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id")
         .agg(F.count(F.col("b_event_id")).alias("n_next_hour"))
     )
+
+
+@register(
+    "q97_salted_join_brand_revenue",
+    oracle=(
+        "SELECT p_brand,"
+        f" {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,"
+        " count(*) AS n_items"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey"
+        " GROUP BY p_brand"
+    ),
+)
+def q97_salted_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand revenue through an EXPLICITLY SALTED fact⋈dim join
+    (operators.skew.salted_join, salts=8): the deterministic-salt scheme a
+    100 TB pipeline reaches for when one hot part id melts a task and AQE
+    can't re-plan (disabled, or the hot key must still aggregate after the
+    join). The salt is physical only — every fact row carries exactly one
+    deterministic salt and the replicated dim side carries all of them, so
+    the result EQUALS the plain join, which is exactly what the oracle
+    asserts: the plain-SQL twin hash-checks that salting changed the
+    exchange layout and nothing else. Revenue accumulates as
+    DECIMAL(18,4) (registry determinism contract)."""
+    from binwatch_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"),
+        "l_orderkey",
+        "l_extendedprice",
+        "l_discount",
+    )
+    pt = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_brand"
+    )
+    j = salted_join(li, pt, on="partkey", entropy_col="l_orderkey", salts=8)
+    return j.groupBy("p_brand").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -200,3 +200,13 @@ def test_q95_curation_composes_keyed_stages(spark):
     plan = plan_of(spark, "q95_curation_pipeline", mode="simple")
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_q97_salt_reaches_join_keys(spark):
+    # the salted join must key on (partkey, _salt) — a salt that gets
+    # projected away before the join would silently revert to the plain
+    # (skew-prone) exchange while still producing correct results
+    plan = plan_of(spark, "q97_salted_join_brand_revenue", mode="simple")
+    join_part = plan[plan.index("Join") if "Join" in plan else 0:]
+    assert "_salt" in join_part
+    assert "CartesianProduct" not in plan
