@@ -366,3 +366,112 @@ def quantize_int8(df: DataFrame, emb_col: str, id_col: str) -> DataFrame:
             ).alias("dim", "q"),
         )
     )
+
+
+def kmeans_lloyd_rounds(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    stride: int,
+    rounds: int = 2,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """Distributed Lloyd's k-means for a FIXED number of rounds with
+    deterministic stride seeding (cent_id = vec_id of every stride-th
+    vector, q38/q89's IVF convention) — the coarse-quantizer TRAINING step
+    the IVF rung consumes, in the textbook distributed shape: centroids
+    are DRIVER-RESIDENT (k·dim doubles — k is bounded by design, this is
+    the one collect() a k-means round is supposed to have; Lloyd's is a
+    driver-coordinated iteration in every production implementation), the
+    assignment is ONE map-side Arrow kernel per round over the closure-
+    shipped centroid matrix (no pair join, no pair shuffle — the n·k
+    arithmetic happens inside the kernel), and the update is one hash
+    aggregate whose exchange carries k·dim partial sums per task.
+
+    Determinism contract (the whole point — this makes an ITERATIVE ML
+    loop oracle-checkable): the kernel accumulates the n·k dot products
+    over dimensions IN INDEX ORDER (one vectorized n×k elementwise
+    multiply-add per dimension), bit-identical to DuckDB's sequential
+    list_dot_product; squared distance composes as ``e·e − 2·e·c + c·c``;
+    argmin ties break to the LOWEST cent_id (centroid columns sorted by
+    id, numpy argmin returns the first minimum); and updated centroids
+    are ROUNDED to 6 dp before the next round — the fixed-point
+    quantization both engines agree on, absorbing their different
+    partial-aggregation summation orders exactly like the q90 contract.
+    Without that rounding, ulp drift in the round-1 means could flip a
+    near-tied round-2 assignment. Output: final-round assignment
+    (id, cell_id, dist2 rounded 6).
+    """
+    import numpy as np
+
+    from binwatch_spark.operators.dedup import eager_enabled
+    from binwatch_spark.tables import spread
+
+    e = spread(emb, id_col).select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("_e"),
+    )
+    e = e.persist()
+    if eager_enabled():  # eager fill: every round's kernel pass reads it
+        e.count()
+
+    def assign_with(cent_rows: list) -> DataFrame:
+        # cent_rows sorted by cent_id so argmin's first-minimum rule IS
+        # the lowest-id tiebreak.
+        cids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+        cmat = np.array([r[1] for r in cent_rows], dtype=np.float64)
+        c2 = np.empty(len(cent_rows), dtype=np.float64)
+        for k in range(len(cent_rows)):  # sequential fold per centroid
+            acc = 0.0
+            for d in range(cmat.shape[1]):
+                acc += cmat[k, d] * cmat[k, d]
+            c2[k] = acc
+
+        @pandas_udf("cell_id bigint, dist2 double")
+        def nearest(es: pd.Series) -> pd.DataFrame:
+            E = np.stack(es.to_numpy())
+            n = E.shape[0]
+            dots = np.zeros((n, len(cids)), dtype=np.float64)
+            e2 = np.zeros(n, dtype=np.float64)
+            for d in range(E.shape[1]):  # index-order accumulation
+                dots += E[:, d : d + 1] * cmat[:, d][None, :]
+                e2 += E[:, d] * E[:, d]
+            d2 = e2[:, None] - 2.0 * dots + c2[None, :]
+            best = np.argmin(d2, axis=1)  # first min = lowest cent_id
+            return pd.DataFrame(
+                {"cell_id": cids[best], "dist2": d2[np.arange(n), best]}
+            )
+
+        return e.withColumn("_a", nearest(F.col("_e")))
+
+    cent_rows = sorted(
+        (r[0], r[1])
+        for r in e.filter(F.col(id_col) % stride == 0)
+        .select(F.col(id_col), "_e")
+        .collect()
+    )
+    assigned = None
+    for rnd in range(rounds):
+        assigned = assign_with(cent_rows)
+        if rnd == rounds - 1:
+            break
+        cent_rows = sorted(
+            (r[0], r[1])
+            for r in assigned.groupBy(
+                F.col("_a.cell_id").alias("_cid")
+            )
+            .agg(
+                F.array(
+                    *[
+                        F.round(F.avg(F.element_at(F.col("_e"), i + 1)), 6)
+                        for i in range(dim)
+                    ]
+                ).alias("_c")
+            )
+            .collect()
+        )
+    return assigned.select(
+        F.col(id_col),
+        F.col("_a.cell_id").alias("cell_id"),
+        F.round(F.col("_a.dist2"), 6).alias("dist2"),
+    )

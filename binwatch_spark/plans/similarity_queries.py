@@ -417,3 +417,61 @@ def q93_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("x").alias("min_v"),
         F.max("x").alias("max_v"),
     )
+
+
+def _kmeans_sql() -> str:
+    # Two unrolled Lloyd rounds mirroring kmeans_lloyd_rounds' determinism
+    # contract: list_dot_product distances (sequential fold = the Spark
+    # kernel's index-order accumulation), argmin ties on cent_id, round-1
+    # centroids rounded to 6 dp before round 2.
+    from binwatch_spark.functions.texthash import EMBED_DIM
+
+    cent_avg = ", ".join(
+        f"round(avg(emb[{i + 1}]), 6)" for i in range(EMBED_DIM)
+    )
+    d2 = (
+        "e2 - 2 * list_dot_product(emb, cent) + c2"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])) AS e2
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, emb AS cent, e2 AS c2 FROM e
+  WHERE vec_id % {IVF_STRIDE} = 0
+), p1 AS (
+  SELECT e.vec_id, e.emb, c0.cid, {d2} AS d2 FROM e CROSS JOIN c0
+), a1 AS (
+  SELECT vec_id, emb, cid AS cell, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM p1) WHERE rn = 1
+), c1 AS (
+  SELECT cell AS cid, [{cent_avg}] AS cent FROM a1 GROUP BY cell
+), c1n AS (
+  SELECT cid, cent, list_dot_product(cent, cent) AS c2 FROM c1
+), p2 AS (
+  SELECT e.vec_id, c1n.cid, {d2} AS d2 FROM e CROSS JOIN c1n
+), a2 AS (
+  SELECT vec_id, cid AS cell_id, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM p2) WHERE rn = 1
+)
+SELECT vec_id, cell_id, round(d2, 6) AS dist2 FROM a2
+"""
+
+
+@register("q98_kmeans_refine", oracle=_kmeans_sql())
+def q98_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of distributed Lloyd's k-means from the IVF stride
+    seeding — the coarse-quantizer TRAINING loop (q38/q89 consume such
+    centroids; this trains them). An iterative ML fitting loop made fully
+    oracle-checkable: bit-parity dot products, lexicographic argmin ties,
+    and 6-dp fixed-point centroid quantization between rounds (see
+    operators/similarity.kmeans_lloyd_rounds for the contract and the
+    scale posture)."""
+    from binwatch_spark.operators.similarity import kmeans_lloyd_rounds
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_lloyd_rounds(emb, "vec_id", "embedding", IVF_STRIDE)

@@ -210,3 +210,19 @@ def test_q97_salt_reaches_join_keys(spark):
     join_part = plan[plan.index("Join") if "Join" in plan else 0:]
     assert "_salt" in join_part
     assert "CartesianProduct" not in plan
+
+
+def test_q98_assignment_is_map_side(spark):
+    # Lloyd's assignment must be ONE map-side Arrow kernel over the
+    # closure-shipped centroid matrix — no pair join, no pair shuffle.
+    # The only exchange allowed is spread()'s round-robin repartition of
+    # the (single-file fixture) scan.
+    plan = plan_of(spark, "q98_kmeans_refine", mode="simple")
+    assert "Join" not in plan
+    assert "ArrowEvalPython" in plan
+    # the live plan above the persisted InMemoryRelation must be
+    # exchange-free (the relation's own fill shows spread()'s repartition,
+    # printed twice by AQE as Initial/Final — not part of the per-round
+    # work)
+    live = plan.split("InMemoryRelation")[0]
+    assert "Exchange" not in live
