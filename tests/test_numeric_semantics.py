@@ -1,0 +1,168 @@
+"""Reference-implementation checks for the numeric pipeline queries: each
+operator's distributed result must equal a transparent single-process
+re-implementation (pure Python / numpy) on a small in-memory dataset —
+independent of the DuckDB oracle, so a bug shared by both SQL spellings
+can't hide.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the cat sat on the hat"),
+    (2, "a dog barked at the cat"),
+    (3, "the cat sat on the mat"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def _bigram_lm_reference(rows, add_k):
+    toks = {i: t.lower().split(" ") for i, t in rows}
+    bigrams = {
+        i: [(ts[j], f"{ts[j]} {ts[j + 1]}") for j in range(len(ts) - 1)]
+        for i, ts in toks.items()
+    }
+    c_bg: dict = {}
+    c_w: dict = {}
+    for bs in bigrams.values():
+        for w1, bg in bs:
+            c_bg[bg] = c_bg.get(bg, 0) + 1
+            c_w[w1] = c_w.get(w1, 0) + 1
+    vocab = {t for ts in toks.values() for t in ts}
+    out = {}
+    for i, bs in bigrams.items():
+        lps = [
+            math.log((c_bg[bg] + add_k) / (c_w[w1] + add_k * len(vocab)))
+            for w1, bg in bs
+        ]
+        out[i] = (len(lps), round(sum(lps) / len(lps), 6))
+    return out
+
+
+def test_bigram_lm_matches_pure_python(docs):
+    from binwatch_spark.plans.text_queries import LM_ADD_K
+
+    # run the registered plan body against the in-memory frame by
+    # re-deriving it (the plan loads from parquet; here we inline the same
+    # expressions through a temp view + the oracle-equivalent DataFrame
+    # code path is exercised at sf0.01 — this test checks the MATH)
+    spark = docs.sparkSession
+    toks = F.split(F.lower(F.col("text")), " ")
+    bi = (
+        docs.withColumn("_t", toks)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(_t, 1, greatest(size(_t) - 1, 0)),"
+                    " (x, i) -> struct(x AS w1,"
+                    " concat(x, ' ', element_at(_t, i + 2)) AS bg))"
+                )
+            ).alias("_p"),
+        )
+        .select("doc_id", "_p.w1", "_p.bg")
+    )
+    c_bg = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    c_w = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w"))
+    v = docs.select(F.explode(toks).alias("t")).agg(
+        F.count_distinct("t").alias("vsz")
+    )
+    lp = F.log(
+        (F.col("c_bg") + F.lit(LM_ADD_K))
+        / (F.col("c_w") + F.lit(LM_ADD_K) * F.col("vsz"))
+    )
+    got = {
+        r["doc_id"]: (r["n"], r["avg_lp"])
+        for r in bi.join(c_bg, "bg")
+        .join(c_w, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(lp) / F.count(F.lit(1)), 6).alias("avg_lp"),
+        )
+        .collect()
+    }
+    want = _bigram_lm_reference(DOCS, LM_ADD_K)
+    assert got == want
+
+
+def test_embedding_dim_stats_match_numpy(spark):
+    rng = [
+        (i, [float(((i * 7 + d * 3) % 11) - 5) / 4.0 for d in range(5)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rng, ["vec_id", "embedding"])
+    v = df.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        )
+    )
+    s, n = F.sum("x"), F.count(F.lit(1))
+    got = {
+        r["dim"]: (r["n"], r["mean"], r["var_pop"], r["min_v"], r["max_v"])
+        for r in v.groupBy(F.col("dim").cast("bigint").alias("dim"))
+        .agg(
+            n.alias("n"),
+            F.round(s / n, 6).alias("mean"),
+            F.round(
+                F.sum(F.col("x") * F.col("x")) / n - (s / n) * (s / n), 6
+            ).alias("var_pop"),
+            F.min("x").alias("min_v"),
+            F.max("x").alias("max_v"),
+        )
+        .collect()
+    }
+    M = np.array([e for _, e in rng])
+    for d in range(5):
+        col = M[:, d]
+        assert got[d][0] == len(col)
+        assert got[d][1] == pytest.approx(round(col.mean(), 6), abs=1e-9)
+        assert got[d][2] == pytest.approx(round(col.var(), 6), abs=1e-6)
+        assert got[d][3] == col.min() and got[d][4] == col.max()
+
+
+def test_kmeans_rounds_match_numpy_lloyd(spark):
+    from binwatch_spark.operators.similarity import kmeans_lloyd_rounds
+
+    vecs = [
+        (i, [float(((i * 13 + d * 5) % 17) - 8) / 8.0 for d in range(4)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: (r["cell_id"], r["dist2"])
+        for r in kmeans_lloyd_rounds(
+            df, "vec_id", "embedding", stride=10, rounds=2, dim=4
+        ).collect()
+    }
+
+    # transparent numpy Lloyd with the same determinism contract
+    X = np.array([v for _, v in vecs])
+    ids = np.array([i for i, _ in vecs])
+    cids = ids[ids % 10 == 0]
+    C = X[np.isin(ids, cids)]
+    for rnd in range(2):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        best = np.argmin(d2, axis=1)
+        if rnd == 0:
+            # update + 6dp fixed point, cells keyed by OLD centroid id
+            new_ids, new_C = [], []
+            for k in sorted(set(best)):
+                new_ids.append(cids[k])
+                new_C.append(np.round(X[best == k].mean(0), 6))
+            cids, C = np.array(new_ids), np.array(new_C)
+    for n, i in enumerate(ids):
+        cell, dist2 = got[i]
+        assert cell == cids[best[n]]
+        assert dist2 == pytest.approx(round(d2[n, best[n]], 6), abs=1e-6)
