@@ -247,7 +247,9 @@ def minhash_signatures(
     return sigs.select(F.col(id_col), F.col("_toks"), *sig_cols)
 
 
-def _band_candidate_pairs(keyed: DataFrame, id_col: str) -> DataFrame:
+def _band_candidate_pairs(
+    keyed: DataFrame, id_col: str, persist: bool = True
+) -> DataFrame:
     """Candidate (i, j) pairs from a band-keyed frame (id + bk0..bk{N-1}).
 
     Explode to (band_idx, band_key) and self-join on the band key — the
@@ -260,8 +262,11 @@ def _band_candidate_pairs(keyed: DataFrame, id_col: str) -> DataFrame:
     2.9M true pairs) a distinct() would shuffle ~16× the candidate count
     (90M rows) to collapse duplicates. The carried key vectors cost
     N_BANDS× the band-row width, a fixed insurance premium independent of
-    corpus degeneracy. Returned persisted (callers consume it at least
-    twice: a bounds probe plus the verify join)."""
+    corpus degeneracy. ``persist``: minhash_lsh_pairs consumes the pairs
+    twice (a bounds probe plus the verify join) and persists; a
+    single-consumer caller (lsh_recall_audit's fused verify) passes False
+    so the candidate blocks aren't pinned in executor storage for
+    nothing."""
     bands = keyed.select(
         F.col(id_col),
         *[F.col(f"bk{b}") for b in range(N_BANDS)],
@@ -287,12 +292,12 @@ def _band_candidate_pairs(keyed: DataFrame, id_col: str) -> DataFrame:
             (F.lit(k) >= F.col("band_idx"))
             | (F.col(f"ak{k}") != F.col(f"jk{k}"))
         )
-    return (
+    out = (
         a_side.join(b_side, ["band_idx", "band_key"])
         .filter((F.col("i") < F.col("j")) & first_collision)
         .select("i", "j")
-        .persist()
     )
+    return out.persist() if persist else out
 
 
 def minhash_lsh_pairs(
@@ -1028,18 +1033,27 @@ def exact_jaccard_allpairs(
     and the pair stage is a BroadcastNestedLoopJoin over 16 B rows with
     popcount Jaccard — pure codegen, ~25M pair evaluations/sec/core.
     Otherwise the token-array form with the lossless size-ratio prefilter
-    runs, and the caller's sampling bound is tightened to
-    ``array_fallback_max_docs`` BEFORE calling (interpreted array_intersect
-    is ~100× the popcount cost). Output: (i, j) with i < j.
+    runs — interpreted array_intersect is ~100× the popcount cost, so the
+    array form ENFORCES the tighter ``array_fallback_max_docs`` bound
+    (raises rather than silently stalling for hours on an unsampled
+    corpus; lsh_recall_audit re-strides to this bound before retrying).
+    Output: (i, j) with i < j.
     """
     toks_df = (
         _with_token_sets(spread(df, id_col), text_col)
         .select(F.col(id_col), "_toks")
         .persist()
     )
-    if _EAGER:
-        toks_df.count()
+    n_docs = toks_df.count()  # doubles as the eager cache fill
     vocab = _small_vocab_from_toks(toks_df, skip_sample=True)
+    if vocab is None and n_docs > array_fallback_max_docs:
+        toks_df.unpersist()
+        raise ValueError(
+            f"exact_jaccard_allpairs: {n_docs} docs with a >63-word "
+            f"vocabulary exceeds array_fallback_max_docs="
+            f"{array_fallback_max_docs}; stride-sample the input first "
+            "(see lsh_recall_audit)"
+        )
     if vocab is not None:
         sets = toks_df.select(
             F.col(id_col), _mask_expr(F.col("_toks"), vocab).alias("_mask")
@@ -1093,7 +1107,6 @@ def lsh_recall_audit(
     universe = (
         df if stride == 1 else df.filter(F.col(id_col) % stride == 0)
     )
-    vocab = None
     toks_df = (
         _with_token_sets(spread(universe, id_col), text_col)
         .select(F.col(id_col), "_toks")
@@ -1137,6 +1150,7 @@ def lsh_recall_audit(
         cands = _band_candidate_pairs(
             keyed.select(F.col(id_col), *[f"bk{b}" for b in range(N_BANDS)]),
             id_col,
+            persist=False,  # single consumer here (the verify join below)
         )
         lsh = (
             cands.join(F.broadcast(m_i), "i")
@@ -1146,9 +1160,17 @@ def lsh_recall_audit(
         )
     else:
         # Large-vocabulary fallback: the generic composition (each side
-        # re-tokenizes; the interpreted array-intersect truth is why
-        # exact_jaccard_allpairs documents the tighter panel bound).
-        truth = exact_jaccard_allpairs(universe, text_col, id_col, threshold)
+        # re-tokenizes, so the probe-only toks_df cache is released), on a
+        # RE-STRIDED panel honoring the array form's tighter bound — the
+        # interpreted array-intersect truth is ~100× the popcount cost.
+        toks_df.unpersist()
+        array_bound = 4_000
+        if n_docs > array_bound:
+            stride = max(1, -(-n_docs // array_bound))
+            universe = df.filter(F.col(id_col) % stride == 0)
+        truth = exact_jaccard_allpairs(
+            universe, text_col, id_col, threshold, array_bound
+        )
         lsh = minhash_lsh_pairs(universe, text_col, id_col, threshold).select(
             "i", "j"
         )

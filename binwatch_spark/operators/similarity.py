@@ -407,7 +407,10 @@ def kmeans_lloyd_rounds(
     from binwatch_spark.operators.dedup import eager_enabled
     from binwatch_spark.tables import spread
 
-    e = spread(emb, id_col).select(
+    # NULL embeddings are excluded (the schema admits them; a null row
+    # would poison np.stack in the kernel and a null SEED would poison the
+    # centroid matrix) — same normalization q93/q38 apply.
+    e = spread(emb.filter(F.col(vec_col).isNotNull()), id_col).select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("_e"),
     )
@@ -474,4 +477,26 @@ def kmeans_lloyd_rounds(
         F.col(id_col),
         F.col("_a.cell_id").alias("cell_id"),
         F.round(F.col("_a.dist2"), 6).alias("dist2"),
+    )
+
+
+def embedding_dim_stats(emb: DataFrame, vec_col: str) -> DataFrame:
+    """Per-dimension moments over an embedding column: (dim, n, mean,
+    var_pop, min_v, max_v) — THE single definition shared by the q93 plan
+    and its numpy reference test. One posexplode + ONE hash aggregate on
+    dim (map-side partial aggregation reduces each task to d partial
+    rows); variance from the (sum, sumsq, n) moments; mean/var rounded to
+    6 dp (summation-order contract), min/max exact."""
+    v = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x")
+    )
+    s, n = F.sum("x"), F.count(F.lit(1))
+    return v.groupBy(F.col("dim").cast("bigint").alias("dim")).agg(
+        n.alias("n"),
+        F.round(s / n, 6).alias("mean"),
+        F.round(
+            F.sum(F.col("x") * F.col("x")) / n - (s / n) * (s / n), 6
+        ).alias("var_pop"),
+        F.min("x").alias("min_v"),
+        F.max("x").alias("max_v"),
     )

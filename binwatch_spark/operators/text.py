@@ -139,3 +139,62 @@ def min_token_fingerprint(text: Column) -> Column:
     """Smallest token polyhash — a 1-permutation MinHash, the building block
     the dedup operator banks into signatures."""
     return F.array_min(F.transform(distinct_tokens(text), polyhash))
+
+
+def bigram_lm_scores(
+    df, text_col: str, id_col: str, add_k: float
+):
+    """Corpus-trained add-k bigram LM scoring: per-document count of
+    bigrams and mean bigram log-probability (rounded to 6 dp — the
+    summation-order determinism contract). THE single definition shared by
+    the q92 plan and its numpy/pure-python reference test, so the plan
+    body cannot drift from what the test validates.
+
+    Plan shape: one transform over the token array builds (w1, bigram)
+    structs (codegen, no self-join), exploded ONCE into a persisted frame
+    feeding both LM-training aggregates and the scoring join; LM tables
+    join back on the bigram/context KEYS (corpus-sized — never broadcast);
+    only the single-row vocabulary size is broadcast.
+    """
+    from binwatch_spark.tables import spread
+
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    bi = (
+        spread(df, id_col)
+        .withColumn("_t", toks)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(slice(_t, 1, greatest(size(_t) - 1, 0)),"
+                    " (x, i) -> struct(x AS w1,"
+                    " concat(x, ' ', element_at(_t, i + 2)) AS bg))"
+                )
+            ).alias("_p"),
+        )
+        .select(F.col(id_col), F.col("_p.w1").alias("w1"), F.col("_p.bg").alias("bg"))
+        .persist()
+    )
+    from binwatch_spark.operators.dedup import eager_enabled
+
+    if eager_enabled():  # three consumers below share one tokenization
+        bi.count()
+    c_bg = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    c_w = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w"))
+    v = df.select(F.explode(toks).alias("tok")).agg(
+        F.count_distinct("tok").alias("vsz")
+    )
+    lp = F.log(
+        (F.col("c_bg") + F.lit(add_k))
+        / (F.col("c_w") + F.lit(add_k) * F.col("vsz"))
+    )
+    scored = (
+        bi.join(c_bg, "bg")
+        .join(c_w, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(F.col(id_col), lp.alias("lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+    )

@@ -31,7 +31,7 @@ _JAC = (
 )
 
 
-def _minhash_lsh_sql() -> str:
+def _minhash_lsh_sql(src: str = "documents") -> str:
     sig_cols = ", ".join(
         f"{minhash_sql('hs', i)} AS mh{i}" for i in range(N_BANDS * BAND_ROWS)
     )
@@ -44,7 +44,7 @@ def _minhash_lsh_sql() -> str:
     )
     return f"""
 WITH base AS (
-  SELECT doc_id, {_TOKS} AS toks FROM documents
+  SELECT doc_id, {_TOKS} AS toks FROM {src}
 ), th AS (
   SELECT doc_id, list_transform(toks, t -> {polyhash_sql('t')}) AS hs FROM base
 ), sig AS (
@@ -435,19 +435,31 @@ def q85_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q94_PANEL_DOCS = 2_000  # audit panel bound, shared Spark call ↔ oracle
+
+
 def _lsh_recall_sql() -> str:
     # Truth side: UNBLOCKED exact Jaccard over all pairs; LSH side: the
     # full q23 pipeline verbatim (nested CTE) — both from the same shared
-    # SQL pieces the individual queries already hash-check.
+    # SQL pieces the individual queries already hash-check. BOTH sides
+    # read the SAME deterministic stride panel lsh_recall_audit uses
+    # (stride = ceil(n / Q94_PANEL_DOCS), integer spelling matching the
+    # Spark ceil-div), so the oracle stays hash-exact at ANY sf — at
+    # sf0.01 (500 docs) the stride is 1 and the panel is the full corpus.
     return f"""
-WITH truth AS (
+WITH st AS (
+  SELECT greatest(1, (count(*) + {Q94_PANEL_DOCS} - 1) // {Q94_PANEL_DOCS})
+    AS s FROM documents
+), sampled AS (
+  SELECT * FROM documents WHERE doc_id % (SELECT s FROM st) = 0
+), truth AS (
   SELECT x.doc_id AS i, y.doc_id AS j
-  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) x
-  JOIN (SELECT doc_id, {_TOKS} AS toks FROM documents) y
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM sampled) x
+  JOIN (SELECT doc_id, {_TOKS} AS toks FROM sampled) y
     ON x.doc_id < y.doc_id
   WHERE {_JAC} >= {JACCARD_THRESHOLD}
 ), lsh AS (
-  SELECT i, j FROM ({_minhash_lsh_sql()})
+  SELECT i, j FROM ({_minhash_lsh_sql(src="sampled")})
 ), paired AS (
   SELECT CASE WHEN t.i IS NOT NULL THEN 1 ELSE 0 END AS tt,
          CASE WHEN l.i IS NOT NULL THEN 1 ELSE 0 END AS ll
@@ -470,11 +482,13 @@ def q94_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded rung at 100 TB. Truth is O(n²) so the audit runs on a
     deterministic 2k-doc stride panel (both sides see the same universe —
     the ratio stays unbiased; see operators/dedup.lsh_recall_audit for the
-    sampling contract). The oracle's 500-doc corpus is below the panel
-    bound, so the driver checks the unsampled path end-to-end."""
+    sampling contract). The oracle encodes the SAME stride rule, so it is
+    hash-exact at any sf: at the driver's sf0.01 (500 docs) the stride is
+    1 and the unsampled path is what gets checked end-to-end."""
     docs = load(spark, sf_dir, "documents")
     return dedup.lsh_recall_audit(
-        docs, "text", "doc_id", JACCARD_THRESHOLD, max_exact_docs=2_000
+        docs, "text", "doc_id", JACCARD_THRESHOLD,
+        max_exact_docs=Q94_PANEL_DOCS,
     )
 
 
@@ -539,7 +553,9 @@ def q96_dedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(groups, "_dig")
         .filter(F.col("doc_id") != F.col("keeper_doc_id"))
         .select("doc_id", "keeper_doc_id")
-    )
+    ).persist()
+    if dedup.eager_enabled():  # two consumers: the union + the anti-join
+        exact_drop.count()
     cc = dedup.connected_components(
         dedup.jaccard_pairs(
             docs, "text", "doc_id", "source", JACCARD_THRESHOLD

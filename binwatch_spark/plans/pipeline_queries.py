@@ -441,7 +441,11 @@ def q95_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "source",
         F.size(tokens(F.col("text"))).cast("bigint").alias("n_words"),
-    )
+    ).persist()
+    from binwatch_spark.operators.dedup import eager_enabled
+
+    if eager_enabled():  # two consumers: the digest groupBy + the semi-join
+        keep.count()
     keepers = (
         keep.groupBy(F.sha2(F.col("text"), 256).alias("_dig"))
         .agg(F.min("doc_id").alias("doc_id"))

@@ -402,21 +402,13 @@ def q93_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sum, sumsq, n) moments with the identical expression the oracle
     spells, and round(6) absorbs partial-aggregation summation order
     (values are unit-scale floats; the q90 determinism contract). min/max
-    are exact float→double and stay unrounded."""
-    emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    v = emb.select(
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
-    )
-    s, n = F.sum("x"), F.count(F.lit(1))
-    return v.groupBy(F.col("dim").cast("bigint").alias("dim")).agg(
-        n.alias("n"),
-        F.round(s / n, 6).alias("mean"),
-        F.round(F.sum(F.col("x") * F.col("x")) / n - (s / n) * (s / n), 6).alias(
-            "var_pop"
-        ),
-        F.min("x").alias("min_v"),
-        F.max("x").alias("max_v"),
-    )
+    are exact float→double and stay unrounded. Body:
+    operators/similarity.embedding_dim_stats — the single definition the
+    numpy reference test also validates."""
+    from binwatch_spark.operators.similarity import embedding_dim_stats
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_dim_stats(emb, "embedding")
 
 
 def _kmeans_sql() -> str:

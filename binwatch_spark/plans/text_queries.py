@@ -659,44 +659,7 @@ def q92_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(6) absorbs summation order and libm-ln last-ulp drift (the
     q90/BM25 determinism contract). At scale you'd key the join by
     xxhash64(bigram) as q81 does for spans — kept as the string key here so
-    the oracle shares it verbatim."""
+    the oracle shares it verbatim. Body: operators/text.bigram_lm_scores —
+    the single definition the numpy reference test also validates."""
     docs = load(spark, sf_dir, "documents")
-    from binwatch_spark.tables import spread
-
-    toks = F.split(F.lower(F.col("text")), " ")
-    bi = (
-        spread(docs, "doc_id")
-        .withColumn("_t", toks)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(slice(_t, 1, greatest(size(_t) - 1, 0)),"
-                    " (x, i) -> struct(x AS w1,"
-                    " concat(x, ' ', element_at(_t, i + 2)) AS bg))"
-                )
-            ).alias("_p"),
-        )
-        .select("doc_id", F.col("_p.w1").alias("w1"), F.col("_p.bg").alias("bg"))
-        .persist()
-    )
-    bi.count()  # eager fill: three consumers below share one tokenization
-    c_bg = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
-    c_w = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w"))
-    v = docs.select(F.explode(toks).alias("tok")).agg(
-        F.count_distinct("tok").alias("vsz")
-    )
-    lp = F.log(
-        (F.col("c_bg") + F.lit(LM_ADD_K))
-        / (F.col("c_w") + F.lit(LM_ADD_K) * F.col("vsz"))
-    )
-    scored = (
-        bi.join(c_bg, "bg")
-        .join(c_w, "w1")
-        .crossJoin(F.broadcast(v))
-        .select("doc_id", lp.alias("lp"))
-    )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
-    )
+    return text.bigram_lm_scores(docs, "text", "doc_id", LM_ADD_K)

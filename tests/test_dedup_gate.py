@@ -107,3 +107,26 @@ def test_lsh_recall_audit_stride_sampling_bounds_truth(docs):
     ).first()
     assert row["n_true"] == 0 and row["n_lsh"] == 0 and row["n_hit"] == 0
     assert row["recall"] is None
+
+
+def test_lsh_recall_audit_large_vocab_fallback(spark):
+    # >80 distinct tokens defeats the bitmask gate, forcing the audit's
+    # generic fallback (exact_jaccard_allpairs array form + full
+    # minhash_lsh_pairs). The near-dup pair (100, 101) must survive the
+    # path switch with the same subset-consistency contract.
+    import pytest as _pytest
+
+    base = " ".join(f"tok{k}" for k in range(90))
+    rows = [
+        (100, base + " ending one"),
+        (101, base + " ending two"),
+        (102, " ".join(f"other{k}" for k in range(40))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    row = dedup.lsh_recall_audit(df, "text", "doc_id", 0.8).first()
+    assert row["n_true"] == 1 and row["n_hit"] == row["n_lsh"]
+    # and the array form refuses an unsampled over-bound corpus outright
+    with _pytest.raises(ValueError, match="array_fallback_max_docs"):
+        dedup.exact_jaccard_allpairs(
+            df, "text", "doc_id", 0.8, array_fallback_max_docs=2
+        )

@@ -50,48 +50,14 @@ def _bigram_lm_reference(rows, add_k):
 
 
 def test_bigram_lm_matches_pure_python(docs):
+    # calls THE registered plan body (operators/text.bigram_lm_scores is
+    # what q92 runs), so plan drift fails here, not just at the oracle
+    from binwatch_spark.operators.text import bigram_lm_scores
     from binwatch_spark.plans.text_queries import LM_ADD_K
 
-    # run the registered plan body against the in-memory frame by
-    # re-deriving it (the plan loads from parquet; here we inline the same
-    # expressions through a temp view + the oracle-equivalent DataFrame
-    # code path is exercised at sf0.01 — this test checks the MATH)
-    spark = docs.sparkSession
-    toks = F.split(F.lower(F.col("text")), " ")
-    bi = (
-        docs.withColumn("_t", toks)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(slice(_t, 1, greatest(size(_t) - 1, 0)),"
-                    " (x, i) -> struct(x AS w1,"
-                    " concat(x, ' ', element_at(_t, i + 2)) AS bg))"
-                )
-            ).alias("_p"),
-        )
-        .select("doc_id", "_p.w1", "_p.bg")
-    )
-    c_bg = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
-    c_w = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w"))
-    v = docs.select(F.explode(toks).alias("t")).agg(
-        F.count_distinct("t").alias("vsz")
-    )
-    lp = F.log(
-        (F.col("c_bg") + F.lit(LM_ADD_K))
-        / (F.col("c_w") + F.lit(LM_ADD_K) * F.col("vsz"))
-    )
     got = {
-        r["doc_id"]: (r["n"], r["avg_lp"])
-        for r in bi.join(c_bg, "bg")
-        .join(c_w, "w1")
-        .crossJoin(F.broadcast(v))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(lp) / F.count(F.lit(1)), 6).alias("avg_lp"),
-        )
-        .collect()
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in bigram_lm_scores(docs, "text", "doc_id", LM_ADD_K).collect()
     }
     want = _bigram_lm_reference(DOCS, LM_ADD_K)
     assert got == want
@@ -102,26 +68,14 @@ def test_embedding_dim_stats_match_numpy(spark):
         (i, [float(((i * 7 + d * 3) % 11) - 5) / 4.0 for d in range(5)])
         for i in range(20)
     ]
+    # calls THE registered plan body (operators/similarity.
+    # embedding_dim_stats is what q93 runs)
+    from binwatch_spark.operators.similarity import embedding_dim_stats
+
     df = spark.createDataFrame(rng, ["vec_id", "embedding"])
-    v = df.select(
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "dim", "x"
-        )
-    )
-    s, n = F.sum("x"), F.count(F.lit(1))
     got = {
         r["dim"]: (r["n"], r["mean"], r["var_pop"], r["min_v"], r["max_v"])
-        for r in v.groupBy(F.col("dim").cast("bigint").alias("dim"))
-        .agg(
-            n.alias("n"),
-            F.round(s / n, 6).alias("mean"),
-            F.round(
-                F.sum(F.col("x") * F.col("x")) / n - (s / n) * (s / n), 6
-            ).alias("var_pop"),
-            F.min("x").alias("min_v"),
-            F.max("x").alias("max_v"),
-        )
-        .collect()
+        for r in embedding_dim_stats(df, "embedding").collect()
     }
     M = np.array([e for _, e in rng])
     for d in range(5):
