@@ -15,9 +15,7 @@ SESSION_GAP_MINUTES = 30
 SAMPLE_PCT = 10
 
 
-@register(
-    "q35_sessionize",
-    oracle=f"""
+_SESSIONIZE_SQL = f"""
 WITH l AS (
   SELECT user_id, ts, event_id,
     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -35,8 +33,10 @@ s AS (
 SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events
 FROM s GROUP BY user_id, session_id
-""",
-)
+"""
+
+
+@register("q35_sessionize", oracle=_SESSIONIZE_SQL)
 def q35_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inactivity-gap sessionization (batch shape): lag + running sum over
     one shuffle on user_id. The streaming twin (operators.sessions.
@@ -462,4 +462,79 @@ def q95_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").cast("bigint").alias("n_tokens"),
             F.count_distinct("source").alias("n_sources"),
         )
+    )
+
+
+@register("q99_sessionize_stream", oracle=_SESSIONIZE_SQL)
+def q99_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q35's sessionization executed through the REAL Structured-Streaming
+    stateful path (operators.sessions.sessionize_stream,
+    applyInPandasWithState with event-time timeout) and hash-checked
+    against the SAME batch SQL oracle — the proof that the custom stateful
+    operator's streaming semantics equal the batch window form, promoted
+    from a pytest assertion to driver-grade evidence.
+
+    Mechanics: the events table is staged into a temp dir as THREE files
+    with strictly increasing timestamps — the real events, then two
+    far-future sentinel rows under reserved negative user_ids — and read
+    with ``maxFilesPerTrigger=1`` under ``Trigger.AvailableNow``. Each
+    micro-batch advances the watermark computed from the PREVIOUS batch,
+    so the first sentinel's batch flushes every real session's timed-out
+    state, while the sentinels' own sessions are still open at
+    termination and are therefore never emitted (append mode) — the sink
+    holds exactly the real sessions. Session ids are then assigned
+    batch-side by per-user start order, the same ordinal rule the batch
+    form and the oracle use. Scale posture: identical to production — the
+    state store shuffles once on user_id, per-user state is O(1), and the
+    watermark bounds state lifetime; the file staging exists only to give
+    the bounded fixture a deterministic end-of-stream flush."""
+    import datetime as _dt
+    import tempfile
+
+    # Watermarks require TIMESTAMP (with local timezone), not the fixture's
+    # TIMESTAMP_NTZ: stage with an ntz→ltz cast and cast back on output —
+    # a wall-clock-preserving round trip within one session (the driver
+    # session runs UTC, where it is exact for every wall time).
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    )
+    max_ts = ev.agg(F.max("ts").alias("m")).first()["m"]
+    root = tempfile.mkdtemp(prefix="q99_stream_")
+    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
+    ev.write.mode("overwrite").parquet(f"{src}/batch0")
+    for i, hours in enumerate((1000, 2000), start=1):
+        spark.createDataFrame(
+            [(-i, max_ts + _dt.timedelta(hours=hours), -i)],
+            ev.schema,
+        ).write.mode("overwrite").parquet(f"{src}/sentinel{i}")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .withWatermark("ts", "0 seconds")
+    )
+    from binwatch_spark.operators.sessions import sessionize_stream
+
+    q = (
+        sessionize_stream(stream, gap_minutes=SESSION_GAP_MINUTES)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # AvailableNow may run a final commit batch whose watermark (advanced
+    # by the last sentinel) flushes the FIRST sentinel's own session —
+    # drop the reserved sentinel ids rather than depending on that
+    # batch-scheduling detail either way.
+    out = spark.read.parquet(sink).filter(~F.col("user_id").isin(-1, -2))
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return out.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("session_id"),
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
     )
