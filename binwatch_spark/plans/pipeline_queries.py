@@ -538,3 +538,61 @@ def q99_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_end").cast("timestamp_ntz").alias("session_end"),
         "n_events",
     )
+
+
+@register(
+    "q100_dedup_stream",
+    oracle="SELECT event_id, user_id, ts, event_type, value, props FROM events",
+)
+def q100_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once replay collapse through the REAL streaming dedup path
+    (streaming/analytics.dedup_stream → dropDuplicatesWithinWatermark),
+    hash-checked against the plain table: the stream is fed the events
+    table TWICE (a full replay — the delivery scenario the reference's
+    at-least-once contract produces, SURVEY §2.2) in two micro-batches,
+    and the watermarked key-dedup state must emit each event exactly once.
+    The watermark horizon is sized past the fixture's full time span so
+    every replay lands inside it — the documented contract (horizon ≥
+    replay lag); state is evicted past the horizon, which is what makes
+    this a bounded-state 100 TB/day plan rather than an unbounded key set.
+    Scale posture: one shuffle on the dedup key per batch; state size =
+    keys within the horizon."""
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+        "props",
+    )
+    root = tempfile.mkdtemp(prefix="q100_stream_")
+    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
+    ev.write.mode("overwrite").parquet(f"{src}/original")
+    ev.write.mode("overwrite").parquet(f"{src}/replay")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    from binwatch_spark.streaming.analytics import dedup_stream
+
+    q = (
+        dedup_stream(stream, keys=["event_id"], ts_col="ts", watermark="60 days")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(sink).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "event_type",
+        "value",
+        "props",
+    )
