@@ -596,3 +596,62 @@ def q100_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "props",
     )
+
+
+@register(
+    "q101_windowed_counts_stream",
+    oracle="""
+SELECT date_trunc('hour', ts) AS win_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+       count(*) AS n_events
+FROM events GROUP BY 1
+""",
+)
+def q101_windowed_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window event counts through the REAL streaming
+    aggregation path (streaming/analytics.windowed_counts), hash-checked
+    against the batch GROUP BY: append mode only emits a window once the
+    watermark passes its end, so the staged double-sentinel tail (q99's
+    harness pattern) guarantees every real window finalizes within the
+    AvailableNow run; windows at/after the first sentinel are unfinalized
+    by construction and excluded by the max-real-timestamp bound. Scale
+    posture: the production shape unchanged — one shuffle on the window
+    key, state bounded by (horizon / window) windows."""
+    import datetime as _dt
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    max_ts = ev.agg(F.max("ts").alias("m")).first()["m"]
+    root = tempfile.mkdtemp(prefix="q101_stream_")
+    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
+    ev.write.mode("overwrite").parquet(f"{src}/batch0")
+    for i, hours in enumerate((1000, 2000), start=1):
+        spark.createDataFrame(
+            [(-i, max_ts + _dt.timedelta(hours=hours))], ev.schema
+        ).write.mode("overwrite").parquet(f"{src}/sentinel{i}")
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(f"{src}/*")
+    from binwatch_spark.streaming.analytics import windowed_counts
+
+    q = (
+        windowed_counts(stream, ts_col="ts", window="1 hour", watermark="0 seconds")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(sink)
+        .filter(F.col("win_start") <= max_ts)  # sentinel windows out
+        .select(
+            F.col("win_start").cast("timestamp_ntz").alias("win_start"),
+            F.col("win_end").cast("timestamp_ntz").alias("win_end"),
+            "n_events",
+        )
+    )
