@@ -655,3 +655,61 @@ def q101_windowed_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "q102_interval_join_stream",
+    oracle="""
+SELECT a.event_id AS l_event_id, b.event_id AS r_event_id, a.user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND b.ts <= a.ts
+ AND b.ts >= a.ts - INTERVAL 1 HOUR
+""",
+)
+def q102_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join (streaming/analytics.
+    interval_join — the enrichment join of the streaming family, batch
+    twin q49's predicate shape) run end-to-end and hash-checked against
+    the batch join: both sides are the events table, so the oracle is the
+    plain self-join within the lookback. Inner stream-stream joins emit a
+    pair as soon as both rows have arrived — no sentinel tail needed —
+    but the watermark horizon must cover the fixture's full span so no
+    join state is evicted before the opposite side's rows land (the same
+    horizon ≥ replay-lag contract as q100; in production the horizon
+    tracks actual cross-stream lag and bounds state). One shuffle per
+    side on the join key; the range predicate rides the same exchange."""
+    import tempfile
+
+    left = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    right = left.select(
+        F.col("event_id").alias("r_event_id"),
+        "user_id",
+        F.col("ts").alias("rts"),
+    )
+    root = tempfile.mkdtemp(prefix="q102_stream_")
+    sink, ckpt = f"{root}/sink", f"{root}/ckpt"
+    left.write.mode("overwrite").parquet(f"{root}/left")
+    right.write.mode("overwrite").parquet(f"{root}/right")
+    l_s = spark.readStream.schema(left.schema).parquet(f"{root}/left")
+    r_s = spark.readStream.schema(right.schema).parquet(f"{root}/right")
+    from binwatch_spark.streaming.analytics import interval_join
+
+    joined = interval_join(
+        l_s, r_s, "user_id", "ts", "rts", lookback="1 hour", watermark="60 days"
+    ).select(
+        F.col("event_id").alias("l_event_id"),
+        F.col("r_event_id"),
+        "user_id",
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(sink)
