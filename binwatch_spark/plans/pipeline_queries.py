@@ -465,6 +465,31 @@ def q95_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _stream_shuffle_partitions(spark: SparkSession, n: int = 8):
+    """Scope spark.sql.shuffle.partitions down for a bounded streaming run.
+
+    A Structured Streaming query fixes its state-store partition count from
+    this conf at FIRST start (written into the checkpoint), and the fixture
+    streams move a few MB through 3 micro-batches — at the session default
+    of 32, per-task scheduling overhead dominates every stateful stage
+    (measured ~2x the wall of the same run at 8). Production jobs size this
+    for their own volume; the scope-and-restore keeps the batch queries'
+    planning unaffected.
+    """
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 @register("q99_sessionize_stream", oracle=_SESSIONIZE_SQL)
 def q99_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q35's sessionization executed through the REAL Structured-Streaming
@@ -515,16 +540,17 @@ def q99_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from binwatch_spark.operators.sessions import sessionize_stream
 
-    q = (
-        sessionize_stream(stream, gap_minutes=SESSION_GAP_MINUTES)
-        .writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_shuffle_partitions(spark):
+        q = (
+            sessionize_stream(stream, gap_minutes=SESSION_GAP_MINUTES)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     # AvailableNow may run a final commit batch whose watermark (advanced
     # by the last sentinel) flushes the FIRST sentinel's own session —
     # drop the reserved sentinel ids rather than depending on that
@@ -578,16 +604,17 @@ def q100_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from binwatch_spark.streaming.analytics import dedup_stream
 
-    q = (
-        dedup_stream(stream, keys=["event_id"], ts_col="ts", watermark="60 days")
-        .writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_shuffle_partitions(spark):
+        q = (
+            dedup_stream(stream, keys=["event_id"], ts_col="ts", watermark="60 days")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.read.parquet(sink).select(
         "event_id",
         "user_id",
@@ -636,16 +663,17 @@ def q101_windowed_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(f"{src}/*")
     from binwatch_spark.streaming.analytics import windowed_counts
 
-    q = (
-        windowed_counts(stream, ts_col="ts", window="1 hour", watermark="0 seconds")
-        .writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_shuffle_partitions(spark):
+        q = (
+            windowed_counts(stream, ts_col="ts", window="1 hour", watermark="0 seconds")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return (
         spark.read.parquet(sink)
         .filter(F.col("win_start") <= max_ts)  # sentinel windows out
@@ -703,13 +731,14 @@ def q102_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_event_id"),
         "user_id",
     )
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_shuffle_partitions(spark):
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.read.parquet(sink)
