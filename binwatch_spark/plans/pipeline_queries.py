@@ -490,6 +490,80 @@ def _stream_shuffle_partitions(spark: SparkSession, n: int = 8):
         spark.conf.set(key, old)
 
 
+def _run_bounded_stream(spark, prefix, stages, build_output) -> DataFrame:
+    """Shared harness for the streaming-verified queries (q99-q102): stage
+    each (name, frame) as a SINGLE-file parquet dir under a temp source in
+    list order, read them back as one file-source stream
+    (``maxFilesPerTrigger=1`` → one micro-batch per staged frame, in
+    order), apply ``build_output(stream)``, run to completion under
+    Trigger.AvailableNow with the scoped shuffle partitions, and return
+    the parquet sink read back as a batch DataFrame.
+
+    Contract details that exist because they are load-bearing:
+    - ``coalesce(1)`` per stage: a multi-part stage would split one logical
+      batch across micro-batches, and with a 0-second watermark the later
+      part's older rows would be dropped as late data — silently wrong
+      sessions/windows, not an error.
+    - ``awaitTermination``'s boolean IS checked: a timeout means the sink
+      is partially written, and reading it anyway would report a confusing
+      hash mismatch (or silently wrong bench output) instead of failing.
+    - The staging source and checkpoint are removed in ``finally``; the
+      sink must outlive the call (the returned DataFrame reads it lazily —
+      the driver collects later), so it is the one dir intentionally kept.
+    """
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=prefix)  # noqa: SIM115 — sink outlives us
+    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
+    try:
+        for name, df in stages:
+            df.coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+        stream = (
+            spark.readStream.schema(stages[0][1].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        with _stream_shuffle_partitions(spark):
+            q = (
+                build_output(stream)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "bounded stream run did not finish within 300s"
+                )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(sink)
+
+
+def _sentinel_frames(spark, schema, max_ts, make_row):
+    """Two far-future single-row frames under reserved negative ids — the
+    end-of-stream tail that advances the watermark past every real
+    session/window (the second sentinel's batch carries the first's
+    timestamp as watermark, so all REAL state flushes deterministically
+    regardless of whether a trailing empty commit batch runs)."""
+    import datetime as _dt
+
+    return [
+        (
+            f"sentinel{i}",
+            spark.createDataFrame(
+                [make_row(-i, max_ts + _dt.timedelta(hours=h))], schema
+            ),
+        )
+        for i, h in ((1, 1000), (2, 2000))
+    ]
+
+
 @register("q99_sessionize_stream", oracle=_SESSIONIZE_SQL)
 def q99_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q35's sessionization executed through the REAL Structured-Streaming
@@ -499,63 +573,43 @@ def q99_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator's streaming semantics equal the batch window form, promoted
     from a pytest assertion to driver-grade evidence.
 
-    Mechanics: the events table is staged into a temp dir as THREE files
-    with strictly increasing timestamps — the real events, then two
-    far-future sentinel rows under reserved negative user_ids — and read
-    with ``maxFilesPerTrigger=1`` under ``Trigger.AvailableNow``. Each
-    micro-batch advances the watermark computed from the PREVIOUS batch,
-    so the first sentinel's batch flushes every real session's timed-out
-    state, while the sentinels' own sessions are still open at
-    termination and are therefore never emitted (append mode) — the sink
-    holds exactly the real sessions. Session ids are then assigned
+    Mechanics (shared _run_bounded_stream harness): the events table plus
+    two far-future sentinel rows under reserved negative user_ids stream
+    as three ordered micro-batches; each batch advances the watermark
+    computed from the PREVIOUS batch, so the sentinel batches flush every
+    real session's timed-out state while the sentinels' own sessions are
+    still open at termination and are never emitted (append mode).
+    Watermarks require TIMESTAMP (ltz), not the fixture's ntz: staged with
+    an ntz→ltz cast and cast back on output — wall-clock-preserving within
+    one session (exact under the driver's UTC). Session ids are assigned
     batch-side by per-user start order, the same ordinal rule the batch
     form and the oracle use. Scale posture: identical to production — the
     state store shuffles once on user_id, per-user state is O(1), and the
-    watermark bounds state lifetime; the file staging exists only to give
-    the bounded fixture a deterministic end-of-stream flush."""
-    import datetime as _dt
-    import tempfile
+    watermark bounds state lifetime; the staging exists only to give the
+    bounded fixture a deterministic end-of-stream flush."""
+    from binwatch_spark.operators.sessions import sessionize_stream
 
-    # Watermarks require TIMESTAMP (with local timezone), not the fixture's
-    # TIMESTAMP_NTZ: stage with an ntz→ltz cast and cast back on output —
-    # a wall-clock-preserving round trip within one session (the driver
-    # session runs UTC, where it is exact for every wall time).
     ev = load(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id"
     )
     max_ts = ev.agg(F.max("ts").alias("m")).first()["m"]
-    root = tempfile.mkdtemp(prefix="q99_stream_")
-    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
-    ev.write.mode("overwrite").parquet(f"{src}/batch0")
-    for i, hours in enumerate((1000, 2000), start=1):
-        spark.createDataFrame(
-            [(-i, max_ts + _dt.timedelta(hours=hours), -i)],
-            ev.schema,
-        ).write.mode("overwrite").parquet(f"{src}/sentinel{i}")
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{src}/*")
-        .withWatermark("ts", "0 seconds")
+    stages = [("batch0", ev)] + _sentinel_frames(
+        spark, ev.schema, max_ts, lambda i, t: (i, t, i)
     )
-    from binwatch_spark.operators.sessions import sessionize_stream
-
-    with _stream_shuffle_partitions(spark):
-        q = (
-            sessionize_stream(stream, gap_minutes=SESSION_GAP_MINUTES)
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+    out = _run_bounded_stream(
+        spark,
+        "q99_stream_",
+        stages,
+        lambda s: sessionize_stream(
+            s.withWatermark("ts", "0 seconds"),
+            gap_minutes=SESSION_GAP_MINUTES,
+        ),
+    )
     # AvailableNow may run a final commit batch whose watermark (advanced
     # by the last sentinel) flushes the FIRST sentinel's own session —
     # drop the reserved sentinel ids rather than depending on that
     # batch-scheduling detail either way.
-    out = spark.read.parquet(sink).filter(~F.col("user_id").isin(-1, -2))
+    out = out.filter(~F.col("user_id").isin(-1, -2))
     w = Window.partitionBy("user_id").orderBy("session_start")
     return out.select(
         "user_id",
@@ -583,7 +637,7 @@ def q100_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     this a bounded-state 100 TB/day plan rather than an unbounded key set.
     Scale posture: one shuffle on the dedup key per batch; state size =
     keys within the horizon."""
-    import tempfile
+    from binwatch_spark.streaming.analytics import dedup_stream
 
     ev = load(spark, sf_dir, "events").select(
         "event_id",
@@ -593,29 +647,15 @@ def q100_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "props",
     )
-    root = tempfile.mkdtemp(prefix="q100_stream_")
-    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
-    ev.write.mode("overwrite").parquet(f"{src}/original")
-    ev.write.mode("overwrite").parquet(f"{src}/replay")
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{src}/*")
+    out = _run_bounded_stream(
+        spark,
+        "q100_stream_",
+        [("original", ev), ("replay", ev)],
+        lambda s: dedup_stream(
+            s, keys=["event_id"], ts_col="ts", watermark="60 days"
+        ),
     )
-    from binwatch_spark.streaming.analytics import dedup_stream
-
-    with _stream_shuffle_partitions(spark):
-        q = (
-            dedup_stream(stream, keys=["event_id"], ts_col="ts", watermark="60 days")
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    return spark.read.parquet(sink).select(
+    return out.select(
         "event_id",
         "user_id",
         F.col("ts").cast("timestamp_ntz").alias("ts"),
@@ -638,50 +678,33 @@ def q101_windowed_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window event counts through the REAL streaming
     aggregation path (streaming/analytics.windowed_counts), hash-checked
     against the batch GROUP BY: append mode only emits a window once the
-    watermark passes its end, so the staged double-sentinel tail (q99's
-    harness pattern) guarantees every real window finalizes within the
-    AvailableNow run; windows at/after the first sentinel are unfinalized
-    by construction and excluded by the max-real-timestamp bound. Scale
-    posture: the production shape unchanged — one shuffle on the window
-    key, state bounded by (horizon / window) windows."""
-    import datetime as _dt
-    import tempfile
+    watermark passes its end, so the double-sentinel tail (shared
+    _run_bounded_stream harness) guarantees every real window finalizes
+    within the AvailableNow run; windows at/after the first sentinel are
+    unfinalized by construction and excluded by the max-real-timestamp
+    bound. Scale posture: the production shape unchanged — one shuffle on
+    the window key, state bounded by (horizon / window) windows."""
+    from binwatch_spark.streaming.analytics import windowed_counts
 
     ev = load(spark, sf_dir, "events").select(
         "event_id", F.col("ts").cast("timestamp").alias("ts")
     )
     max_ts = ev.agg(F.max("ts").alias("m")).first()["m"]
-    root = tempfile.mkdtemp(prefix="q101_stream_")
-    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
-    ev.write.mode("overwrite").parquet(f"{src}/batch0")
-    for i, hours in enumerate((1000, 2000), start=1):
-        spark.createDataFrame(
-            [(-i, max_ts + _dt.timedelta(hours=hours))], ev.schema
-        ).write.mode("overwrite").parquet(f"{src}/sentinel{i}")
-    stream = spark.readStream.schema(ev.schema).option(
-        "maxFilesPerTrigger", 1
-    ).parquet(f"{src}/*")
-    from binwatch_spark.streaming.analytics import windowed_counts
-
-    with _stream_shuffle_partitions(spark):
-        q = (
-            windowed_counts(stream, ts_col="ts", window="1 hour", watermark="0 seconds")
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    return (
-        spark.read.parquet(sink)
-        .filter(F.col("win_start") <= max_ts)  # sentinel windows out
-        .select(
-            F.col("win_start").cast("timestamp_ntz").alias("win_start"),
-            F.col("win_end").cast("timestamp_ntz").alias("win_end"),
-            "n_events",
-        )
+    stages = [("batch0", ev)] + _sentinel_frames(
+        spark, ev.schema, max_ts, lambda i, t: (i, t)
+    )
+    out = _run_bounded_stream(
+        spark,
+        "q101_stream_",
+        stages,
+        lambda s: windowed_counts(
+            s, ts_col="ts", window="1 hour", watermark="0 seconds"
+        ),
+    )
+    return out.filter(F.col("win_start") <= max_ts).select(
+        F.col("win_start").cast("timestamp_ntz").alias("win_start"),
+        F.col("win_end").cast("timestamp_ntz").alias("win_end"),
+        "n_events",
     )
 
 
@@ -698,47 +721,35 @@ def q102_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked STREAM-STREAM interval join (streaming/analytics.
     interval_join — the enrichment join of the streaming family, batch
     twin q49's predicate shape) run end-to-end and hash-checked against
-    the batch join: both sides are the events table, so the oracle is the
-    plain self-join within the lookback. Inner stream-stream joins emit a
-    pair as soon as both rows have arrived — no sentinel tail needed —
-    but the watermark horizon must cover the fixture's full span so no
-    join state is evicted before the opposite side's rows land (the same
-    horizon ≥ replay-lag contract as q100; in production the horizon
-    tracks actual cross-stream lag and bounds state). One shuffle per
-    side on the join key; the range predicate rides the same exchange."""
-    import tempfile
-
-    left = load(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
-    )
-    right = left.select(
-        F.col("event_id").alias("r_event_id"),
-        "user_id",
-        F.col("ts").alias("rts"),
-    )
-    root = tempfile.mkdtemp(prefix="q102_stream_")
-    sink, ckpt = f"{root}/sink", f"{root}/ckpt"
-    left.write.mode("overwrite").parquet(f"{root}/left")
-    right.write.mode("overwrite").parquet(f"{root}/right")
-    l_s = spark.readStream.schema(left.schema).parquet(f"{root}/left")
-    r_s = spark.readStream.schema(right.schema).parquet(f"{root}/right")
+    the batch join: both legs are the SAME staged events stream (a
+    streaming self-join; the right leg is a column-renamed select of the
+    left — one staged copy, not two), so the oracle is the plain
+    self-join within the lookback. Inner stream-stream joins emit a pair
+    as soon as both rows have arrived — no sentinel tail needed — but the
+    watermark horizon must cover the fixture's full span so no join state
+    is evicted before the opposite leg's rows land (the same horizon ≥
+    replay-lag contract as q100; in production the horizon tracks actual
+    cross-stream lag and bounds state). One shuffle per side on the join
+    key; the range predicate rides the same exchange."""
     from binwatch_spark.streaming.analytics import interval_join
 
-    joined = interval_join(
-        l_s, r_s, "user_id", "ts", "rts", lookback="1 hour", watermark="60 days"
-    ).select(
-        F.col("event_id").alias("l_event_id"),
-        F.col("r_event_id"),
-        "user_id",
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
     )
-    with _stream_shuffle_partitions(spark):
-        q = (
-            joined.writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+
+    def build(s):
+        right = s.select(
+            F.col("event_id").alias("r_event_id"),
+            "user_id",
+            F.col("ts").alias("rts"),
         )
-        q.awaitTermination(300)
-    return spark.read.parquet(sink)
+        return interval_join(
+            s, right, "user_id", "ts", "rts",
+            lookback="1 hour", watermark="60 days",
+        ).select(
+            F.col("event_id").alias("l_event_id"),
+            F.col("r_event_id"),
+            "user_id",
+        )
+
+    return _run_bounded_stream(spark, "q102_stream_", [("events", ev)], build)
