@@ -550,18 +550,25 @@ def _sentinel_frames(spark, schema, max_ts, make_row):
     end-of-stream tail that advances the watermark past every real
     session/window (the second sentinel's batch carries the first's
     timestamp as watermark, so all REAL state flushes deterministically
-    regardless of whether a trailing empty commit batch runs)."""
+    regardless of whether a trailing empty commit batch runs).
+
+    Built JVM-side (range + literals), NOT spark.createDataFrame: a
+    parallelize-backed one-row frame writes through a Python-RDD task
+    whose worker round-trip costs ~5-7 s under load, vs ~0.2 s for the
+    pure-codegen literal row (measured; it dominated the whole harness)."""
     import datetime as _dt
 
-    return [
-        (
-            f"sentinel{i}",
-            spark.createDataFrame(
-                [make_row(-i, max_ts + _dt.timedelta(hours=h))], schema
-            ),
+    out = []
+    for i, h in ((1, 1000), (2, 2000)):
+        vals = make_row(-i, max_ts + _dt.timedelta(hours=h))
+        df = spark.range(1).select(
+            *[
+                F.lit(v).cast(f.dataType).alias(f.name)
+                for f, v in zip(schema.fields, vals)
+            ]
         )
-        for i, h in ((1, 1000), (2, 2000))
-    ]
+        out.append((f"sentinel{i}", df))
+    return out
 
 
 @register("q99_sessionize_stream", oracle=_SESSIONIZE_SQL)
