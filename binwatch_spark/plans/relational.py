@@ -249,10 +249,133 @@ def q55_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct users per event type — the sketch
     path for 100 TB cardinality estimation (one pass, fixed memory). Sketch
     internals differ from DuckDB's → rows-only check; q22 is the exact twin
-    with a full oracle."""
+    with a full oracle, and q103_kmv_distinct is the *hash-exact verifiable*
+    sketch twin (deterministic KMV over FNV-1a64, identical math spelled in
+    the DuckDB oracle)."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+_KMV_K = 128
+_TWO64 = 18446744073709551616  # 2**64 (exact)
+_KMV_NUM = float((_KMV_K - 1) * _TWO64)  # exact in double: 127 needs 7 bits
+
+
+def _kmv_distinct_sql(k: int) -> str:
+    """DuckDB twin of q103: same FNV-1a64 rounds as _fnv1a64_le8_sql
+    (plans/cdc_queries.py:166) over ``user_id``, then the identical KMV
+    estimate. Float determinism: both engines convert the k-th minimum hash
+    through the SAME op sequence — signed-int64 → double (round-to-nearest,
+    identical in JVM and DuckDB) → ``+ 2^64`` when negative (IEEE add) →
+    one IEEE division — so the doubles are bit-identical, not just close."""
+    two64 = f"CAST({_TWO64} AS HUGEINT)"
+    prime = 1099511628211
+    ctes = [
+        "u AS (SELECT event_type, CASE WHEN user_id < 0 THEN"
+        f" CAST(user_id AS HUGEINT) + {two64} ELSE"
+        " CAST(user_id AS HUGEINT) END AS v FROM events"
+        " WHERE user_id IS NOT NULL)",
+        "r0 AS (SELECT event_type, v,"
+        " CAST(14695981039346656037 AS HUGEINT) AS h FROM u)",
+    ]
+    for i in range(8):
+        byte = f"CAST((v // {256 ** i}) % 256 AS BIGINT)"
+        ctes.append(
+            f"r{i + 1} AS (SELECT event_type, v, ((h - (h % 256)"
+            f" + xor(CAST(h % 256 AS BIGINT), {byte})) * {prime})"
+            f" % {two64} AS h FROM r{i})"
+        )
+    ctes.append("d AS (SELECT DISTINCT event_type, h FROM r8)")
+    ctes.append(
+        "rn AS (SELECT event_type, h,"
+        " row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,"
+        " count(*) OVER (PARTITION BY event_type) AS n FROM d)"
+    )
+    # k-th minimum hash back in *signed* int64 (Spark's native domain), so
+    # the double conversion below is op-for-op identical to the Spark plan.
+    hs = (
+        f"max(CASE WHEN rn = {k} THEN CAST(CASE WHEN h >= {_TWO64 // 2}"
+        f" THEN h - {two64} ELSE h END AS BIGINT) END)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + ", a AS ("
+        f"SELECT event_type, max(n) AS n, {hs} AS hk FROM rn GROUP BY event_type)"
+        f" SELECT event_type, CASE WHEN n < {k} THEN CAST(n AS DOUBLE)"
+        f" ELSE {_KMV_NUM!r} / (CAST(hk AS DOUBLE)"
+        f" + CASE WHEN hk < 0 THEN {float(_TWO64)!r} ELSE 0.0 END)"
+        " END AS approx_users FROM a"
+    )
+
+
+@register("q103_kmv_distinct", oracle=_kmv_distinct_sql(_KMV_K))
+def q103_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KMV (k-minimum-values) distinct sketch — the
+    *oracle-verifiable* approximate-distinct path (q55's HLL is rows-only
+    because sketch internals differ; KMV over a shared hash function is
+    engine-independent).
+
+    Estimate: with h(1)<…<h(k) the k smallest distinct FNV-1a64 hashes
+    (unsigned order) of ``user_id``, est = (k-1)·2^64 / h(k); when fewer
+    than k distinct hashes exist the estimate is the exact count
+    (Bar-Yossef et al. 2002, the standard unbiased KMV form).
+
+    Scale shape (100 TB): map-side Arrow-vectorized hashing, then a
+    per-partition bounded k-min prune in the SAME mapInPandas pass — each
+    task emits ≤ k rows per event type, no matter how many rows it read —
+    so the only shuffled data is ≤ k·groups·partitions rows. The global
+    k-min of a union of per-partition k-mins equals the global k-min
+    (any of the k smallest global values is among its partition's k
+    smallest), and when the true distinct count is < k every value survives
+    the prune, so the exact-count branch still sees the right n."""
+    import pandas as pd  # noqa: F401  (worker-side)
+
+    from binwatch_spark.operators.sharding import fnv1a64_position
+
+    k = _KMV_K
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    hashed = ev.select(
+        "event_type", fnv1a64_position(F.col("user_id")).alias("h")
+    )
+
+    def prune(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            u = pdf["h"].to_numpy("int64").view("uint64")
+            out = (
+                pdf.assign(_u=u)
+                .drop_duplicates(["event_type", "h"])
+                .sort_values(["event_type", "_u"])
+                .groupby("event_type", sort=False)
+                .head(k)
+            )
+            yield out[["event_type", "h"]]
+
+    pruned = hashed.mapInPandas(prune, schema="event_type string, h long")
+    distinct = pruned.groupBy("event_type", "h").agg(F.lit(1).alias("_one"))
+    sign = F.lit(-(2**63))  # flip the sign bit: signed order == unsigned order
+    w = Window.partitionBy("event_type").orderBy(F.col("h").bitwiseXOR(sign))
+    wn = Window.partitionBy("event_type")
+    ranked = distinct.select(
+        "event_type",
+        "h",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"),
+    )
+    u_dbl = agg["hk"].cast("double") + F.when(
+        agg["hk"] < 0, F.lit(float(_TWO64))
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "event_type",
+        F.when(agg["n"] < k, agg["n"].cast("double"))
+        .otherwise(F.lit(_KMV_NUM) / u_dbl)
+        .alias("approx_users"),
     )
 
 
