@@ -1161,12 +1161,19 @@ def lsh_recall_audit(
     else:
         # Large-vocabulary fallback: the generic composition (each side
         # re-tokenizes, so the probe-only toks_df cache is released), on a
-        # RE-STRIDED panel honoring the array form's tighter bound — the
-        # interpreted array-intersect truth is ~100× the popcount cost.
+        # panel honoring BOTH bounds — the caller's max_exact_docs stride
+        # (already applied above; the q94 oracle mirrors that rule, so the
+        # panel must NEVER widen past it) AND the array form's tighter
+        # bound (the interpreted array-intersect truth is ~100× the
+        # popcount cost). max() guarantees the fallback only ever
+        # shrinks the panel; when the caller's stride already satisfies
+        # the array bound (q94: 2000 ≤ 4000) the panel is left untouched
+        # and stays hash-consistent with the oracle's stride rule.
         toks_df.unpersist()
         array_bound = 4_000
-        if n_docs > array_bound:
-            stride = max(1, -(-n_docs // array_bound))
+        fb_stride = max(stride, -(-n_docs // array_bound))
+        if fb_stride > stride:
+            stride = fb_stride
             universe = df.filter(F.col(id_col) % stride == 0)
         truth = exact_jaccard_allpairs(
             universe, text_col, id_col, threshold, array_bound

@@ -335,6 +335,74 @@ def neardup_pairs(
     )
 
 
+def neardup_pairs_lsh(
+    df: DataFrame, id_col: str, emb_col: str, threshold: float
+) -> DataFrame:
+    """Blocked embedding near-dup pairs — the SCALE rung for the same
+    cosine >= threshold predicate ``neardup_pairs`` (q26/q85's exact
+    generator) evaluates all-pairs: candidates come from multi-probe
+    random-hyperplane-LSH buckets (all pairs whose sign-bit buckets are
+    within hamming distance 1 — own bucket plus one flipped plane, the
+    q70 probe rule), and ONLY candidates get the exact cosine verify.
+    Approximate by design: a pair split by >= 2 hyperplanes is missed;
+    with unit-scale embeddings and threshold 0.4 the hamming-1 probe set
+    recovers the overwhelming mass of true pairs (q94's audit pattern
+    measures this; the q104 oracle encodes the SAME blocking rule so the
+    composed pipeline stays hash-exact, not recall-fuzzy).
+
+    Scale shape — never all-pairs:
+    * candidate generation joins (id, probe_bucket) rows ONLY: the probe
+      explode replicates 16-byte id/bucket rows 9×, never the embedding
+      payload; each qualifying pair matches on exactly ONE probe (equal
+      buckets match at xor=0, hamming-1 buckets at the single flipped
+      bit), so no distinct is needed;
+    * the verify joins embeddings back BY ID — two corpus-keyed hash
+      joins (high-cardinality keys), so the wide vectors cross the
+      exchange once per side, not 9×;
+    * per-bucket candidate work is (n/2^N_PLANES)² expected — at 100 TB
+      grow N_PLANES with log(n) (more sign bits = more, smaller buckets)
+      exactly as IVF grows its cell count by the √n rule.
+    Output: (i, j, sim) with i < j, sim the verified exact cosine."""
+    from binwatch_spark.functions.texthash import N_PLANES
+
+    base = _prep(
+        df.filter(F.col(emb_col).isNotNull()), emb_col, with_bucket=True
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(emb_col).alias("_emb"),
+        F.col(f"_norm_{emb_col}").alias("_norm"),
+        "_bucket",
+    )
+    probes = F.array(
+        F.col("_bucket"),
+        *[
+            F.col("_bucket").bitwiseXOR(F.lit(1 << b)).cast("bigint")
+            for b in range(N_PLANES)
+        ],
+    )
+    left = base.select(F.col("_id").alias("i"), F.explode(probes).alias("_bucket"))
+    right = base.select(F.col("_id").alias("j"), "_bucket")
+    cands = left.join(right, "_bucket").filter(F.col("i") < F.col("j")).select(
+        "i", "j"
+    )
+    ei = base.select(
+        F.col("_id").alias("i"), F.col("_emb").alias("_ei"), F.col("_norm").alias("_ni")
+    )
+    ej = base.select(
+        F.col("_id").alias("j"), F.col("_emb").alias("_ej"), F.col("_norm").alias("_nj")
+    )
+    sim = _pair_dot(F.col("_ei"), F.col("_ej"), EMBED_DIM) / (
+        F.col("_ni") * F.col("_nj")
+    )
+    return (
+        cands.join(ei, "i")
+        .join(ej, "j")
+        .select("i", "j", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .select("i", "j", "sim")
+    )
+
+
 def quantize_int8(df: DataFrame, emb_col: str, id_col: str) -> DataFrame:
     """Symmetric int8 quantization of an embedding column, exploded to
     (id, dim, q, scale) rows.

@@ -13,6 +13,7 @@ from binwatch_spark.functions.texthash import (
     BAND_ROWS,
     N_BANDS,
     SIMHASH_BITS,
+    lsh_bucket_sql,
     minhash_sql,
     polyhash_sql,
 )
@@ -420,16 +421,68 @@ SELECT node AS vec_id, min(label) AS cluster_id FROM comp GROUP BY node
 )
 def q85_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup (SemDeDup-style): embedding-cosine near-dup pairs
-    (q26's exact predicate; q33/q38 are the ANN scale rungs for the same
-    edge generator) collapsed into clusters with connected components —
-    keep-one-per-cluster is the step that prunes paraphrase/translation
-    duplicates document-level text dedup cannot see. Oracle: the identical
-    clustering via a recursive CTE, so the composed pipeline (pair
-    generator ∘ CC) is hash-checked end-to-end."""
+    (q26's exact predicate) collapsed into clusters with connected
+    components — keep-one-per-cluster is the step that prunes
+    paraphrase/translation duplicates document-level text dedup cannot
+    see. Oracle: the identical clustering via a recursive CTE, so the
+    composed pipeline (pair generator ∘ CC) is hash-checked end-to-end.
+
+    This is the EXACT baseline: the pair generator is O(n²) by
+    definition (triangle-blocked, bounded per-task memory, but quadratic
+    work). The production rung for the same pipeline is
+    q104_semantic_dedup_blocked — multi-probe LSH-bucket candidate
+    edges, exact cosine verify, identical CC — which never goes
+    all-pairs; use THIS query to audit THAT one on a panel."""
     from binwatch_spark.operators.similarity import neardup_pairs
 
     emb = load(spark, sf_dir, "embeddings")
     pairs = neardup_pairs(emb, "vec_id", "embedding", COSINE_NEARDUP_THRESHOLD)
+    return dedup.connected_components(pairs.select("i", "j")).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
+@register(
+    "q104_semantic_dedup_blocked",
+    oracle=f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding, {lsh_bucket_sql("embedding")} AS bucket
+  FROM embeddings WHERE embedding IS NOT NULL
+), pairs AS (
+  SELECT i, j FROM (
+    SELECT a.vec_id AS i, b.vec_id AS j, {_COS} AS sim
+    FROM e a JOIN e b
+      ON a.vec_id < b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 1)
+  WHERE sim >= {COSINE_NEARDUP_THRESHOLD}),
+edges AS (SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs),
+comp(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, c.label FROM comp c JOIN edges e ON e.u = c.node
+  WHERE c.label <= e.v)
+SELECT node AS vec_id, min(label) AS cluster_id FROM comp GROUP BY node
+""",
+)
+def q104_semantic_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SCALE rung — q85's pipeline with the O(n²) pair
+    generator replaced by multi-probe hyperplane-LSH blocking
+    (operators/similarity.neardup_pairs_lsh): candidate edges are pairs
+    whose 8-sign-bit buckets sit within hamming distance 1 (own bucket +
+    one flipped plane, q70's probe rule), verified with the exact
+    sequential-fold cosine, then collapsed by the SAME
+    connected_components as q85/q42. Nothing in the plan is all-pairs:
+    candidates come from a (id, probe_bucket) equi-join of 16-byte rows,
+    embeddings join back by high-cardinality id for the verify
+    (test_plans pins no CartesianProduct / no NestedLoop). Approximate
+    BY A STATED RULE, not by luck — the oracle spells the identical
+    hamming<=1 blocking predicate, so driver hash-check covers the
+    blocked semantics end-to-end; q85 remains the exact panel audit."""
+    from binwatch_spark.operators.similarity import neardup_pairs_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = neardup_pairs_lsh(
+        emb, "vec_id", "embedding", COSINE_NEARDUP_THRESHOLD
+    )
     return dedup.connected_components(pairs.select("i", "j")).select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
     )

@@ -430,6 +430,7 @@ WITH e AS (
          list_dot_product(CAST(embedding AS DOUBLE[]),
                           CAST(embedding AS DOUBLE[])) AS e2
   FROM embeddings
+  WHERE embedding IS NOT NULL
 ), c0 AS (
   SELECT vec_id AS cid, emb AS cent, e2 AS c2 FROM e
   WHERE vec_id % {IVF_STRIDE} = 0

@@ -226,3 +226,32 @@ def test_q98_assignment_is_map_side(spark):
     # work)
     live = plan.split("InMemoryRelation")[0]
     assert "Exchange" not in live
+
+
+def test_q104_blocked_semantic_dedup_never_all_pairs(spark):
+    # the scale rung's contract: candidate edges come from the probe-bucket
+    # EQUI-join and the cosine verify joins embeddings back by id — no
+    # CartesianProduct, no nested loop anywhere (q85 is the exact O(n²)
+    # baseline; this plan must never degenerate into it). The full query's
+    # plan ends at connected_components' driver-gate ExistingRDD at test
+    # scale, so pin the pair GENERATOR's plan — the part that goes
+    # quadratic if it regresses.
+    import contextlib
+    import io
+
+    from binwatch_spark.operators.similarity import neardup_pairs_lsh
+    from binwatch_spark.plans.dedup_queries import COSINE_NEARDUP_THRESHOLD
+    from binwatch_spark.tables import load
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    pairs = neardup_pairs_lsh(emb, "vec_id", "embedding", COSINE_NEARDUP_THRESHOLD)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain("simple")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    # probe-bucket candidate join + two by-id verify joins, all keyed
+    # equi-joins (broadcast at fixture scale, shuffled-hash at corpus
+    # scale — either way a HashJoin, never a nested loop over pairs)
+    assert plan.count("HashJoin") >= 3
