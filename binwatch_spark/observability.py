@@ -28,6 +28,12 @@ class ProgressListener(StreamingQueryListener):
     def __init__(self):
         self.last_progress: dict = {}
         self.num_input_rows: int = 0
+        # Cumulative count of events the positional binder dropped for an
+        # arity mismatch (blreaderwork.go:255-273 skip counter) — fed by
+        # the "positional_binder" observed metric bind_positional_rows
+        # attaches to the plan; per-batch values arrive in
+        # StreamingQueryProgress.observedMetrics.
+        self.arity_mismatch_events: int = 0
 
     def onQueryStarted(self, event):
         return
@@ -35,6 +41,16 @@ class ProgressListener(StreamingQueryListener):
     def onQueryProgress(self, event):
         progress = event.progress
         self.num_input_rows = progress.numInputRows
+        observed = {}
+        try:
+            for name, row in (progress.observedMetrics or {}).items():
+                observed[name] = row.asDict()
+        except Exception:  # metric shape is advisory; never fail the stream
+            observed = {}
+        for row in observed.values():
+            self.arity_mismatch_events += int(
+                row.get("arity_mismatch_events") or 0
+            )
         self.last_progress = {
             "id": str(progress.id),
             "name": progress.name,
@@ -42,6 +58,7 @@ class ProgressListener(StreamingQueryListener):
             "numInputRows": progress.numInputRows,
             "inputRowsPerSecond": progress.inputRowsPerSecond,
             "processedRowsPerSecond": progress.processedRowsPerSecond,
+            "observedMetrics": observed,
         }
 
     def onQueryTerminated(self, event):

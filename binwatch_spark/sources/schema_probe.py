@@ -73,16 +73,80 @@ def _named_row(row: Column, cols: list[str]) -> Column:
     )
 
 
+def arity_gate(
+    df: DataFrame,
+    columns_by_table: dict[str, list[str]],
+    observation=None,
+    metric_name: str = "arity_gate",
+) -> DataFrame:
+    """Arity contract (blreaderwork.go:255-273 parity): an event containing
+    ANY row whose value count disagrees with the discovered column count is
+    DROPPED WHOLE — the reference logs the mismatch and ``continue``s past
+    the event; it never pads short rows with NULLs or truncates long ones,
+    because a corrupt or schema-drifted upstream (e.g. an ALTER TABLE after
+    the startup probe) must surface as a counted skip, not as
+    plausible-looking NULLs downstream. Works on positional AND named row
+    maps — only the map cardinality is checked, which is exactly the
+    reference's ``len(colNames) != len(re.Rows[ri])``.
+
+    Dropped events are counted through an observed metric (columns
+    ``arity_mismatch_events`` / ``events_seen``) riding the same plan — no
+    second evaluation. Pass a ``pyspark.sql.Observation`` to read it after
+    a batch action, or None for streaming, where it surfaces per-batch in
+    ``StreamingQueryProgress.observedMetrics`` under ``metric_name``
+    (ProgressListener accumulates any metric carrying
+    ``arity_mismatch_events``). Tables absent from the map pass through
+    unchecked, mirroring the reference's allowlist guard."""
+    if not columns_by_table:
+        return df
+
+    def mismatch(n: int):
+        return lambda r: F.size(r) != F.lit(n)
+
+    bad: Column | None = None
+    for key, cols in columns_by_table.items():
+        db, table = key.split(".", 1)
+        has_bad = F.exists(F.col("rows"), mismatch(len(cols)))
+        cond = (F.col("database") == db) & (F.col("table") == table)
+        bad = (
+            F.when(cond, has_bad) if bad is None else bad.when(cond, has_bad)
+        )
+    flagged = df.withColumn("_arity_mismatch", F.coalesce(bad, F.lit(False)))
+    metrics = (
+        F.sum(F.col("_arity_mismatch").cast("long")).alias(
+            "arity_mismatch_events"
+        ),
+        F.count(F.lit(1)).alias("events_seen"),
+    )
+    flagged = (
+        flagged.observe(observation, *metrics)
+        if observation is not None
+        else flagged.observe(metric_name, *metrics)
+    )
+    return flagged.filter(~F.col("_arity_mismatch")).drop("_arity_mismatch")
+
+
 def bind_positional_rows(
-    df: DataFrame, columns_by_table: dict[str, list[str]]
+    df: DataFrame,
+    columns_by_table: dict[str, list[str]],
+    observation=None,
 ) -> DataFrame:
     """P1 binding over the discovered schemas: rewrite ``rows`` so each
     positional map gains its column names, per (database, table). Tables
     absent from the map pass through unchanged (they may already be named —
     the replay client and the python-mysql-replication live client both
-    emit named maps; only raw positional captures need binding)."""
+    emit named maps; only raw positional captures need binding).
+
+    Events failing the ``arity_gate`` check are dropped and counted BEFORE
+    binding (metric name ``positional_binder``) — see arity_gate for the
+    reference-parity contract; named streams that skip binding apply
+    arity_gate directly."""
     if not columns_by_table:
         return df
+    df = arity_gate(
+        df, columns_by_table, observation, metric_name="positional_binder"
+    )
+
     def binder(cols: list[str]):
         # single-arg lambda on purpose: F.transform passes (element, index)
         # to two-arg callables, which would clobber a default argument

@@ -421,3 +421,81 @@ def test_open_stream_position_zero_starts_at_file_head(
     assert kw["log_file"] == "mysql-bin.000008"
     assert kw["log_pos"] == 4
     stream.close()
+
+
+# Recorded session with an ALTER TABLE mid-file (VERDICT r05 #4): the
+# service INSERTs (id, name), then `ALTER TABLE users ADD COLUMN email`
+# commits at ~600 (a QueryEvent — invisible to the row-event subscription),
+# and the next INSERT carries the post-ALTER three-column shape. A real
+# pymysqlreplication stream decodes each row event against the TableMapEvent
+# that precedes IT, so the reader yields the new shape transparently —
+# schema knowledge does NOT come from our startup probe.
+RECORDED_ALTER = [
+    (
+        "mysql-bin.000009",
+        220,
+        _WriteRowsEvent("shop", "users", [{"values": {"id": 5, "name": "eva"}}]),
+    ),
+    (
+        "mysql-bin.000009",
+        700,
+        _WriteRowsEvent(
+            "shop",
+            "users",
+            [{"values": {"id": 6, "name": "kay", "email": "k@x.io"}}],
+        ),
+    ),
+]
+
+
+@pytest.fixture
+def alter_session(fake_pymysqlreplication, monkeypatch):
+    monkeypatch.setitem(globals(), "RECORDED", RECORDED_ALTER)
+    yield fake_pymysqlreplication
+
+
+def test_alter_table_mid_stream_client_is_schema_transparent(alter_session):
+    """The live client must deliver post-ALTER row shapes verbatim: the
+    wire decodes against the per-event TableMap, so a mid-stream ALTER
+    never corrupts or blocks the reader itself. (The reference instead
+    decodes against its STARTUP column probe, so its post-ALTER events die
+    in the arity error path blreaderwork.go:255-259 until restart —
+    that check lives in our engine at the binding layer, tested below.)"""
+    got = list(
+        _client().read_range(
+            BinlogLocation("mysql-bin.000009", 4),
+            BinlogLocation("mysql-bin.000009", 700),
+        )
+    )
+    assert [r["binlog_position"] for r in got] == [220, 700]
+    assert got[0]["rows"] == [{"id": "5", "name": "eva"}]
+    # post-ALTER: the new column arrives without any probe refresh
+    assert got[1]["rows"] == [{"id": "6", "name": "kay", "email": "k@x.io"}]
+
+
+def test_alter_table_mid_stream_engine_arity_path(alter_session, spark):
+    """Engine behavior for the same session when the pipeline holds a
+    STALE startup probe (blreaderwork.go:255-273 parity): the post-ALTER
+    event fails the arity gate — dropped whole and counted — while
+    pre-ALTER events flow. Recovery is the reference's too: restart (or
+    re-probe), which refreshes the column map."""
+    from pyspark.sql import Observation
+
+    from binwatch_spark.sources.schema_probe import arity_gate
+
+    envelope = list(
+        _client().read_range(
+            BinlogLocation("mysql-bin.000009", 4),
+            BinlogLocation("mysql-bin.000009", 700),
+        )
+    )
+    df = spark.createDataFrame(
+        [(e["database"], e["table"], e["rows"]) for e in envelope],
+        "database string, table string, rows array<map<string,string>>",
+    )
+    obs = Observation()
+    kept = arity_gate(
+        df, {"shop.users": ["id", "name"]}, observation=obs
+    ).collect()
+    assert [r["rows"] for r in kept] == [[{"id": "5", "name": "eva"}]]
+    assert obs.get == {"arity_mismatch_events": 1, "events_seen": 2}

@@ -677,3 +677,76 @@ def test_binlog_datasource_capped_batches_drain(spark, tmp_path):
     # the 4-event backlog spans > 150 bytes of binlog positions: the capped
     # reader must have taken at least two extra micro-batches past batch 0
     assert n_batches >= 3
+
+
+def test_positional_binding_arity_mismatch_drops_and_counts(spark, tmp_path):
+    """blreaderwork.go:255-273 parity: an event with ANY row whose arity
+    disagrees with the discovered column count is dropped whole (never
+    NULL-padded, never truncated) and counted through the
+    positional_binder observed metric — batch via Observation, streaming
+    via StreamingQueryProgress.observedMetrics into ProgressListener."""
+    import time
+
+    from pyspark.sql import Observation
+
+    from binwatch_spark.observability import ProgressListener
+    from binwatch_spark.sources.schema_probe import bind_positional_rows
+
+    cols = {"testdb.users": ["id", "name"]}
+    schema = "database string, table string, rows array<map<string,string>>"
+    rows = [
+        ("testdb", "users", [{"0": "1", "1": "ada"}]),  # ok
+        ("testdb", "users", [{"0": "9"}]),  # short row → drop event
+        ("testdb", "users", [{"0": "9", "1": "x", "2": "y"}]),  # long → drop
+        # one good row + one bad row: the WHOLE event drops (reference
+        # sets err and `continue`s past the event)
+        ("testdb", "users", [{"0": "2", "1": "gra"}, {"0": "3"}]),
+        ("testdb", "other", [{"0": "keep"}]),  # unbound → untouched
+    ]
+    df = spark.createDataFrame(rows, schema)
+    obs = Observation()
+    out = bind_positional_rows(df, cols, observation=obs).collect()
+    got = {(r["database"], r["table"]): r["rows"] for r in out}
+    assert len(out) == 2
+    assert got[("testdb", "users")] == [{"id": "1", "name": "ada"}]
+    assert got[("testdb", "other")] == [{"0": "keep"}]
+    assert obs.get == {"arity_mismatch_events": 3, "events_seen": 5}
+
+    # Streaming replay of the same malformed fixture: the skip counter
+    # surfaces in the progress listener, not just the batch Observation.
+    replay = str(tmp_path / "replay")
+    os.makedirs(replay)
+    with open(os.path.join(replay, "b1.jsonl"), "w", encoding="utf-8") as fh:
+        for _, _, evrows in [rows[0], rows[1], rows[4]]:
+            fh.write(
+                json.dumps(
+                    {"database": "testdb", "table": "users", "rows": evrows}
+                    if evrows != rows[4][2]
+                    else {"database": "testdb", "table": "other", "rows": evrows}
+                )
+                + "\n"
+            )
+    listener = ProgressListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = spark.readStream.schema(schema).json(replay)
+        bound = bind_positional_rows(stream, cols)
+        q = (
+            bound.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        deadline = time.time() + 20
+        while listener.arity_mismatch_events < 1 and time.time() < deadline:
+            time.sleep(0.2)  # listener events are delivered asynchronously
+        assert listener.arity_mismatch_events == 1
+        assert (
+            listener.last_progress["observedMetrics"]["positional_binder"][
+                "events_seen"
+            ]
+            == 3
+        )
+    finally:
+        spark.streams.removeListener(listener)
