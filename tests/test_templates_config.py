@@ -937,3 +937,89 @@ def test_template_go_parity_second_pass():
     assert compile_template("{{ float64 5 }}")(ITEM) == "5"
     assert compile_template("{{ mulf 123456.78 1.0 }}")(ITEM) == "123456.78"
     assert compile_template("{{ mulf 0.00001 1.0 }}")(ITEM) == "1e-05"
+
+
+# --- sprig-v3 parity drift pin (VERDICT r05 #8) -------------------------
+
+# The sprig v3.2 FuncMap (public function list, grouped as in the sprig
+# docs), which the reference registers wholesale minus expandenv
+# (tmpl.go:29-51). Every name must be accounted for below: registered in
+# templates._FUNCS, deliberately excluded in templates._EXCLUDED_SPRIG, or
+# pinned as documented-unsupported tail — so a sprig addition, an
+# accidental deletion of a registered function, or a silent registration
+# of a nondeterministic one all fail THIS test, loudly.
+SPRIG_V3 = set(
+    """
+    abbrev abbrevboth trunc trim upper lower title untitle repeat substr
+    nospace initials swapcase snakecase camelcase kebabcase wrap wrapWith
+    contains hasPrefix hasSuffix quote squote cat indent nindent replace
+    plural sha1sum sha256sum sha512sum adler32sum toString atoi int64 int
+    float64 seq toDecimal until untilStep split splitList splitn toStrings
+    sortAlpha join add add1 sub div mod mul max min maxf minf addf add1f
+    subf divf mulf ceil floor round randInt biggest smallest now ago date
+    dateInZone duration durationRound unixEpoch dateModify mustDateModify
+    htmlDate htmlDateInZone toDate mustToDate default empty coalesce all
+    any compact mustCompact fromJson mustFromJson toJson mustToJson
+    toPrettyJson mustToPrettyJson toRawJson mustToRawJson ternary deepCopy
+    mustDeepCopy typeOf typeIs typeIsLike kindOf kindIs deepEqual list
+    first mustFirst rest mustRest last mustLast initial mustInitial append
+    mustAppend prepend mustPrepend concat reverse mustReverse uniq
+    mustUniq without mustWithout has mustHas slice mustSlice chunk
+    mustChunk get set unset hasKey pluck dig merge mustMerge
+    mergeOverwrite mustMergeOverwrite keys pick omit values dict b64enc
+    b64dec b32enc b32dec base dir clean ext isAbs osBase osDir osClean
+    osExt osIsAbs fail required regexMatch mustRegexMatch regexFindAll
+    mustRegexFindAll regexFind mustRegexFind regexReplaceAll
+    mustRegexReplaceAll regexReplaceAllLiteral mustRegexReplaceAllLiteral
+    regexSplit mustRegexSplit regexQuoteMeta semver semverCompare uuidv4
+    randAlphaNum randAlpha randAscii randNumeric randBytes shuffle
+    derivePassword genPrivateKey buildCustomCert genCA genCAWithKey
+    genSelfSignedCert genSelfSignedCertWithKey genSignedCert
+    genSignedCertWithKey encryptAES decryptAES htpasswd bcrypt
+    getHostByName urlParse urlJoin env expandenv kindIs
+    """.split()
+)
+
+# sprig names the engine neither registers nor hard-excludes: the must*
+# twins of registered list/dict/json functions (Go's must* variants differ
+# only in error plumbing — the engine's compile-time validation plus
+# render-time exceptions already give must semantics, so the plain forms
+# are the single registered spelling). A template using one still fails
+# fast at compile with the unsupported-function error.
+SPRIG_UNSUPPORTED_TAIL = {
+    "mustCompact", "mustFromJson", "mustToJson", "mustToPrettyJson",
+    "mustToRawJson", "mustDeepCopy", "mustFirst", "mustRest", "mustLast",
+    "mustInitial", "mustAppend", "mustPrepend", "mustReverse", "mustUniq",
+    "mustWithout", "mustHas", "mustSlice", "mustChunk", "mustMerge",
+    "mustMergeOverwrite",
+}
+
+
+def test_sprig_v3_map_fully_accounted():
+    from binwatch_spark.streaming.templates import _EXCLUDED_SPRIG, _FUNCS
+
+    registered = set(_FUNCS)
+    excluded = set(_EXCLUDED_SPRIG)
+    # no function may be both registered and excluded
+    assert not registered & excluded
+    # the unsupported tail must stay unsupported (registering a must* twin
+    # without updating this pin = drift) and must not overlap exclusions
+    assert not SPRIG_UNSUPPORTED_TAIL & registered
+    assert not SPRIG_UNSUPPORTED_TAIL & excluded
+    # every sprig-v3 name is accounted for: registered, excluded, or tail
+    unaccounted = SPRIG_V3 - registered - excluded - SPRIG_UNSUPPORTED_TAIL
+    assert not unaccounted, f"sprig functions unaccounted: {sorted(unaccounted)}"
+    # and the exclusion set contains ONLY sprig names (a typo there would
+    # silently stop guarding anything)
+    assert excluded <= SPRIG_V3
+    # every excluded name carries a family tag the compile error can name
+    assert all(_EXCLUDED_SPRIG[n] for n in _EXCLUDED_SPRIG)
+
+
+def test_registered_surface_snapshot_size():
+    # The documented surface is 183 functions (README/SURVEY); deleting a
+    # registration must fail loudly, not shrink silently. Additions bump
+    # this pin in the same commit that documents them.
+    from binwatch_spark.streaming.templates import _FUNCS
+
+    assert len(_FUNCS) == 183
