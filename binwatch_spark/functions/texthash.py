@@ -274,6 +274,22 @@ def polyhash_sql(expr: str) -> str:
     )
 
 
+def make_polyhash_udf():
+    """Arrow-vectorized, worker-memoized polyhash for a STRING column of
+    token occurrences (string → bigint). Exact twin of the HOF ``polyhash``
+    (same per-char fold), which remains the spec and the SQL-generation
+    source; this form exists for occurrence-level hashing (q105's CMS
+    updates), where the interpreted per-char HOF fold would run once per
+    occurrence — the token→hash memo hashes each distinct token once per
+    worker instead (dictionary-encoding assumption, as _hash_tokens)."""
+
+    @F.pandas_udf("bigint")
+    def ph(tokens: pd.Series) -> pd.Series:
+        return pd.Series(_hash_tokens(tokens.to_numpy()))
+
+    return ph
+
+
 def minhash_col(token_hashes: Column, i: int) -> Column:
     """i-th MinHash value over an array<bigint> of token hashes."""
     a, b = MINHASH_A[i], MINHASH_B[i]

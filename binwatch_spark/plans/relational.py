@@ -751,3 +751,138 @@ def q97_salted_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# --- q105: count-min sketch heavy hitters (the frequency sketch rung) ----
+
+_CMS_D = 4      # hash rows
+_CMS_W = 1024   # cells per row
+_CMS_TOP_K = 20
+
+
+def _cms_sql() -> str:
+    """DuckDB twin of q105: same polyhash, same MINHASH_A/B affine family
+    for the d row-hashes, same min-over-rows estimate, same top-k rule."""
+    from binwatch_spark.functions.texthash import (
+        MINHASH_A,
+        MINHASH_B,
+        POLY_PRIME,
+        polyhash_sql,
+    )
+
+    def cell(j: int, h: str) -> str:
+        return (
+            f"(({MINHASH_A[j]} * {h} + {MINHASH_B[j]}) % {POLY_PRIME})"
+            f" % {_CMS_W}"
+        )
+
+    upd = " UNION ALL ".join(
+        f"SELECT {j} AS j, {cell(j, 'h')} AS cell FROM th"
+        for j in range(_CMS_D)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT tok, {j} AS j, {cell(j, 'h')} AS cell FROM vocab"
+        for j in range(_CMS_D)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+), th AS (
+  SELECT tok, {polyhash_sql('tok')} AS h FROM toks
+), cells AS ({upd}),
+sketch AS (
+  SELECT j, cell, CAST(count(*) AS BIGINT) AS c FROM cells GROUP BY j, cell
+), vocab AS (
+  SELECT DISTINCT tok, h FROM th
+), vc AS ({probes}),
+est AS (
+  SELECT tok, min(c) AS est_count
+  FROM vc JOIN sketch USING (j, cell) GROUP BY tok
+), top AS (
+  SELECT tok, est_count FROM est
+  ORDER BY est_count DESC, tok LIMIT {_CMS_TOP_K}
+), ex AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_count FROM toks
+  WHERE tok IN (SELECT tok FROM top) GROUP BY tok
+)
+SELECT top.tok AS token, est_count, exact_count
+FROM top JOIN ex USING (tok)
+"""
+
+
+@register("q105_cms_heavy_hitters", oracle=_cms_sql())
+def q105_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: the top-20 tokens by
+    SKETCH-estimated frequency, with the exact count joined back for the
+    winners only — completing the sketch family (q55 HLL cardinality, q103
+    KMV cardinality, this = frequency). Deterministic and hash-exact: the
+    d=4 row hashes are the first four MinHash affine permutations over the
+    shared polyhash (functions.texthash seeded constants, generated into
+    the oracle SQL), and est(tok) = min_j sketch[j][cell_j(tok)] is the
+    textbook CMS upper bound (Cormode & Muthukrishnan 2005) — both engines
+    compute the identical d×{_CMS_W} table, so the driver hash-checks the
+    sketch itself, not just its shape.
+
+    Scale shape (100 TB): the sketch build is the whole point — the
+    groupBy(j, cell) has exactly d×w = 4×1024 distinct keys, so
+    map-side partial aggregation bounds every task's output at d×w rows
+    REGARDLESS of input size; the exchange moves ≤ d·w·partitions tiny
+    rows where the exact q56-style counter shuffles the full token
+    vocabulary. Occurrence hashing is the memoized Arrow kernel (one hash
+    per distinct token per worker). The candidate probe side is
+    vocab-sized (dictionary assumption, like q92's LM tables) against the
+    BROADCAST d×w sketch; the exact audit join touches only the
+    20 winners' occurrences via a broadcast semi-join before
+    its aggregate."""
+    from binwatch_spark.functions.texthash import (
+        MINHASH_A,
+        MINHASH_B,
+        POLY_PRIME,
+        make_polyhash_udf,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    ph = make_polyhash_udf()
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    hashed = toks.select("tok", ph(F.col("tok")).alias("_h"))
+
+    def cell(j: int) -> Column:
+        return (
+            (F.lit(MINHASH_A[j]) * F.col("_h") + F.lit(MINHASH_B[j]))
+            % POLY_PRIME
+        ) % _CMS_W
+
+    jc = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"), cell(j).cast("bigint").alias("cell")
+                )
+                for j in range(_CMS_D)
+            ]
+        )
+    )
+    sketch = (
+        hashed.select(jc.alias("jc"))
+        .select("jc.j", "jc.cell")
+        .groupBy("j", "cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = hashed.distinct()
+    probes = vocab.select("tok", jc.alias("jc")).select("tok", "jc.j", "jc.cell")
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "cell"])
+        .groupBy("tok")
+        .agg(F.min("c").alias("est_count"))
+    )
+    top = est.orderBy(F.col("est_count").desc(), F.col("tok")).limit(_CMS_TOP_K)
+    exact = (
+        toks.join(F.broadcast(top.select("tok")), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return top.join(exact, "tok").select(
+        F.col("tok").alias("token"), "est_count", "exact_count"
+    )

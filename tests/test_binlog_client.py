@@ -499,3 +499,113 @@ def test_alter_table_mid_stream_engine_arity_path(alter_session, spark):
     ).collect()
     assert [r["rows"] for r in kept] == [[{"id": "5", "name": "eva"}]]
     assert obs.get == {"arity_mismatch_events": 1, "events_seen": 2}
+
+
+# GTID-tagged recorded session (VERDICT r05 missing #1, follow-up to the
+# ALTER soak): on a GTID-enabled master every transaction is preceded by a
+# GTID event. The row-event subscription (only_events) filters them out,
+# but the wire still advances the reader's log_pos past each one — so
+# range cursors and reconnect resume points can land on positions that
+# never surfaced as yielded events. The client must remain exact over such
+# a stream: no lost rows, no duplicates, resume at the last GOOD (yielded)
+# location even when GTID entries sit between it and the failure.
+class _GtidEvent:
+    def __init__(self, gtid: str):
+        self.gtid = gtid
+
+
+RECORDED_GTID = [
+    ("mysql-bin.000010", 200, _GtidEvent("3E11FA47-71CA-11E1-9E33-C80AA9429562:21")),
+    (
+        "mysql-bin.000010",
+        260,
+        _WriteRowsEvent("shop", "users", [{"values": {"id": 7, "name": "lin"}}]),
+    ),
+    ("mysql-bin.000010", 320, _GtidEvent("3E11FA47-71CA-11E1-9E33-C80AA9429562:22")),
+    (
+        "mysql-bin.000010",
+        380,
+        _WriteRowsEvent("shop", "users", [{"values": {"id": 8, "name": "mo"}}]),
+    ),
+]
+
+
+class _GtidStreamReader(_FakeBinLogStreamReader):
+    """Advances log_file/log_pos for EVERY recorded entry (the wire does,
+    GTID events included) but yields only subscribed row events — real
+    pymysqlreplication only_events semantics. Optionally drops the
+    connection after the first yielded row to exercise reconnect-resume
+    across a GTID boundary."""
+
+    fail_once = False
+    connections: list["_GtidStreamReader"] = []
+
+    def __init__(self, **kwargs):
+        type(self).last_kwargs = kwargs
+        type(self).last_instance = self
+        type(self).connections.append(self)
+        self.log_file = kwargs.get("log_file") or "mysql-bin.000010"
+        self.log_pos = kwargs.get("log_pos") or 4
+        self.closed = False
+        self._only = kwargs.get("only_events") or []
+        self._failing = type(self).fail_once and len(type(self).connections) == 1
+
+    def __iter__(self):
+        yielded = 0
+        for f, p, e in RECORDED_GTID:
+            if (f, p) <= (self.log_file, self.log_pos):
+                continue
+            self.log_file = f
+            self.log_pos = p
+            if not any(isinstance(e, cls) for cls in self._only):
+                continue  # filtered (GTID) — position already advanced
+            if self._failing and yielded >= 1:
+                raise TimeoutError("dropped after GTID boundary (simulated)")
+            yielded += 1
+            yield e
+
+    def close(self):
+        self.closed = True
+
+
+@pytest.fixture
+def gtid_session(fake_pymysqlreplication):
+    _GtidStreamReader.connections = []
+    _GtidStreamReader.fail_once = False
+    fake_pymysqlreplication.BinLogStreamReader = _GtidStreamReader
+    yield fake_pymysqlreplication
+
+
+def test_gtid_stream_yields_rows_only_with_exact_positions(gtid_session):
+    got = list(
+        _client().read_range(
+            BinlogLocation("mysql-bin.000010", 4),
+            BinlogLocation("mysql-bin.000010", 380),
+        )
+    )
+    assert [(r["binlog_position"], r["rows"][0]["id"]) for r in got] == [
+        (260, "7"),
+        (380, "8"),
+    ]
+
+
+def test_gtid_stream_reconnect_resumes_across_gtid_boundary(gtid_session):
+    _GtidStreamReader.fail_once = True
+    got = list(
+        _client().read_range(
+            BinlogLocation("mysql-bin.000010", 4),
+            BinlogLocation("mysql-bin.000010", 380),
+        )
+    )
+    # exactly once: the row before the drop arrives once, the one after
+    # the GTID-straddling reconnect arrives once
+    assert [(r["binlog_position"], r["rows"][0]["id"]) for r in got] == [
+        (260, "7"),
+        (380, "8"),
+    ]
+    conns = _GtidStreamReader.connections
+    assert len(conns) == 2
+    # resume point is the last YIELDED location (260), not the GTID
+    # position (320) the wire had internally advanced to
+    assert _GtidStreamReader.last_kwargs["log_file"] == "mysql-bin.000010"
+    assert _GtidStreamReader.last_kwargs["log_pos"] == 260

@@ -255,3 +255,15 @@ def test_q104_blocked_semantic_dedup_never_all_pairs(spark):
     # equi-joins (broadcast at fixture scale, shuffled-hash at corpus
     # scale — either way a HashJoin, never a nested loop over pairs)
     assert plan.count("HashJoin") >= 3
+
+
+def test_q105_cms_sketch_build_is_bounded_and_topk_is_take_ordered(spark):
+    # the CMS build must be a two-phase hash aggregate on (j, cell) — the
+    # partial side bounds every task at d*w rows — the sketch must reach
+    # the probe join as a BROADCAST, the top-k must run as TakeOrdered
+    # (never a full sort), and nothing may go nested-loop
+    plan = plan_of(spark, "q105_cms_heavy_hitters", mode="simple")
+    assert "TakeOrdered" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final, sketch+exact
