@@ -59,6 +59,45 @@ def _sync(args: argparse.Namespace) -> int:
     return 0
 
 
+def _list(args: argparse.Namespace) -> int:
+    from binwatch_spark.plans import all_queries
+    from binwatch_spark.plans.registry import REGISTRY
+
+    names = sorted(all_queries())
+    for name in names:
+        has_oracle = REGISTRY[name].oracle is not None
+        print(f"{name}\t{'oracle' if has_oracle else 'rows-only'}")
+    print(f"# {len(names)} queries", file=sys.stderr)
+    return 0
+
+
+def _query(args: argparse.Namespace) -> int:
+    from binwatch_spark.plans import all_queries
+
+    queries = all_queries()
+    if args.name not in queries:
+        print(
+            f"unknown query {args.name!r}; see `binwatch-spark list`",
+            file=sys.stderr,
+        )
+        return 1
+    from binwatch_spark.session import get_spark
+
+    spark = get_spark(f"binwatch-query-{args.name}", master=args.master)
+    spark.sparkContext.setLogLevel("WARN")
+    df = queries[args.name](spark, args.sf_dir)
+    if args.explain:
+        df.explain(args.explain)
+        return 0
+    rows = df.limit(args.limit).collect() if args.limit else df.collect()
+    import json as _json
+
+    for r in rows:
+        print(_json.dumps(r.asDict(recursive=True), default=str))
+    print(f"# {len(rows)} rows", file=sys.stderr)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="binwatch-spark",
@@ -87,6 +126,35 @@ def build_parser() -> argparse.ArgumentParser:
         help="skip starting the health/state HTTP API",
     )
     sync.set_defaults(func=_sync)
+
+    lst = sub.add_parser(
+        "list", help="List the registered analytics queries (q01..)"
+    )
+    lst.set_defaults(func=_list)
+
+    query = sub.add_parser(
+        "query",
+        help="Run one registered query against a parquet dataset dir",
+    )
+    query.add_argument("name", help="query name, e.g. q13_multijoin_pricing")
+    query.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.01",
+        help="directory holding the parquet tables",
+    )
+    query.add_argument(
+        "--limit", type=int, default=20, help="max rows to print (0 = all)"
+    )
+    query.add_argument(
+        "--explain",
+        nargs="?",
+        const="simple",
+        default=None,
+        help="print the physical plan instead of rows"
+        " (simple|formatted|extended)",
+    )
+    query.add_argument("--master", default=None, help="Spark master URL override")
+    query.set_defaults(func=_query)
     return parser
 
 

@@ -622,3 +622,134 @@ def q96_dedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_drop.withColumn("reason", F.lit("exact")).unionByName(
         near_drop.withColumn("reason", F.lit("near"))
     )
+
+
+def _keep_best_sql() -> str:
+    # q96's dedup skeleton (digest groups + recursive-CTE clustering) with
+    # the keeper rule upgraded from min-id to ARGMAX QUALITY (ties by id);
+    # the quality expression is q28's, spelled identically.
+    from binwatch_spark.plans.text_queries import _stop_list_sql
+
+    qual = f"""
+qraw AS (
+  SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens,
+    len(list_filter(string_split(lower(text), ' '),
+        t -> list_contains({_stop_list_sql("en")}, t))) AS hits
+  FROM documents),
+qual AS (
+  SELECT doc_id,
+    round(least(CAST(n_tokens AS DOUBLE) / 50, CAST(1 AS DOUBLE))
+      * CAST(0.5 AS DOUBLE)
+      + (CAST(hits AS DOUBLE) / n_tokens) * CAST(0.5 AS DOUBLE), 6)
+      AS quality
+  FROM qraw)"""
+    return f"""
+WITH RECURSIVE s AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+pairs AS (
+  SELECT i, j FROM (
+    SELECT x.doc_id AS i, y.doc_id AS j, {_JAC} AS jac
+    FROM s x JOIN s y ON x.source = y.source AND x.doc_id < y.doc_id)
+  WHERE jac >= {JACCARD_THRESHOLD}),
+edges AS (SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs),
+comp(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, c.label FROM comp c JOIN edges e ON e.u = c.node
+  WHERE c.label <= e.v),
+cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM comp GROUP BY node),
+{qual},
+exr AS (
+  SELECT d.doc_id, sha256(d.text) AS dig, q.quality,
+    row_number() OVER (PARTITION BY sha256(d.text)
+                       ORDER BY q.quality DESC, d.doc_id) AS rn
+  FROM documents d JOIN qual q USING (doc_id)),
+keep AS (SELECT dig, doc_id AS keeper FROM exr WHERE rn = 1),
+exact_drop AS (
+  SELECT e.doc_id, k.keeper AS keeper_doc_id
+  FROM exr e JOIN keep k USING (dig) WHERE e.rn > 1),
+nk AS (
+  SELECT cluster_id, doc_id AS keeper FROM (
+    SELECT cc.cluster_id, cc.doc_id,
+      row_number() OVER (PARTITION BY cc.cluster_id
+                         ORDER BY q.quality DESC, cc.doc_id) AS rn
+    FROM cc JOIN qual q USING (doc_id)) WHERE rn = 1),
+near_drop AS (
+  SELECT cc.doc_id, nk.keeper AS keeper_doc_id
+  FROM cc JOIN nk USING (cluster_id)
+  WHERE cc.doc_id <> nk.keeper
+    AND cc.doc_id NOT IN (SELECT doc_id FROM exact_drop))
+SELECT doc_id, keeper_doc_id, 'exact' AS reason FROM exact_drop
+UNION ALL
+SELECT doc_id, keeper_doc_id, 'near' AS reason FROM near_drop
+"""
+
+
+@register("q106_keep_best_drop_list", oracle=_keep_best_sql())
+def q106_keep_best_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q96's row-level drop list with the curation-grade keeper rule: each
+    duplicate group keeps its HIGHEST-QUALITY member (q28's composite
+    score, ties by doc_id) instead of the lowest id — the rule real
+    pipelines want, because near-dup clusters routinely mix a clean
+    original with truncated or boilerplate-wrapped copies, and min-id
+    keeps whichever was crawled first. Exact groups rank within their
+    sha256 digest; near clusters (q42's source-blocked Jaccard + CC,
+    unchanged) rank within their cluster; exact precedence as q96.
+
+    Scale: quality is a map-side expression (q28's, the shared
+    quality_features); both keeper ranks are windows over HIGH-CARDINALITY
+    keys (32-byte digest / cluster id) with WindowGroupLimit-friendly
+    rank-1 selection — no new shuffle class beyond q96's, just a quality
+    column riding the same exchanges."""
+    from binwatch_spark.operators import text
+
+    docs = load(spark, sf_dir, "documents")
+    feats = text.quality_features(F.col("text"))
+    qual = docs.select("doc_id", feats["quality"].alias("_q"))
+    from pyspark.sql import Window
+
+    ranked = (
+        docs.select("doc_id", F.sha2(F.col("text"), 256).alias("_dig"))
+        .join(qual, "doc_id")
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(
+                Window.partitionBy("_dig").orderBy(
+                    F.col("_q").desc(), F.col("doc_id")
+                )
+            )
+            .alias("_rn"),
+            F.first("doc_id")
+            .over(
+                Window.partitionBy("_dig").orderBy(
+                    F.col("_q").desc(), F.col("doc_id")
+                )
+            )
+            .alias("_keeper"),
+        )
+    )
+    exact_drop = (
+        ranked.filter(F.col("_rn") > 1)
+        .select("doc_id", F.col("_keeper").alias("keeper_doc_id"))
+        .persist()
+    )
+    if dedup.eager_enabled():  # two consumers: the union + the anti-join
+        exact_drop.count()
+    cc = dedup.connected_components(
+        dedup.jaccard_pairs(
+            docs, "text", "doc_id", "source", JACCARD_THRESHOLD
+        ).select("i", "j")
+    )
+    wc = Window.partitionBy("cluster_id").orderBy(
+        F.col("_q").desc(), F.col("doc_id")
+    )
+    near_drop = (
+        cc.join(qual, "doc_id")
+        .select("doc_id", "cluster_id", F.first("doc_id").over(wc).alias("_keeper"))
+        .filter(F.col("doc_id") != F.col("_keeper"))
+        .join(exact_drop.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.col("_keeper").alias("keeper_doc_id"))
+    )
+    return exact_drop.withColumn("reason", F.lit("exact")).unionByName(
+        near_drop.withColumn("reason", F.lit("near"))
+    )

@@ -750,3 +750,35 @@ def test_positional_binding_arity_mismatch_drops_and_counts(spark, tmp_path):
         )
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_cli_list_and_query(spark, capsys):
+    """The analytics surface is CLI-reachable: `list` names every
+    registered query with its oracle status; `query` runs one against a
+    parquet dir and prints JSON rows (limit honored), or the plan with
+    --explain; unknown names exit 1 with a hint."""
+    from tests.conftest import SF_SMALL
+
+    from binwatch_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert any(ln.startswith("q13_multijoin_pricing\toracle") for ln in out)
+    assert any(ln.startswith("q55_approx_distinct\trows-only") for ln in out)
+
+    assert (
+        main(["query", "q12_join_orders_customer", "--sf-dir", SF_SMALL,
+              "--limit", "2"])
+        == 0
+    )
+    out = capsys.readouterr().out.splitlines()
+    assert len(out) == 2 and out[0].startswith("{")
+
+    assert (
+        main(["query", "q12_join_orders_customer", "--sf-dir", SF_SMALL,
+              "--explain"])
+        == 0
+    )
+    assert "Physical Plan" in capsys.readouterr().out
+
+    assert main(["query", "definitely_not_a_query"]) == 1
