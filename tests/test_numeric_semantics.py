@@ -120,3 +120,58 @@ def test_kmeans_rounds_match_numpy_lloyd(spark):
         cell, dist2 = got[i]
         assert cell == cids[best[n]]
         assert dist2 == pytest.approx(round(d2[n, best[n]], 6), abs=1e-6)
+
+
+def test_batch_minhash_kernel_parity_across_regimes():
+    """_batch_minhash_mins/_batch_band_keys must be bit-identical to the
+    per-doc affine grid in EVERY regime the input-shape gates can select
+    (dictionary-reuse reduceat path for long docs, per-doc grid for short
+    or low-reuse batches), including None/empty documents."""
+    import numpy as np
+
+    from binwatch_spark.functions.texthash import (
+        _MINHASH_A_COL,
+        _MINHASH_B_COL,
+        POLY_PRIME,
+        _band_fold,
+        _batch_band_keys,
+    )
+
+    rng = np.random.default_rng(42)
+    vocab_small = rng.integers(0, POLY_PRIME, 40).astype(np.int64)
+    vocab_mid = rng.integers(0, POLY_PRIME, 3000).astype(np.int64)
+    regimes = {
+        "short_small_vocab": [
+            vocab_small[rng.integers(0, 40, size=rng.integers(1, 30))]
+            for _ in range(200)
+        ],
+        "long_reuse": [
+            vocab_mid[rng.integers(0, 3000, size=150)] for _ in range(200)
+        ],
+        "short_unique": [
+            rng.integers(0, POLY_PRIME, size=rng.integers(1, 20)).astype(
+                np.int64
+            )
+            for _ in range(200)
+        ],
+    }
+    for tag, docs in regimes.items():
+        docs = list(docs)
+        docs[3] = None
+        docs[11] = np.array([], dtype=np.int64)
+        expect = []
+        for h in docs:
+            if h is None or len(h) == 0:
+                expect.append(None)
+                continue
+            mins = (
+                (_MINHASH_A_COL * h[None, :] + _MINHASH_B_COL) % POLY_PRIME
+            ).min(axis=1)
+            expect.append(_band_fold(mins))
+        got = _batch_band_keys(docs)
+        assert len(got) == len(expect)
+        for a, b in zip(expect, got):
+            if a is None:
+                assert b is None, tag
+            else:
+                assert np.array_equal(a, b), tag
