@@ -753,3 +753,156 @@ def q106_keep_best_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_drop.withColumn("reason", F.lit("exact")).unionByName(
         near_drop.withColumn("reason", F.lit("near"))
     )
+
+
+INCR_MOD = 5  # doc_id % INCR_MOD == 0 → the "incoming" batch; else corpus
+
+
+def _incremental_dedup_sql() -> str:
+    # Cross-frame variant of q23's oracle: both sides compute the same
+    # 128-permutation MinHash bands; candidates join on (band_idx, key)
+    # ACROSS frames; exact Jaccard verifies; digest equality handles exact.
+    sig_cols = ", ".join(
+        f"{minhash_sql('hs', i)} AS mh{i}" for i in range(N_BANDS * BAND_ROWS)
+    )
+
+    def bands(side: str) -> str:
+        return " UNION ALL ".join(
+            "SELECT doc_id, {b} AS band_idx, concat_ws('-', {cols}) AS band_key"
+            " FROM sig_{side}".format(
+                b=b,
+                cols=", ".join(
+                    f"mh{b * BAND_ROWS + r}" for r in range(BAND_ROWS)
+                ),
+                side=side,
+            )
+            for b in range(N_BANDS)
+        )
+
+    return f"""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % {INCR_MOD} <> 0),
+incoming AS (SELECT * FROM documents WHERE doc_id % {INCR_MOD} = 0),
+base_c AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+base_i AS (SELECT doc_id, {_TOKS} AS toks FROM incoming),
+th_c AS (SELECT doc_id, list_transform(toks, t -> {polyhash_sql('t')}) AS hs FROM base_c),
+th_i AS (SELECT doc_id, list_transform(toks, t -> {polyhash_sql('t')}) AS hs FROM base_i),
+sig_c AS (SELECT doc_id, {sig_cols} FROM th_c),
+sig_i AS (SELECT doc_id, {sig_cols} FROM th_i),
+bands_c AS ({bands('c')}),
+bands_i AS ({bands('i')}),
+cand AS (
+  SELECT DISTINCT bi.doc_id AS i, bc.doc_id AS j
+  FROM bands_i bi JOIN bands_c bc
+    ON bi.band_idx = bc.band_idx AND bi.band_key = bc.band_key),
+near AS (
+  SELECT i AS doc_id, min(j) AS m FROM (
+    SELECT c.i, c.j, {_JAC} AS jac
+    FROM cand c JOIN base_i x ON c.i = x.doc_id
+                JOIN base_c y ON c.j = y.doc_id)
+  WHERE jac >= {JACCARD_THRESHOLD} GROUP BY i),
+cdig AS (SELECT sha256(text) AS dig, min(doc_id) AS m FROM corpus GROUP BY sha256(text)),
+exact AS (
+  SELECT inc.doc_id, cdig.m FROM incoming inc
+  JOIN cdig ON sha256(inc.text) = cdig.dig)
+SELECT inc.doc_id,
+  CASE WHEN e.m IS NOT NULL THEN 'drop_exact'
+       WHEN n.m IS NOT NULL THEN 'drop_near'
+       ELSE 'keep' END AS verdict,
+  coalesce(e.m, n.m) AS match_doc_id
+FROM incoming inc
+LEFT JOIN exact e ON inc.doc_id = e.doc_id
+LEFT JOIN near n ON inc.doc_id = n.doc_id
+"""
+
+
+@register("q107_incremental_dedup", oracle=_incremental_dedup_sql())
+def q107_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the shape a production pipeline actually runs:
+    an INCOMING batch (doc_id % 5 == 0 here; a crawl delta in production)
+    deduped against the EXISTING corpus without ever re-deduping the
+    corpus itself. Per incoming doc: 'drop_exact' when its sha256 matches
+    any corpus doc, else 'drop_near' when exact Jaccard >= 0.8 against a
+    band-index candidate, else 'keep'; match_doc_id is the smallest
+    matching corpus doc (exact precedence).
+
+    Scale shape: the corpus side is touched exactly the way a persisted
+    dedup INDEX would be — a digest table (32-byte keys) and a MinHash
+    band table ((band_idx, int64 key) rows, q23's fused map-side kernel);
+    in production both are bucketed storage (operators/storage.py) and the
+    incoming batch joins them WITHOUT a corpus scan. Candidates come from
+    the cross-frame band equi-join (never all-pairs); only candidates pay
+    the exact-Jaccard verify; all joins are keyed. The oracle recomputes
+    the identical two-sided band index in SQL, so the whole incremental
+    path is hash-checked."""
+    from binwatch_spark.functions.texthash import make_minhash_band_udf
+    from binwatch_spark.operators.text import distinct_tokens
+    from binwatch_spark.tables import spread
+
+    band_udf = make_minhash_band_udf()
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % INCR_MOD != 0)
+    incoming = docs.filter(F.col("doc_id") % INCR_MOD == 0)
+
+    def band_rows(frame: DataFrame) -> DataFrame:
+        keyed = spread(frame, "doc_id").select(
+            "doc_id", band_udf(distinct_tokens(F.col("text"))).alias("_bks")
+        )
+        return keyed.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.col("_bks")[b].alias("band_key"),
+                        )
+                        for b in range(N_BANDS)
+                    ]
+                )
+            ).alias("_bk"),
+        ).select("doc_id", "_bk.band_idx", "_bk.band_key")
+    cands = (
+        band_rows(incoming)
+        .select(F.col("doc_id").alias("i"), "band_idx", "band_key")
+        .join(
+            band_rows(corpus).select(
+                F.col("doc_id").alias("j"), "band_idx", "band_key"
+            ),
+            ["band_idx", "band_key"],
+        )
+        .select("i", "j")
+        .distinct()
+    )
+    toks = F.array_distinct(F.split(F.lower(F.col("text")), " "))
+    ti = incoming.select(F.col("doc_id").alias("i"), toks.alias("_ti"))
+    tj = corpus.select(F.col("doc_id").alias("j"), toks.alias("_tj"))
+    inter = F.size(F.array_intersect(F.col("_ti"), F.col("_tj")))
+    union_sz = F.size("_ti") + F.size("_tj") - inter
+    near = (
+        cands.join(ti, "i")
+        .join(tj, "j")
+        .filter(inter.cast("double") / union_sz >= JACCARD_THRESHOLD)
+        .groupBy(F.col("i").alias("doc_id"))
+        .agg(F.min("j").alias("_near"))
+    )
+    cdig = corpus.groupBy(F.sha2(F.col("text"), 256).alias("_dig")).agg(
+        F.min("doc_id").alias("_exact")
+    )
+    exact = (
+        incoming.select("doc_id", F.sha2(F.col("text"), 256).alias("_dig"))
+        .join(cdig, "_dig")
+        .select("doc_id", "_exact")
+    )
+    return (
+        incoming.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_exact").isNotNull(), F.lit("drop_exact"))
+            .when(F.col("_near").isNotNull(), F.lit("drop_near"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+            F.coalesce(F.col("_exact"), F.col("_near")).alias("match_doc_id"),
+        )
+    )

@@ -760,3 +760,91 @@ def q102_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _run_bounded_stream(spark, "q102_stream_", [("events", ev)], build)
+
+
+# Mixture materialization: fraction of total corpus tokens the sampled mix
+# targets, and the integer hash modulus the per-source gate uses. The gate
+# threshold floor(rate * MIX_MOD) is integer in both engines, so the only
+# float steps are IEEE mul/div in a spelled-identical order plus q86's
+# round(8) weight — the whole sample is hash-exact.
+MIX_BUDGET = 0.25
+MIX_MOD = 1_000_000
+
+
+@register(
+    "q108_mixture_sample",
+    oracle=f"""
+WITH s AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_tokens,
+    round(sqrt(CAST(n_tokens AS DOUBLE))
+          / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER (), {MIX_ROUND})
+      AS mix_weight,
+    CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens
+  FROM s),
+thr AS (
+  SELECT source,
+    CAST(floor(least(CAST(1 AS DOUBLE),
+      CAST({MIX_BUDGET} AS DOUBLE) * CAST(total_tokens AS DOUBLE) * mix_weight
+        / CAST(n_tokens AS DOUBLE)) * {MIX_MOD}) AS BIGINT) AS gate
+  FROM w)
+SELECT d.doc_id, d.source,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_doc_tokens
+FROM documents d JOIN thr USING (source)
+WHERE {polyhash_sql("d.text")} % {MIX_MOD} < thr.gate
+""",
+)
+def q108_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize q86's training mixture: a deterministic per-source
+    document sample whose expected token mass per source is
+    MIX_BUDGET × total_tokens × mix_weight (the sqrt-temperature weight,
+    q86's exact expression). The per-source gate is
+    polyhash(text) % 1e6 < floor(rate · 1e6) — the same content-hash
+    sampling family as q36/q73, so membership is a pure function of the
+    text (reproducible across runs, engines, and cluster sizes; no RNG
+    state). Sources whose fair share exceeds their actual mass are kept
+    whole (rate clamps at 1): temperature sampling upweights scarce
+    sources by DOWN-sampling dominant ones, never duplicating.
+
+    Scale: one two-stage integer aggregate builds the #sources-row rate
+    table; the window normalization runs on that aggregated frame (q86's
+    posture); the rate table broadcasts back and the gate is a map-side
+    filter over the corpus scan — no corpus shuffle at all."""
+    docs = load(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens")
+    )
+    sq = F.sqrt(F.col("n_tokens").cast("double"))
+    w = agg.select(
+        "source",
+        "n_tokens",
+        F.round(sq / F.sum(sq).over(Window.partitionBy()), MIX_ROUND).alias(
+            "mix_weight"
+        ),
+        F.sum("n_tokens").over(Window.partitionBy()).alias("total_tokens"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(MIX_BUDGET)
+        * F.col("total_tokens").cast("double")
+        * F.col("mix_weight")
+        / F.col("n_tokens").cast("double"),
+    )
+    thr = w.select(
+        "source",
+        F.floor(rate * MIX_MOD).cast("bigint").alias("_gate"),
+    )
+    return (
+        docs.join(F.broadcast(thr), "source")
+        .filter(polyhash(F.col("text")) % MIX_MOD < F.col("_gate"))
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias(
+                "n_doc_tokens"
+            ),
+        )
+    )

@@ -267,3 +267,21 @@ def test_q105_cms_sketch_build_is_bounded_and_topk_is_take_ordered(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 4  # partial+final, sketch+exact
+
+
+def test_q107_incremental_dedup_is_index_shaped(spark):
+    # incremental dedup must candidate through the (band_idx, band_key)
+    # equi-join and verify/join by id — never a corpus×batch nested loop
+    plan = plan_of(spark, "q107_incremental_dedup", mode="simple")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "HashJoin" in plan
+
+
+def test_q108_mixture_gate_is_broadcast_map_side(spark):
+    # the #sources-row rate table must broadcast back; the sample gate is a
+    # filter on the scan side of that broadcast join (no corpus-wide
+    # sort-merge, no nested loop)
+    plan = plan_of(spark, "q108_mixture_sample", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
