@@ -248,7 +248,10 @@ def minhash_signatures(
 
 
 def _band_candidate_pairs(
-    keyed: DataFrame, id_col: str, persist: bool = True
+    keyed: DataFrame,
+    id_col: str,
+    persist: bool = True,
+    other: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate (i, j) pairs from a band-keyed frame (id + bk0..bk{N-1}).
 
@@ -266,35 +269,36 @@ def _band_candidate_pairs(
     twice (a bounds probe plus the verify join) and persists; a
     single-consumer caller (lsh_recall_audit's fused verify) passes False
     so the candidate blocks aren't pinned in executor storage for
-    nothing."""
-    bands = keyed.select(
-        F.col(id_col),
-        *[F.col(f"bk{b}") for b in range(N_BANDS)],
-        F.posexplode(F.array(*[F.col(f"bk{b}") for b in range(N_BANDS)])).alias(
-            "band_idx", "band_key"
-        ),
-    )
-    a_side = bands.select(
-        F.col(id_col).alias("i"),
-        *[F.col(f"bk{b}").alias(f"ak{b}") for b in range(N_BANDS)],
-        "band_idx",
-        "band_key",
-    )
-    b_side = bands.select(
-        F.col(id_col).alias("j"),
-        *[F.col(f"bk{b}").alias(f"jk{b}") for b in range(N_BANDS)],
-        "band_idx",
-        "band_key",
-    )
+    nothing.
+
+    ``other``: cross-frame form (incremental dedup, q107) — candidates are
+    (i FROM keyed, j FROM other) instead of a self-join; the two id spaces
+    are assumed DISJOINT, so the i < j order filter is dropped and
+    first-collision uniqueness alone guarantees one emission per pair."""
+
+    def exploded(frame: DataFrame, out_id: str, prefix: str) -> DataFrame:
+        return frame.select(
+            F.col(id_col).alias(out_id),
+            *[F.col(f"bk{b}").alias(f"{prefix}{b}") for b in range(N_BANDS)],
+            F.posexplode(
+                F.array(*[F.col(f"bk{b}") for b in range(N_BANDS)])
+            ).alias("band_idx", "band_key"),
+        )
+
+    a_side = exploded(keyed, "i", "ak")
+    b_side = exploded(other if other is not None else keyed, "j", "jk")
     first_collision = F.lit(True)
     for k in range(N_BANDS - 1):
         first_collision = first_collision & (
             (F.lit(k) >= F.col("band_idx"))
             | (F.col(f"ak{k}") != F.col(f"jk{k}"))
         )
+    cond = first_collision if other is not None else (
+        (F.col("i") < F.col("j")) & first_collision
+    )
     out = (
         a_side.join(b_side, ["band_idx", "band_key"])
-        .filter((F.col("i") < F.col("j")) & first_collision)
+        .filter(cond)
         .select("i", "j")
     )
     return out.persist() if persist else out

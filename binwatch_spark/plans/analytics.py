@@ -282,3 +282,51 @@ def q71_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs(docs, "text", "doc_id", "source", JACCARD_THRESHOLD)
     return dedup.connected_components_star(pairs.select("i", "j"))
+
+
+@register(
+    "q109_cohort_retention",
+    oracle="""
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+  FROM events),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM activity GROUP BY user_id)
+SELECT c.cohort_week,
+       CAST(date_diff('day', c.cohort_week, a.week) // 7 AS BIGINT)
+         AS week_offset,
+       count(*) AS n_users
+FROM activity a JOIN cohort c USING (user_id)
+GROUP BY c.cohort_week, date_diff('day', c.cohort_week, a.week) // 7
+""",
+)
+def q109_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the classic product-analytics shape: users
+    grouped by first-active week (their cohort), counted in every later
+    week they return, keyed by (cohort_week, week_offset). date_trunc
+    weeks are ISO Monday-start in BOTH engines, and the offset is exact
+    integer day-arithmetic (days between Mondays / 7), so the matrix is
+    hash-exact.
+
+    Scale: one distinct over (user, week) — map-side partial distinct,
+    then a per-user min (same exchange key), a user-keyed join back (the
+    cohort frame is user-cardinality, joined not broadcast), and the final
+    two-column aggregate. No window functions, no corpus-wide sort."""
+    ev = load(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).alias("week"),
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            ).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -843,45 +843,65 @@ def q107_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % INCR_MOD != 0)
     incoming = docs.filter(F.col("doc_id") % INCR_MOD == 0)
 
-    def band_rows(frame: DataFrame) -> DataFrame:
+    def band_keyed(frame: DataFrame) -> DataFrame:
         keyed = spread(frame, "doc_id").select(
             "doc_id", band_udf(distinct_tokens(F.col("text"))).alias("_bks")
         )
         return keyed.select(
             "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_idx"),
-                            F.col("_bks")[b].alias("band_key"),
-                        )
-                        for b in range(N_BANDS)
-                    ]
-                )
-            ).alias("_bk"),
-        ).select("doc_id", "_bk.band_idx", "_bk.band_key")
-    cands = (
-        band_rows(incoming)
-        .select(F.col("doc_id").alias("i"), "band_idx", "band_key")
-        .join(
-            band_rows(corpus).select(
-                F.col("doc_id").alias("j"), "band_idx", "band_key"
-            ),
-            ["band_idx", "band_key"],
+            *[F.col("_bks")[b].alias(f"bk{b}") for b in range(N_BANDS)],
         )
-        .select("i", "j")
-        .distinct()
+
+    # Cross-frame band join with q23's first-collision uniqueness: a pair
+    # is emitted only from the FIRST band where it collides (codegen
+    # conjunction), so there is no distinct() stage — on dup-heavy corpora
+    # near-identical docs collide in nearly all bands and a distinct would
+    # shuffle ~N_BANDS× the candidate count.
+    cands = dedup._band_candidate_pairs(
+        band_keyed(incoming), "doc_id", persist=False, other=band_keyed(corpus)
     )
-    toks = F.array_distinct(F.split(F.lower(F.col("text")), " "))
-    ti = incoming.select(F.col("doc_id").alias("i"), toks.alias("_ti"))
-    tj = corpus.select(F.col("doc_id").alias("j"), toks.alias("_tj"))
-    inter = F.size(F.array_intersect(F.col("_ti"), F.col("_tj")))
-    union_sz = F.size("_ti") + F.size("_tj") - inter
+    # Verify: q23's two-tier rule. Under a ≤63-word global vocabulary the
+    # token sets collapse to int64 bitmasks and the Jaccard is popcount —
+    # whole-stage-codegen integer work (the fixture's dense band collisions
+    # make the verify the dominant stage: 4.6 s → mask path cuts the
+    # interpreted array_intersect out of every candidate pair). Larger
+    # vocabularies verify with the array expressions, identical math.
+    toks_df = (
+        dedup._with_token_sets(spread(docs, "doc_id"), "text")
+        .select("doc_id", "_toks")
+        .persist()
+    )
+    if dedup.eager_enabled():
+        toks_df.count()
+    vocab = dedup._small_vocab_from_toks(toks_df)
+    if vocab is not None:
+        sets = toks_df.select(
+            "doc_id", dedup._mask_expr(F.col("_toks"), vocab).alias("_m")
+        )
+        ti = sets.filter(F.col("doc_id") % INCR_MOD == 0).select(
+            F.col("doc_id").alias("i"), F.col("_m").alias("_mi")
+        )
+        tj = sets.filter(F.col("doc_id") % INCR_MOD != 0).select(
+            F.col("doc_id").alias("j"), F.col("_m").alias("_mj")
+        )
+        jac_ok = (
+            dedup._mask_jaccard(F.col("_mi"), F.col("_mj"))
+            >= JACCARD_THRESHOLD
+        )
+    else:
+        ti = toks_df.filter(F.col("doc_id") % INCR_MOD == 0).select(
+            F.col("doc_id").alias("i"), F.col("_toks").alias("_ti")
+        )
+        tj = toks_df.filter(F.col("doc_id") % INCR_MOD != 0).select(
+            F.col("doc_id").alias("j"), F.col("_toks").alias("_tj")
+        )
+        inter = F.size(F.array_intersect(F.col("_ti"), F.col("_tj")))
+        union_sz = F.size("_ti") + F.size("_tj") - inter
+        jac_ok = inter.cast("double") / union_sz >= JACCARD_THRESHOLD
     near = (
         cands.join(ti, "i")
         .join(tj, "j")
-        .filter(inter.cast("double") / union_sz >= JACCARD_THRESHOLD)
+        .filter(jac_ok)
         .groupBy(F.col("i").alias("doc_id"))
         .agg(F.min("j").alias("_near"))
     )

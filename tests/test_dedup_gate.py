@@ -130,3 +130,39 @@ def test_lsh_recall_audit_large_vocab_fallback(spark):
         dedup.exact_jaccard_allpairs(
             df, "text", "doc_id", 0.8, array_fallback_max_docs=2
         )
+
+
+def test_band_candidate_pairs_cross_frame_unique_and_complete(spark):
+    """Cross-frame form (q107): every (incoming, corpus) pair sharing at
+    least one band key is emitted EXACTLY once — including pairs that
+    collide in all N_BANDS bands (first-collision uniqueness must hold
+    without the self-join's i<j filter) — and nothing else is."""
+    from binwatch_spark.functions.texthash import N_BANDS
+    from binwatch_spark.operators.dedup import _band_candidate_pairs
+
+    cols = "doc_id bigint, " + ", ".join(
+        f"bk{b} bigint" for b in range(N_BANDS)
+    )
+    a = spark.createDataFrame(
+        [
+            tuple([1] + [10] * N_BANDS),          # collides with 101 everywhere
+            tuple([2] + [20] * N_BANDS),          # collides with nothing
+            tuple([3] + [100 + b for b in range(N_BANDS)]),  # band0=100 → 103
+        ],
+        cols,
+    )
+    b = spark.createDataFrame(
+        [
+            tuple([101] + [10] * N_BANDS),
+            tuple([102] + [99] * N_BANDS),
+            tuple([103] + [100] + [777] * (N_BANDS - 1)),
+        ],
+        cols,
+    )
+    got = sorted(
+        tuple(r)
+        for r in _band_candidate_pairs(
+            a, "doc_id", persist=False, other=b
+        ).collect()
+    )
+    assert got == [(1, 101), (3, 103)]
