@@ -848,3 +848,53 @@ def q108_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q110_stream_static_dedup",
+    oracle="""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+incoming AS (SELECT * FROM documents WHERE doc_id % 5 = 0)
+SELECT i.doc_id, i.source FROM incoming i
+WHERE sha256(i.text) NOT IN (SELECT sha256(text) FROM corpus)
+""",
+)
+def q110_stream_static_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join through the real streaming engine — the one core
+    Structured Streaming join pattern q99-q102 don't cover: an arriving
+    stream of documents (q107's incoming batch, staged as two
+    micro-batches) is exact-deduped against the STATIC corpus digest
+    index, emitting only documents that are genuinely new. The join is
+    left_outer + IS NULL rather than left_anti (the stream-static support
+    matrix guarantees outer with the stream on the left), stateless per
+    micro-batch — no watermark, no state store.
+
+    Scale posture: the static side is the production dedup index (digest →
+    keeper), re-resolved per micro-batch — which is exactly what you want
+    when the index is a table that grows between batches; it broadcasts
+    when small or hash-joins on the 32-byte digest when corpus-sized.
+    Oracle: the identical NOT IN over sha256 in batch SQL, so the
+    streaming path is hash-checked end-to-end."""
+    docs = load(spark, sf_dir, "documents")
+    corpus_dig = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .groupBy(F.sha2(F.col("text"), 256).alias("_dig"))
+        .agg(F.min("doc_id").alias("_dup_of"))
+    )
+    incoming = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "source", "text"
+    )
+    first = incoming.filter(F.col("doc_id") % 10 == 0)
+    second = incoming.filter(F.col("doc_id") % 10 != 0)
+
+    def build(stream):
+        return (
+            stream.withColumn("_dig", F.sha2(F.col("text"), 256))
+            .join(corpus_dig, "_dig", "left_outer")
+            .filter(F.col("_dup_of").isNull())
+            .select("doc_id", "source")
+        )
+
+    return _run_bounded_stream(
+        spark, "q110_stream_", [("b0", first), ("b1", second)], build
+    )
