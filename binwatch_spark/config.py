@@ -67,6 +67,17 @@ class SourceConfig:
     # Spark extension: replay a recorded envelope stream instead of a live
     # binlog (sources/envelope.py) — used by tests and dev.
     replay_dir: str = ""
+    # Spark extension: the replay/raw capture carries POSITIONAL row maps
+    # ({"0": v0, ...}) that must be bound to column names through the S3
+    # schema probe (reference behavior: always — its wire rows are
+    # positional; our live client already emits named maps, so this is
+    # opt-in for raw captures). Binding includes the blreaderwork.go
+    # arity gate: mismatched events are dropped and counted.
+    positional_rows: bool = False
+    # Explicit "db.tbl" -> [column, ...] map. Empty with positional_rows
+    # set → the pipeline runs the JDBC LIMIT-0 probe at startup
+    # (discover_table_columns), exactly like the reference.
+    columns: dict[str, list[str]] = field(default_factory=dict)
     # Spark extension: micro-batch admission control for the live source —
     # cap each trigger at this many binlog BYTES (positions are byte
     # offsets). The FIRST planned batch of a run is uncapped (Spark asks
@@ -298,6 +309,11 @@ def parse(doc: dict) -> JobConfig:
             heartbeat_period=str(source_d.get("heartbeatPeriod", "60s")),
             start_location=start,
             replay_dir=source_d.get("replayDir", ""),
+            positional_rows=bool(source_d.get("positionalRows", False)),
+            columns={
+                tbl: list(cols)
+                for tbl, cols in (source_d.get("columns", {}) or {}).items()
+            },
             max_bytes_per_batch=int(source_d.get("maxBytesPerBatch", 0)),
         ),
         sharding=ShardingConfig(

@@ -97,12 +97,27 @@ def source_stream(spark: SparkSession, cfg: JobConfig) -> DataFrame:
 
 
 def envelope_transform(df: DataFrame, cfg: JobConfig) -> DataFrame:
-    """F1 + F2 + P3 on the envelope stream — pure column expressions, valid
-    for both batch and streaming DataFrames."""
+    """F1 + P1 + F2 + P3 on the envelope stream — pure column expressions,
+    valid for both batch and streaming DataFrames."""
     if cfg.source.allowlist:
         df = cdc.table_allowlist(
             df, F.col("database"), F.col("table"), cfg.source.allowlist
         )
+    if cfg.source.positional_rows:
+        # P1: positional → named binding under the discovered schema, with
+        # the blreaderwork.go:255-273 arity gate (mismatched events are
+        # dropped whole and surface in ProgressListener via the
+        # positional_binder observed metric). Explicit `columns` config
+        # wins; otherwise the startup JDBC probe runs, like the reference.
+        from binwatch_spark.sources.schema_probe import (
+            bind_positional_rows,
+            discover_table_columns,
+        )
+
+        columns = cfg.source.columns or discover_table_columns(
+            df.sparkSession, cfg.source
+        )
+        df = bind_positional_rows(df, columns)
     # F2: trust a source-decoded operation, else decode from the raw event
     # type (utils.go:74-90).
     df = df.withColumn(

@@ -782,3 +782,33 @@ def test_cli_list_and_query(spark, capsys):
     assert "Physical Plan" in capsys.readouterr().out
 
     assert main(["query", "definitely_not_a_query"]) == 1
+
+
+def test_pipeline_positional_binding_end_to_end(spark, tmp_path):
+    """P1 through the REAL pipeline: a positional replay stream
+    (source.positionalRows + source.columns) is bound to named rows before
+    routing/templating, and an arity-mismatched event is dropped by the
+    gate instead of reaching any connector NULL-padded."""
+    tmp = str(tmp_path)
+    write_replay(
+        f"{tmp}/replay",
+        [
+            ("mysql-bin.000001", 100, "testdb", "users", "INSERT",
+             [{"0": "1", "1": "ada"}]),
+            # short row: arity 1 vs discovered 2 → dropped whole
+            ("mysql-bin.000001", 200, "testdb", "users", "INSERT",
+             [{"0": "9"}]),
+            ("mysql-bin.000001", 300, "testdb", "users", "INSERT",
+             [{"0": "2", "1": "gra"}]),
+        ],
+    )
+    cfg_doc = make_cfg(tmp)
+    cfg_doc["source"]["positionalRows"] = True
+    cfg_doc["source"]["columns"] = {"testdb.users": ["id", "name"]}
+    run_until_done(spark, cfg_doc)
+    lines = read_lines(f"{tmp}/out/inserts.jsonl")
+    rows = [json.loads(ln)["rows"] for ln in lines]
+    assert rows == [
+        [{"id": "1", "name": "ada"}],
+        [{"id": "2", "name": "gra"}],
+    ]
