@@ -344,11 +344,18 @@ def neardup_pairs_lsh(
     random-hyperplane-LSH buckets (all pairs whose sign-bit buckets are
     within hamming distance 1 — own bucket plus one flipped plane, the
     q70 probe rule), and ONLY candidates get the exact cosine verify.
-    Approximate by design: a pair split by >= 2 hyperplanes is missed;
-    with unit-scale embeddings and threshold 0.4 the hamming-1 probe set
-    recovers the overwhelming mass of true pairs (q94's audit pattern
-    measures this; the q104 oracle encodes the SAME blocking rule so the
-    composed pipeline stays hash-exact, not recall-fuzzy).
+    Approximate by design: a pair split by >= 2 hyperplanes is missed.
+    Recall follows the sign-bit geometry — each plane splits a pair with
+    probability θ/π (θ the pair's angle), so at SemDeDup-grade thresholds
+    (cosine >= 0.95, θ/π ≈ 0.10) hamming<=1 recovers ≈ 0.81 of true
+    pairs, while at the fixture's deliberately loose 0.4 threshold
+    (θ/π ≈ 0.37, expected hamming ≈ 3/8) the measured recall is 0.25 at
+    sf0.01 (tests/test_invariants.py pins the subset + sim-parity
+    relationship and the measured floor). The recall levers at a given
+    threshold are radius (hamming<=2 ⇒ 0.49 measured) and plane count;
+    the q104 oracle encodes the SAME blocking rule either way, so the
+    composed pipeline stays hash-exact, not recall-fuzzy — q85 is the
+    exact panel audit.
 
     Scale shape — never all-pairs:
     * candidate generation joins (id, probe_bucket) rows ONLY: the probe
