@@ -1205,3 +1205,140 @@ def lsh_recall_audit(
         )
         .alias("recall"),
     )
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    prefix: str = "dedup_index",
+    num_buckets: int = 16,
+) -> tuple[str, str]:
+    """Materialize the corpus dedup INDEX the incremental path (q107's
+    semantics) joins against — the at-rest artifact that lets a crawl
+    delta dedup WITHOUT re-scanning or re-hashing the corpus:
+
+    - ``{prefix}_digest``: (digest sha256, keeper_doc_id), bucketed on
+      digest — the exact-dup lookup;
+    - ``{prefix}_bands``: one row per (doc, band) with the band key AND
+      the doc's full band-key vector (bk0..bk{N-1}), bucketed+sorted on
+      band_key — the near-dup candidate index. Carrying the vector costs
+      N_BANDS×8 B per row and buys first-collision uniqueness at READ
+      time: candidates need no distinct stage (see _band_candidate_pairs).
+
+    At 100 TB both writes are one pass over the corpus (digest is a
+    map-side expression; band keys are the fused Arrow kernel) plus the
+    bucketed write's own shuffle — paid ONCE, amortized over every
+    incremental batch. Returns the two table names."""
+    from binwatch_spark.functions.texthash import make_minhash_band_udf
+    from binwatch_spark.operators.storage import write_bucketed
+    from binwatch_spark.operators.text import distinct_tokens
+
+    digest = docs.groupBy(
+        F.sha2(F.col(text_col), 256).alias("digest")
+    ).agg(F.min(id_col).alias("keeper_doc_id"))
+    write_bucketed(digest, f"{prefix}_digest", "digest", num_buckets)
+
+    band_udf = make_minhash_band_udf()
+    keyed = spread(docs, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        band_udf(distinct_tokens(F.col(text_col))).alias("_bks"),
+    ).select(
+        "doc_id", *[F.col("_bks")[b].alias(f"bk{b}") for b in range(N_BANDS)]
+    )
+    exploded = keyed.select(
+        "doc_id",
+        *[F.col(f"bk{b}") for b in range(N_BANDS)],
+        F.posexplode(
+            F.array(*[F.col(f"bk{b}") for b in range(N_BANDS)])
+        ).alias("band_idx", "band_key"),
+    )
+    write_bucketed(exploded, f"{prefix}_bands", "band_key", num_buckets)
+    return f"{prefix}_digest", f"{prefix}_bands"
+
+
+def incremental_dedup_with_index(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    spark,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    prefix: str = "dedup_index",
+) -> DataFrame:
+    """Dedup an incoming batch against a PRE-BUILT index
+    (build_dedup_index): exact via the bucketed digest table, near via the
+    bucketed band table + exact-Jaccard verify against the corpus fetched
+    BY ID — the corpus is touched only for verified candidates' rows,
+    never scanned for hashing. Output: (doc_id, verdict, match_doc_id)
+    with q107's exact-precedence semantics.
+
+    Scale: the digest probe joins 32-byte keys against a bucketed table
+    (stored side exchange-free); candidates come from the (band_idx,
+    band_key) equi-join against the bucketed band table with
+    first-collision uniqueness read off the STORED key vectors (no
+    distinct); the verify join fetches candidate corpus rows by id."""
+    from binwatch_spark.functions.texthash import make_minhash_band_udf
+    from binwatch_spark.operators.text import distinct_tokens
+
+    band_udf = make_minhash_band_udf()
+    new_keyed = spread(new_docs, id_col).select(
+        F.col(id_col).alias("i"),
+        band_udf(distinct_tokens(F.col(text_col))).alias("_bks"),
+    ).select(
+        "i", *[F.col("_bks")[b].alias(f"ak{b}") for b in range(N_BANDS)]
+    )
+    new_exploded = new_keyed.select(
+        "i",
+        *[F.col(f"ak{b}") for b in range(N_BANDS)],
+        F.posexplode(
+            F.array(*[F.col(f"ak{b}") for b in range(N_BANDS)])
+        ).alias("band_idx", "band_key"),
+    )
+    index_bands = spark.table(f"{prefix}_bands").select(
+        F.col("doc_id").alias("j"),
+        *[F.col(f"bk{b}").alias(f"jk{b}") for b in range(N_BANDS)],
+        "band_idx",
+        "band_key",
+    )
+    first_collision = F.lit(True)
+    for k in range(N_BANDS - 1):
+        first_collision = first_collision & (
+            (F.lit(k) >= F.col("band_idx"))
+            | (F.col(f"ak{k}") != F.col(f"jk{k}"))
+        )
+    cands = (
+        new_exploded.join(index_bands, ["band_idx", "band_key"])
+        .filter(first_collision)
+        .select("i", "j")
+    )
+    toks = F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+    ti = new_docs.select(F.col(id_col).alias("i"), toks.alias("_ti"))
+    tj = corpus_docs.select(F.col(id_col).alias("j"), toks.alias("_tj"))
+    inter = F.size(F.array_intersect(F.col("_ti"), F.col("_tj")))
+    union_sz = F.size("_ti") + F.size("_tj") - inter
+    near = (
+        cands.join(ti, "i")
+        .join(tj, "j")
+        .filter(inter.cast("double") / union_sz >= threshold)
+        .groupBy(F.col("i").alias(id_col))
+        .agg(F.min("j").alias("_near"))
+    )
+    exact = (
+        new_docs.select(id_col, F.sha2(F.col(text_col), 256).alias("digest"))
+        .join(spark.table(f"{prefix}_digest"), "digest")
+        .select(id_col, F.col("keeper_doc_id").alias("_exact"))
+    )
+    return (
+        new_docs.select(id_col)
+        .join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_exact").isNotNull(), F.lit("drop_exact"))
+            .when(F.col("_near").isNotNull(), F.lit("drop_near"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+            F.coalesce(F.col("_exact"), F.col("_near")).alias("match_doc_id"),
+        )
+    )

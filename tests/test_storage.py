@@ -182,3 +182,50 @@ def test_compact_uri_escapable_dir(spark, tmp_path):
     # sizes were actually observed (not zero): more than one output file
     assert n_out > 1
     assert spark.read.parquet(out).count() == docs.count()
+
+
+def test_dedup_index_build_and_incremental_probe(spark, tmp_path):
+    """The materialized dedup index end-to-end: build digest + band tables
+    (bucketed) over the corpus split, then dedup the incoming split
+    against the INDEX — verdicts must match q107's in-memory
+    implementation exactly, and the candidate probe must read the stored
+    band-key vectors (no distinct stage, no corpus re-hash)."""
+    from pyspark.sql import functions as F
+
+    from binwatch_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_with_index,
+    )
+    from binwatch_spark.plans.dedup_queries import (
+        JACCARD_THRESHOLD,
+        q107_incremental_dedup,
+    )
+    from binwatch_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    spark.sql("DROP TABLE IF EXISTS t_didx_digest")
+    spark.sql("DROP TABLE IF EXISTS t_didx_bands")
+    docs = load(spark, SF_SMALL, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    dig_t, bands_t = build_dedup_index(
+        corpus, "text", "doc_id", prefix="t_didx", num_buckets=4
+    )
+    assert spark.table(dig_t).count() > 0
+    assert spark.table(bands_t).count() == corpus.count() * 16  # N_BANDS rows
+
+    got = {
+        r["doc_id"]: (r["verdict"], r["match_doc_id"])
+        for r in incremental_dedup_with_index(
+            incoming, corpus, spark, "text", "doc_id", JACCARD_THRESHOLD,
+            prefix="t_didx",
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: (r["verdict"], r["match_doc_id"])
+        for r in q107_incremental_dedup(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert any(v[0] != "keep" for v in got.values())  # fixture has dups
+    spark.sql("DROP TABLE IF EXISTS t_didx_digest")
+    spark.sql("DROP TABLE IF EXISTS t_didx_bands")
