@@ -98,6 +98,23 @@ def _query(args: argparse.Namespace) -> int:
     return 0
 
 
+def _verify(args: argparse.Namespace) -> int:
+    """Delegate to tools/verify_all.py (oracle check + pytest + bench)."""
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tool = os.path.join(repo, "tools", "verify_all.py")
+    if not os.path.exists(tool):
+        print("tools/verify_all.py not found (installed package without"
+              " the repo checkout?)", file=sys.stderr)
+        return 1
+    cmd = [sys.executable, tool, "--sf", args.sf_dir]
+    if args.skip_bench:
+        cmd.append("--skip-bench")
+    return subprocess.run(cmd).returncode
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="binwatch-spark",
@@ -155,6 +172,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     query.add_argument("--master", default=None, help="Spark master URL override")
     query.set_defaults(func=_query)
+
+    verify = sub.add_parser(
+        "verify",
+        help="Run the full evidence pipeline: every query vs its DuckDB"
+        " oracle, the test suite, and the benchmark (one JSON summary)",
+    )
+    verify.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.01",
+        help="parquet dir for the oracle check",
+    )
+    verify.add_argument("--skip-bench", action="store_true")
+    verify.set_defaults(func=_verify)
     return parser
 
 

@@ -1,0 +1,66 @@
+"""Generate docs/QUERIES.md — the one-line-per-query inventory index —
+from the live registry (names, oracle status, first docstring sentence).
+Run after adding queries: python tools/gen_query_index.py"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def first_sentence(doc: str | None) -> str:
+    if not doc:
+        return ""
+    text = " ".join(doc.split())
+    m = re.search(r"(.+?[.!?])(\s|$)", text)
+    out = (m.group(1) if m else text).strip()
+    return out if len(out) <= 240 else out[:237] + "..."
+
+
+def main() -> None:
+    from binwatch_spark.plans.registry import REGISTRY
+
+    lines = [
+        "# Query inventory",
+        "",
+        "Auto-generated from the registry (`python tools/gen_query_index.py`).",
+        "Correctness status refers to the driver-grade DuckDB oracle check",
+        "(`CORRECTNESS_local_r*.json`); 'rows-only' entries are documented",
+        "designs with no SQL-expressible twin. Full scale argument:",
+        "`docs/ARCHITECTURE.md`; plan pins: `tests/test_plans.py`.",
+        "",
+        "| Query | Check | What it does |",
+        "|---|---|---|",
+    ]
+    def natural(name: str):
+        m = re.match(r"q(\d+)", name)
+        return (int(m.group(1)) if m else 10**9, name)
+
+    n_oracle = 0
+    for name in sorted(REGISTRY, key=natural):
+        entry = REGISTRY[name]
+        has_oracle = entry.oracle is not None
+        n_oracle += has_oracle
+        lines.append(
+            f"| {name} | {'oracle' if has_oracle else 'rows-only'} |"
+            f" {first_sentence(entry.fn.__doc__)} |"
+        )
+    lines += [
+        "",
+        f"{len(REGISTRY)} queries; {n_oracle} with full oracles.",
+    ]
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs",
+        "QUERIES.md",
+    )
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"wrote {out}: {len(REGISTRY)} queries")
+
+
+if __name__ == "__main__":
+    main()
