@@ -89,7 +89,16 @@ def main() -> None:
             rest = raw.rsplit(") ", 1)[-1].split()
             pid = int(raw.split()[0])
             ppid = int(rest[1])
-            cpu = (int(rest[11]) + int(rest[12])) / clk
+            # utime+stime (this process) PLUS cutime+cstime (its REAPED
+            # children): a pyspark worker that burns CPU and exits between
+            # samples rolls into its parent's cutime on reap, so the delta
+            # still lands in session_cpu instead of masquerading as
+            # "other process" load — the misattribution this metric
+            # exists to rule out. No double count at any single snapshot
+            # (cutime covers only dead children).
+            cpu = (
+                int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+            ) / clk
             procs[pid] = (ppid, cpu)
         mine = {os.getpid()}
         grew = True

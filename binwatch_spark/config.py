@@ -226,6 +226,22 @@ def _validate(cfg: JobConfig) -> None:
                 )
 
 
+def _parse_columns(raw: dict) -> dict[str, list[str]]:
+    """source.columns must map "db.tbl" → a LIST of column names. A scalar
+    (the easy YAML typo `columns: {t: id}`) would otherwise explode into
+    characters via list("id") → ['i', 'd'] and bind garbage column names
+    to every well-formed event with no error anywhere — reject it."""
+    out: dict[str, list[str]] = {}
+    for tbl, cols in raw.items():
+        if isinstance(cols, str) or not isinstance(cols, (list, tuple)):
+            raise ConfigError(
+                f"source.columns[{tbl!r}] must be a list of column names,"
+                f" got {type(cols).__name__}: {cols!r}"
+            )
+        out[tbl] = [str(c) for c in cols]
+    return out
+
+
 def parse(doc: dict) -> JobConfig:
     server_d = doc.get("server", {}) or {}
     logger_d = doc.get("logger", {}) or {}
@@ -310,10 +326,7 @@ def parse(doc: dict) -> JobConfig:
             start_location=start,
             replay_dir=source_d.get("replayDir", ""),
             positional_rows=bool(source_d.get("positionalRows", False)),
-            columns={
-                tbl: list(cols)
-                for tbl, cols in (source_d.get("columns", {}) or {}).items()
-            },
+            columns=_parse_columns(source_d.get("columns", {}) or {}),
             max_bytes_per_batch=int(source_d.get("maxBytesPerBatch", 0)),
         ),
         sharding=ShardingConfig(

@@ -47,10 +47,14 @@ class ProgressListener(StreamingQueryListener):
                 observed[name] = row.asDict()
         except Exception:  # metric shape is advisory; never fail the stream
             observed = {}
-        for row in observed.values():
-            self.arity_mismatch_events += int(
-                row.get("arity_mismatch_events") or 0
-            )
+        # Scope to THIS pipeline's binder metric: a session-level listener
+        # receives progress for every stream on the SparkSession, and
+        # summing any metric that happens to carry the column would fold a
+        # concurrent pipeline's drops into this one's counter.
+        binder = observed.get("positional_binder") or {}
+        self.arity_mismatch_events += int(
+            binder.get("arity_mismatch_events") or 0
+        )
         self.last_progress = {
             "id": str(progress.id),
             "name": progress.name,

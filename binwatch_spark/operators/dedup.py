@@ -247,6 +247,37 @@ def minhash_signatures(
     return sigs.select(F.col(id_col), F.col("_toks"), *sig_cols)
 
 
+def _band_exploded(
+    frame: DataFrame, id_col: str, out_id: str, prefix: str
+) -> DataFrame:
+    """(id, bk0..bk{N-1}) → one row per (doc, band): (out_id, {prefix}0..,
+    band_idx, band_key), each row carrying the doc's FULL key vector so
+    the first-collision predicate can be evaluated join-side. The single
+    spelling shared by the self-join/cross-frame candidate generator and
+    the materialized index writer — the band layout must never fork."""
+    return frame.select(
+        F.col(id_col).alias(out_id),
+        *[F.col(f"bk{b}").alias(f"{prefix}{b}") for b in range(N_BANDS)],
+        F.posexplode(
+            F.array(*[F.col(f"bk{b}") for b in range(N_BANDS)])
+        ).alias("band_idx", "band_key"),
+    )
+
+
+def _first_collision_cond() -> Column:
+    """A pair is emitted ONLY from the first band where it collides: for
+    every band k earlier than the joined band_idx, the two key vectors
+    (ak*/jk* columns from _band_exploded) must differ. The single
+    spelling of the uniqueness rule — candidates need no distinct."""
+    cond = F.lit(True)
+    for k in range(N_BANDS - 1):
+        cond = cond & (
+            (F.lit(k) >= F.col("band_idx"))
+            | (F.col(f"ak{k}") != F.col(f"jk{k}"))
+        )
+    return cond
+
+
 def _band_candidate_pairs(
     keyed: DataFrame,
     id_col: str,
@@ -276,23 +307,11 @@ def _band_candidate_pairs(
     are assumed DISJOINT, so the i < j order filter is dropped and
     first-collision uniqueness alone guarantees one emission per pair."""
 
-    def exploded(frame: DataFrame, out_id: str, prefix: str) -> DataFrame:
-        return frame.select(
-            F.col(id_col).alias(out_id),
-            *[F.col(f"bk{b}").alias(f"{prefix}{b}") for b in range(N_BANDS)],
-            F.posexplode(
-                F.array(*[F.col(f"bk{b}") for b in range(N_BANDS)])
-            ).alias("band_idx", "band_key"),
-        )
-
-    a_side = exploded(keyed, "i", "ak")
-    b_side = exploded(other if other is not None else keyed, "j", "jk")
-    first_collision = F.lit(True)
-    for k in range(N_BANDS - 1):
-        first_collision = first_collision & (
-            (F.lit(k) >= F.col("band_idx"))
-            | (F.col(f"ak{k}") != F.col(f"jk{k}"))
-        )
+    a_side = _band_exploded(keyed, id_col, "i", "ak")
+    b_side = _band_exploded(
+        other if other is not None else keyed, id_col, "j", "jk"
+    )
+    first_collision = _first_collision_cond()
     cond = first_collision if other is not None else (
         (F.col("i") < F.col("j")) & first_collision
     )
@@ -1169,16 +1188,18 @@ def lsh_recall_audit(
         # (already applied above; the q94 oracle mirrors that rule, so the
         # panel must NEVER widen past it) AND the array form's tighter
         # bound (the interpreted array-intersect truth is ~100× the
-        # popcount cost). max() guarantees the fallback only ever
-        # shrinks the panel; when the caller's stride already satisfies
-        # the array bound (q94: 2000 ≤ 4000) the panel is left untouched
-        # and stays hash-consistent with the oracle's stride rule.
+        # popcount cost). The extra bound filters the EXISTING universe
+        # (conjunctive), so the fallback panel is a strict subset of the
+        # caller's panel for ANY stride pair — re-striding from df with a
+        # larger non-multiple stride would select ids the caller's rule
+        # excludes. When the caller's stride already satisfies the array
+        # bound (q94: 2000 ≤ 4000) the panel is untouched and stays
+        # hash-consistent with the oracle's stride rule.
         toks_df.unpersist()
         array_bound = 4_000
-        fb_stride = max(stride, -(-n_docs // array_bound))
+        fb_stride = -(-n_docs // array_bound)
         if fb_stride > stride:
-            stride = fb_stride
-            universe = df.filter(F.col(id_col) % stride == 0)
+            universe = universe.filter(F.col(id_col) % fb_stride == 0)
         truth = exact_jaccard_allpairs(
             universe, text_col, id_col, threshold, array_bound
         )
@@ -1241,18 +1262,15 @@ def build_dedup_index(
 
     band_udf = make_minhash_band_udf()
     keyed = spread(docs, id_col).select(
-        F.col(id_col).alias("doc_id"),
+        F.col(id_col),
         band_udf(distinct_tokens(F.col(text_col))).alias("_bks"),
     ).select(
-        "doc_id", *[F.col("_bks")[b].alias(f"bk{b}") for b in range(N_BANDS)]
+        F.col(id_col),
+        *[F.col("_bks")[b].alias(f"bk{b}") for b in range(N_BANDS)],
     )
-    exploded = keyed.select(
-        "doc_id",
-        *[F.col(f"bk{b}") for b in range(N_BANDS)],
-        F.posexplode(
-            F.array(*[F.col(f"bk{b}") for b in range(N_BANDS)])
-        ).alias("band_idx", "band_key"),
-    )
+    # Stored rows use the canonical _band_exploded layout with the keys
+    # kept under their bk* names, so the reader only renames bk→jk.
+    exploded = _band_exploded(keyed, id_col, "doc_id", "bk")
     write_bucketed(exploded, f"{prefix}_bands", "band_key", num_buckets)
     return f"{prefix}_digest", f"{prefix}_bands"
 
@@ -1283,36 +1301,28 @@ def incremental_dedup_with_index(
 
     band_udf = make_minhash_band_udf()
     new_keyed = spread(new_docs, id_col).select(
-        F.col(id_col).alias("i"),
+        F.col(id_col),
         band_udf(distinct_tokens(F.col(text_col))).alias("_bks"),
     ).select(
-        "i", *[F.col("_bks")[b].alias(f"ak{b}") for b in range(N_BANDS)]
+        F.col(id_col),
+        *[F.col("_bks")[b].alias(f"bk{b}") for b in range(N_BANDS)],
     )
-    new_exploded = new_keyed.select(
-        "i",
-        *[F.col(f"ak{b}") for b in range(N_BANDS)],
-        F.posexplode(
-            F.array(*[F.col(f"ak{b}") for b in range(N_BANDS)])
-        ).alias("band_idx", "band_key"),
-    )
+    new_exploded = _band_exploded(new_keyed, id_col, "i", "ak")
     index_bands = spark.table(f"{prefix}_bands").select(
         F.col("doc_id").alias("j"),
         *[F.col(f"bk{b}").alias(f"jk{b}") for b in range(N_BANDS)],
         "band_idx",
         "band_key",
     )
-    first_collision = F.lit(True)
-    for k in range(N_BANDS - 1):
-        first_collision = first_collision & (
-            (F.lit(k) >= F.col("band_idx"))
-            | (F.col(f"ak{k}") != F.col(f"jk{k}"))
-        )
     cands = (
         new_exploded.join(index_bands, ["band_idx", "band_key"])
-        .filter(first_collision)
+        .filter(_first_collision_cond())
         .select("i", "j")
     )
-    toks = F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+    # SAME tokenizer as the band keys (operators.text.distinct_tokens):
+    # verifying against a hand-spelled token expression could silently
+    # diverge from the candidate generator if tokenization ever changes.
+    toks = distinct_tokens(F.col(text_col))
     ti = new_docs.select(F.col(id_col).alias("i"), toks.alias("_ti"))
     tj = corpus_docs.select(F.col(id_col).alias("j"), toks.alias("_tj"))
     inter = F.size(F.array_intersect(F.col("_ti"), F.col("_tj")))

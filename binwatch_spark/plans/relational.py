@@ -841,12 +841,20 @@ def q105_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_polyhash_udf,
     )
 
+    from binwatch_spark.operators.dedup import eager_enabled
+
     docs = load(spark, sf_dir, "documents")
     ph = make_polyhash_udf()
     toks = docs.select(
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
     )
-    hashed = toks.select("tok", ph(F.col("tok")).alias("_h"))
+    # THREE consumers read the hashed occurrences (sketch build, vocab
+    # distinct, exact audit) — persist so the scan + explode + Arrow
+    # hash kernel run once, not per consumer; eager fill so concurrent
+    # stages don't race to populate the cache.
+    hashed = toks.select("tok", ph(F.col("tok")).alias("_h")).persist()
+    if eager_enabled():
+        hashed.count()
 
     def cell(j: int) -> Column:
         return (
@@ -879,7 +887,8 @@ def q105_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = est.orderBy(F.col("est_count").desc(), F.col("tok")).limit(_CMS_TOP_K)
     exact = (
-        toks.join(F.broadcast(top.select("tok")), "tok")
+        hashed.select("tok")  # 4th consumer — reads the same cache
+        .join(F.broadcast(top.select("tok")), "tok")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("exact_count"))
     )

@@ -94,9 +94,11 @@ def arity_gate(
     second evaluation. Pass a ``pyspark.sql.Observation`` to read it after
     a batch action, or None for streaming, where it surfaces per-batch in
     ``StreamingQueryProgress.observedMetrics`` under ``metric_name``
-    (ProgressListener accumulates any metric carrying
-    ``arity_mismatch_events``). Tables absent from the map pass through
-    unchecked, mirroring the reference's allowlist guard."""
+    (ProgressListener accumulates the ``positional_binder`` metric —
+    the pipeline path's name — and deliberately ignores other streams'
+    metrics so concurrent pipelines don't cross-count). Tables absent
+    from the map pass through unchecked, mirroring the reference's
+    allowlist guard."""
     if not columns_by_table:
         return df
 

@@ -1023,3 +1023,16 @@ def test_registered_surface_snapshot_size():
     from binwatch_spark.streaming.templates import _FUNCS
 
     assert len(_FUNCS) == 183
+
+
+def test_source_columns_scalar_rejected():
+    from binwatch_spark.config import ConfigError, parse
+
+    import pytest as _pytest
+
+    doc = {
+        "server": {"id": "x"},
+        "source": {"positionalRows": True, "columns": {"db.t": "id"}},
+    }
+    with _pytest.raises(ConfigError, match="must be a list"):
+        parse(doc)

@@ -34,8 +34,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run(cmd: list[str], env: dict | None = None) -> tuple[int, str]:
-    """Stream a stage's output to stderr, return (rc, last_300_chars)."""
-    proc = subprocess.run(
+    """Stream a stage's output to stderr LIVE (line-forwarded — a hung
+    Spark query must show which query is stuck, not buffer silently until
+    the stage exits), return (rc, last_300_chars)."""
+    proc = subprocess.Popen(
         cmd,
         cwd=REPO,
         env={**os.environ, **(env or {})},
@@ -43,9 +45,16 @@ def run(cmd: list[str], env: dict | None = None) -> tuple[int, str]:
         stderr=subprocess.STDOUT,
         text=True,
     )
-    sys.stderr.write(proc.stdout)
-    sys.stderr.flush()
-    return proc.returncode, proc.stdout[-300:].strip()
+    tail: list[str] = []
+    assert proc.stdout is not None
+    for line in proc.stdout:
+        sys.stderr.write(line)
+        sys.stderr.flush()
+        tail.append(line)
+        if len(tail) > 20:
+            tail.pop(0)
+    proc.wait()
+    return proc.returncode, "".join(tail)[-300:].strip()
 
 
 def main() -> int:
