@@ -330,3 +330,69 @@ def q109_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "q112_resample_ffill",
+    oracle="""
+WITH act AS (
+  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+  FROM events GROUP BY user_id, date_trunc('hour', ts)),
+bounds AS (
+  SELECT user_id, min(h) AS mn, max(h) AS mx FROM act GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+  FROM bounds),
+j AS (
+  SELECT g.user_id, g.h, a.v
+  FROM grid g LEFT JOIN act a ON g.user_id = a.user_id AND g.h = a.h)
+SELECT user_id, h AS hour,
+  last_value(v IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY h
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+  v IS NULL AS is_gap
+FROM j
+""",
+)
+def q112_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization — resample each user's event stream onto
+    a dense hourly grid between their first and last activity, forward-
+    filling hours with no events (is_gap marks the filled rows): the
+    feature-engineering shape every per-entity time-series model needs,
+    and the gap-aware twin of the plain windowed aggregates (q16/q59).
+    Hash-exact: hourly sums accumulate in DECIMAL, the grid is integer
+    interval arithmetic, and forward fill copies values (no float math).
+
+    Scale: the aggregate and the window both key on user_id — the grid
+    explode is map-side row generation between two stages that already
+    share the user partitioning, so AQE plans ONE exchange for the
+    aggregate and the window runs on co-partitioned data; per-user state
+    is bounded by the activity span (dense grids for years-long spans
+    are real rows — cap the span upstream if that bites)."""
+    ev = load(spark, sf_dir, "events")
+    act = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("v"))
+    grid = (
+        act.groupBy("user_id")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(mn, mx, interval 1 hour)")
+            ).alias("h"),
+        )
+    )
+    j = grid.join(act, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.col("h").alias("hour"),
+        F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
+        F.col("v").isNull().alias("is_gap"),
+    )
