@@ -663,3 +663,87 @@ def q92_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single definition the numpy reference test also validates."""
     docs = load(spark, sf_dir, "documents")
     return text.bigram_lm_scores(docs, "text", "doc_id", LM_ADD_K)
+
+
+@register(
+    "q113_source_drift",
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents),
+sc AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
+st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM sc GROUP BY source),
+corpus AS (SELECT tok, CAST(sum(c) AS BIGINT) AS d FROM sc GROUP BY tok),
+total AS (SELECT CAST(sum(d) AS BIGINT) AS n FROM corpus),
+terms AS (
+  SELECT s.source,
+         abs(CAST(coalesce(sc.c, 0) AS HUGEINT) * t.n
+             - CAST(co.d AS HUGEINT) * s.ns) AS num,
+         s.ns, t.n
+  FROM corpus co
+  CROSS JOIN st s
+  LEFT JOIN sc ON sc.tok = co.tok AND sc.source = s.source
+  CROSS JOIN total t)
+SELECT source, max(ns) AS n_tokens,
+  CAST(CAST(sum(num) AS DECIMAL(38,0)) AS DOUBLE)
+    / ((2 * CAST(max(ns) AS DOUBLE)) * CAST(max(n) AS DOUBLE))
+    AS tv_distance
+FROM terms GROUP BY source
+""",
+)
+def q113_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture drift monitor: for each source, the TOTAL
+    VARIATION distance between its unigram distribution and the whole
+    corpus's — ½ Σ_tok |p_src(tok) − p_corpus(tok)| — the number a data
+    pipeline alarms on when one crawl's language shifts. Chosen over
+    KL/χ² because TV needs NO transcendentals: with integer counts c
+    (source), d (corpus), totals ns/n, the per-token term is
+    |c·n − d·ns| — exact integer arithmetic summed exactly (DECIMAL(38)),
+    one final division — so the metric is hash-exact, not
+    tolerance-fuzzy.
+
+    Scale: two count aggregates (map-side partials) sized by vocab×sources
+    and vocab; the per-source totals and the corpus total are tiny frames
+    broadcast into the term join; the term frame is vocab×sources rows —
+    the same dictionary-cardinality regime as q92's LM tables. |c·n| at
+    100 TB exceeds int64 (counts ~1e12 × totals ~1e14), hence the
+    HUGEINT/DECIMAL(38) spelling on BOTH engines from the start."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    from binwatch_spark.operators.dedup import eager_enabled
+
+    # THREE consumers (per-source totals, corpus totals, the term join)
+    sc = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    sc = sc.persist()
+    if eager_enabled():
+        sc.count()
+    st = sc.groupBy("source").agg(F.sum("c").alias("ns"))
+    corpus = sc.groupBy("tok").agg(F.sum("c").alias("d"))
+    total = corpus.agg(F.sum("d").alias("n"))
+    terms = (
+        corpus.crossJoin(F.broadcast(st))
+        .join(sc, ["source", "tok"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "ns",
+            "n",
+            F.abs(
+                F.coalesce(F.col("c"), F.lit(0)).cast("decimal(38,0)")
+                * F.col("n")
+                - F.col("d").cast("decimal(38,0)") * F.col("ns")
+            ).alias("num"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.max("ns").alias("n_tokens"),
+        (
+            F.sum(F.col("num")).cast("decimal(38,0)").cast("double")
+            / (
+                (F.lit(2) * F.max("ns").cast("double"))
+                * F.max("n").cast("double")
+            )
+        ).alias("tv_distance"),
+    )
