@@ -468,3 +468,67 @@ def q98_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return kmeans_lloyd_rounds(emb, "vec_id", "embedding", IVF_STRIDE)
+
+
+@register(
+    "q114_embedding_outliers",
+    oracle="""
+WITH x AS (
+  SELECT vec_id,
+         unnest(CAST(embedding AS DOUBLE[])) AS v,
+         unnest(range(1, len(embedding) + 1)) AS dim
+  FROM embeddings WHERE embedding IS NOT NULL),
+center AS (
+  SELECT dim, round(quantile_cont(v, 0.5), 6) AS c FROM x GROUP BY dim),
+d AS (
+  SELECT x.vec_id,
+         CAST(sum(CAST(round((x.v - center.c) * (x.v - center.c), 6)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS dist2
+  FROM x JOIN center USING (dim) GROUP BY x.vec_id),
+bound AS (SELECT round(quantile_cont(dist2, 0.99), 6) AS b FROM d)
+SELECT vec_id, round(dist2, 6) AS dist2,
+       round(dist2, 6) > (SELECT b FROM bound) AS is_outlier
+FROM d
+""",
+)
+def q114_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier detection — the curation gate that prunes broken
+    or off-manifold vectors before dedup/indexing trusts them: squared
+    distance to the per-dimension MEDIAN center (robust — a mean center
+    would chase the very outliers it should expose), flagged past the
+    p99 distance bound. Fully deterministic: the center is the exact
+    interpolated per-dim median (q43's percentile contract), each
+    squared term rounds to 6 dp and accumulates in DECIMAL (exact,
+    order-free — a double sum across partitions would be
+    partial-aggregation-order dependent), and the p99 gate compares
+    6-dp-rounded values on both engines.
+
+    Scale: dims explode map-side; the center is a 64-row frame broadcast
+    back; the per-vector sum is one exchange on vec_id; the bound is one
+    aggregate row broadcast into the flag projection (q88's pattern)."""
+    emb = load(spark, sf_dir, "embeddings")
+    x = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda v: v.cast("double"))
+        ).alias("pos", "v"),
+    ).select("vec_id", (F.col("pos") + 1).cast("bigint").alias("dim"), "v")
+    center = x.groupBy("dim").agg(
+        F.round(F.percentile(F.col("v"), F.lit(0.5)), 6).alias("c")
+    )
+    term = F.round((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")), 6)
+    d = (
+        x.join(F.broadcast(center), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(term.cast("decimal(18,6)")).cast("double").alias("dist2")
+        )
+    )
+    bound = d.agg(
+        F.round(F.percentile(F.col("dist2"), F.lit(0.99)), 6).alias("b")
+    )
+    return d.crossJoin(F.broadcast(bound)).select(
+        "vec_id",
+        F.round(F.col("dist2"), 6).alias("dist2"),
+        (F.round(F.col("dist2"), 6) > F.col("b")).alias("is_outlier"),
+    )
