@@ -1024,3 +1024,64 @@ def q111_embed_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_norm"),
     )
+
+
+@register(
+    "q115_corpus_diff",
+    oracle="""
+WITH v1 AS (
+  SELECT doc_id, sha256(text) AS dig FROM documents WHERE doc_id % 7 <> 0),
+v2 AS (
+  SELECT doc_id,
+         sha256(CASE WHEN doc_id % 10 = 1 THEN text || ' edited'
+                     ELSE text END) AS dig
+  FROM documents WHERE doc_id % 5 <> 0)
+SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+  CASE WHEN v1.doc_id IS NULL THEN 'added'
+       WHEN v2.doc_id IS NULL THEN 'removed'
+       ELSE 'changed' END AS status
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.dig <> v2.dig
+""",
+)
+def q115_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions — the data-versioning
+    primitive a pipeline runs between crawls before deciding what to
+    re-process: added / removed / changed doc ids, where 'changed' means
+    same id with a different content digest (v2 simulates an edit on
+    doc_id % 10 == 1 so the changed class is non-empty; in production the
+    two sides are two snapshot tables). Unchanged docs — the overwhelming
+    bulk — are filtered OUT, so downstream incremental work (q107's index
+    probe, re-embedding, re-chunking) touches only the delta.
+
+    Scale: both sides reduce to (doc_id, 32-byte digest) map-side before
+    the full-outer join on doc_id — the join never carries text; the
+    output is delta-sized. This is the scan-side complement of q107: diff
+    picks WHAT to process, the index decides what to keep."""
+    docs = load(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("dig")
+    )
+    v2_text = F.when(
+        F.col("doc_id") % 10 == 1, F.concat(F.col("text"), F.lit(" edited"))
+    ).otherwise(F.col("text"))
+    v2 = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", F.sha2(v2_text, 256).alias("dig")
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    return (
+        j.filter(
+            F.col("a.doc_id").isNull()
+            | F.col("b.doc_id").isNull()
+            | (F.col("a.dig") != F.col("b.dig"))
+        )
+        .select(
+            F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+            F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+            .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+        )
+    )

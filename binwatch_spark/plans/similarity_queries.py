@@ -532,3 +532,71 @@ def q114_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("dist2"), 6).alias("dist2"),
         (F.round(F.col("dist2"), 6) > F.col("b")).alias("is_outlier"),
     )
+
+
+NEG_LO, NEG_HI = 0.15, 0.35  # semi-hard band: related but not near-dup
+NEG_K = 5
+
+
+@register(
+    "q116_hard_negatives",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb
+  FROM embeddings WHERE vec_id < 20),
+c AS (
+  SELECT vec_id AS cand_id, embedding AS c_emb
+  FROM embeddings WHERE vec_id >= 20),
+p AS (
+  SELECT query_id, cand_id, {{cos}} AS sim FROM q CROSS JOIN c)
+SELECT query_id, cand_id, sim, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT query_id, cand_id, sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
+  FROM p WHERE sim >= {NEG_LO} AND sim < {NEG_HI})
+WHERE rn <= {NEG_K}
+""".format(cos=_COS),
+)
+def q116_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-hard negative mining for contrastive training: per anchor, the
+    top-{NEG_K} candidates whose cosine falls in the semi-hard band
+    [{NEG_LO}, {NEG_HI}) — similar enough to be informative, far enough
+    to be true negatives (the FaceNet/SimCLR sampling rule). Too-easy
+    negatives (below the band) teach nothing; near-dups above it are
+    false negatives that poison the loss — the band filter is the entire
+    point of the query.
+
+    Exact baseline shape (q20's broadcast nested loop with the band
+    filter applied BEFORE the top-k window, so WindowGroupLimit sees the
+    reduced stream); the production rung reuses the ANN ladder: generate
+    band-filtered candidates from the LSH/IVF indexes (q33/q38) exactly
+    as the positives do, since the semi-hard band is still 'nearest
+    neighbors minus the top' — the same bucketed candidate generators
+    apply, followed by this exact filter+rank."""
+    from binwatch_spark.operators.similarity import brute_force_knn
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cands = emb.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    from binwatch_spark.operators.similarity import _pair_dot, _prep
+    from binwatch_spark.functions.texthash import EMBED_DIM
+
+    q = _prep(queries, "q_emb")
+    c = _prep(cands, "c_emb")
+    pairs = c.crossJoin(F.broadcast(q))
+    sim = _pair_dot(F.col("q_emb"), F.col("c_emb"), EMBED_DIM) / (
+        F.col("_norm_q_emb") * F.col("_norm_c_emb")
+    )
+    banded = pairs.select(
+        "query_id", "cand_id", sim.alias("sim")
+    ).filter((F.col("sim") >= NEG_LO) & (F.col("sim") < NEG_HI))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id")
+    )
+    return (
+        banded.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= NEG_K)
+    )
