@@ -359,7 +359,24 @@ def make_polyhash_udf():
 
     @F.pandas_udf("bigint")
     def ph(tokens: pd.Series) -> pd.Series:
-        return pd.Series(_hash_tokens(tokens.to_numpy()))
+        raw = tokens.to_numpy()
+        if not tokens.isna().any():
+            return pd.Series(_hash_tokens(raw))
+        # NULL strings null-propagate, matching the HOF twin polyhash()
+        # (aggregate over split(NULL) is NULL) — the memoized fast path
+        # above stays the common case since call sites are non-null by
+        # construction (q105 exploded tokens, q111 chunk_text).
+        cache = _token_hash_cache
+        out: list = []
+        for t in raw:
+            if t is None or (isinstance(t, float) and np.isnan(t)):
+                out.append(None)
+            else:
+                v = cache.get(t)
+                if v is None:
+                    cache[t] = v = _polyhash_py(t)
+                out.append(v)
+        return pd.Series(out, dtype="object")
 
     return ph
 

@@ -34,6 +34,9 @@ class ProgressListener(StreamingQueryListener):
         # attaches to the plan; per-batch values arrive in
         # StreamingQueryProgress.observedMetrics.
         self.arity_mismatch_events: int = 0
+        # Cumulative count of positional events dropped because their table
+        # has no discovered column map (blreaderwork.go:248-250 skip).
+        self.unknown_table_events: int = 0
 
     def onQueryStarted(self, event):
         return
@@ -54,6 +57,9 @@ class ProgressListener(StreamingQueryListener):
         binder = observed.get("positional_binder") or {}
         self.arity_mismatch_events += int(
             binder.get("arity_mismatch_events") or 0
+        )
+        self.unknown_table_events += int(
+            binder.get("unknown_table_events") or 0
         )
         self.last_progress = {
             "id": str(progress.id),

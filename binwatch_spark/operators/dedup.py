@@ -1199,6 +1199,15 @@ def lsh_recall_audit(
         array_bound = 4_000
         fb_stride = -(-n_docs // array_bound)
         if fb_stride > stride:
+            # Round up to a MULTIPLE of the caller's stride: the panel
+            # filter conjoins with the already-applied id % stride == 0, so
+            # a non-multiple fb_stride would shrink the panel to
+            # ~n/lcm(stride, fb_stride) docs — a far noisier recall
+            # estimate than the ~n/fb_stride intended (e.g. stride 5,
+            # fb_stride 21 → lcm 105). A multiple keeps the conjunction
+            # exactly id % fb_stride == 0 while preserving the strict
+            # subset-of-caller's-panel property.
+            fb_stride = stride * (-(-fb_stride // stride))
             universe = universe.filter(F.col(id_col) % fb_stride == 0)
         truth = exact_jaccard_allpairs(
             universe, text_col, id_col, threshold, array_bound

@@ -88,6 +88,26 @@ def _prep(df: DataFrame, emb_col: str, with_bucket: bool = False) -> DataFrame:
     return out
 
 
+def probe_masks(radius: int, n_planes: int) -> list[int]:
+    """All xor masks of popcount <= radius over n_planes sign bits, 0 first
+    (own bucket), then ascending weight/value — the multi-probe LSH probe
+    set at hamming radius ``radius``. Every (query, candidate) pair whose
+    buckets differ by xor d matches on EXACTLY the probe m == d, so probe
+    explosion never duplicates a pair and no distinct stage is needed —
+    at any radius, not just 1."""
+    from itertools import combinations
+
+    masks: list[int] = []
+    for w in range(radius + 1):
+        masks.extend(
+            sorted(
+                sum(1 << b for b in bits)
+                for bits in combinations(range(n_planes), w)
+            )
+        )
+    return masks
+
+
 def _topk(pairs: DataFrame, sim: Column, k: int, query_id: str, cand_id: str) -> DataFrame:
     w = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col(cand_id))
     return (
@@ -124,32 +144,36 @@ def lsh_knn(
     cand_id: str = "cand_id",
     q_emb: str = "q_emb",
     c_emb: str = "c_emb",
-    multiprobe: bool = False,
+    multiprobe: bool | int = False,
 ) -> DataFrame:
     """Approximate top-k: only candidates in the query's LSH bucket are
     scored. Equi-join on bucket id instead of a cross join.
 
-    multiprobe=True probes the query's own bucket PLUS every bucket at
-    hamming distance 1 (one flipped sign bit) — the classic multi-probe LSH
-    recall lever (Lv et al., VLDB'07). A near neighbor that lands just on
-    the other side of ONE hyperplane is recovered at the cost of probing
+    multiprobe=True (or 1) probes the query's own bucket PLUS every bucket
+    at hamming distance 1 (one flipped sign bit) — the classic multi-probe
+    LSH recall lever (Lv et al., VLDB'07). A near neighbor that lands just
+    on the other side of ONE hyperplane is recovered at the cost of probing
     N_PLANES extra buckets, i.e. expected candidate work grows ~(N_PLANES+1)
     / 2^N_PLANES of the corpus instead of 1/2^N_PLANES — still an equi-join,
-    never a cross join. Only the QUERY side is exploded (N_PLANES+1 probe
-    rows per query); the corpus keeps one bucket per row, so at 100 TB the
-    big side is untouched and the probe explosion rides the small broadcast
-    side. Deterministic (fixed seeded hyperplanes) → DuckDB-expressible as a
-    hamming<=1 bucket join, so the query stays fully oracle-checked."""
+    never a cross join. An integer radius R probes ALL buckets within
+    hamming distance R (sum_{w<=R} C(N_PLANES, w) probes) — the recall
+    lever for FARTHER targets (q117's semi-hard band sits at cosine
+    0.15-0.35, where radius-1 recall is single-digit percent). Only the
+    QUERY side is exploded; the corpus keeps one bucket per row, so at
+    100 TB the big side is untouched and the probe explosion rides the
+    small broadcast side. Deterministic (fixed seeded hyperplanes) →
+    DuckDB-expressible as a hamming<=R bucket join, so the query stays
+    fully oracle-checked."""
     from binwatch_spark.functions.texthash import N_PLANES
 
     q = _prep(queries, q_emb, with_bucket=True)
-    if multiprobe:
+    radius = int(multiprobe)
+    if radius:
         probes = F.array(
-            F.col("_bucket"),
             *[
-                F.col("_bucket").bitwiseXOR(F.lit(1 << b)).cast("bigint")
-                for b in range(N_PLANES)
-            ],
+                F.col("_bucket").bitwiseXOR(F.lit(m)).cast("bigint")
+                for m in probe_masks(radius, N_PLANES)
+            ]
         )
         q = q.withColumn("_bucket", F.explode(probes))
     c = _prep(candidates, c_emb, with_bucket=True)
@@ -336,15 +360,17 @@ def neardup_pairs(
 
 
 def neardup_pairs_lsh(
-    df: DataFrame, id_col: str, emb_col: str, threshold: float
+    df: DataFrame, id_col: str, emb_col: str, threshold: float,
+    radius: int = 1,
 ) -> DataFrame:
     """Blocked embedding near-dup pairs — the SCALE rung for the same
     cosine >= threshold predicate ``neardup_pairs`` (q26/q85's exact
     generator) evaluates all-pairs: candidates come from multi-probe
     random-hyperplane-LSH buckets (all pairs whose sign-bit buckets are
-    within hamming distance 1 — own bucket plus one flipped plane, the
-    q70 probe rule), and ONLY candidates get the exact cosine verify.
-    Approximate by design: a pair split by >= 2 hyperplanes is missed.
+    within hamming distance ``radius`` — default 1: own bucket plus one
+    flipped plane, the q70 probe rule), and ONLY candidates get the exact
+    cosine verify. Approximate by design: a pair split by more than
+    ``radius`` hyperplanes is missed.
     Recall follows the sign-bit geometry — each plane splits a pair with
     probability θ/π (θ the pair's angle), so at SemDeDup-grade thresholds
     (cosine >= 0.95, θ/π ≈ 0.10) hamming<=1 recovers ≈ 0.81 of true
@@ -381,11 +407,10 @@ def neardup_pairs_lsh(
         "_bucket",
     )
     probes = F.array(
-        F.col("_bucket"),
         *[
-            F.col("_bucket").bitwiseXOR(F.lit(1 << b)).cast("bigint")
-            for b in range(N_PLANES)
-        ],
+            F.col("_bucket").bitwiseXOR(F.lit(m)).cast("bigint")
+            for m in probe_masks(int(radius), N_PLANES)
+        ]
     )
     left = base.select(F.col("_id").alias("i"), F.explode(probes).alias("_bucket"))
     right = base.select(F.col("_id").alias("j"), "_bucket")

@@ -442,6 +442,9 @@ def q85_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q104_PROBE_RADIUS = 3  # hamming radius at the fixture's LOOSE 0.4 threshold
+
+
 @register(
     "q104_semantic_dedup_blocked",
     oracle=f"""
@@ -452,7 +455,8 @@ WITH RECURSIVE e AS (
   SELECT i, j FROM (
     SELECT a.vec_id AS i, b.vec_id AS j, {_COS} AS sim
     FROM e a JOIN e b
-      ON a.vec_id < b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 1)
+      ON a.vec_id < b.vec_id
+      AND bit_count(xor(a.bucket, b.bucket)) <= {Q104_PROBE_RADIUS})
   WHERE sim >= {COSINE_NEARDUP_THRESHOLD}),
 edges AS (SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs),
 comp(node, label) AS (
@@ -467,21 +471,36 @@ def q104_semantic_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup, SCALE rung — q85's pipeline with the O(n²) pair
     generator replaced by multi-probe hyperplane-LSH blocking
     (operators/similarity.neardup_pairs_lsh): candidate edges are pairs
-    whose 8-sign-bit buckets sit within hamming distance 1 (own bucket +
-    one flipped plane, q70's probe rule), verified with the exact
-    sequential-fold cosine, then collapsed by the SAME
-    connected_components as q85/q42. Nothing in the plan is all-pairs:
-    candidates come from a (id, probe_bucket) equi-join of 16-byte rows,
-    embeddings join back by high-cardinality id for the verify
-    (test_plans pins no CartesianProduct / no NestedLoop). Approximate
-    BY A STATED RULE, not by luck — the oracle spells the identical
-    hamming<=1 blocking predicate, so driver hash-check covers the
-    blocked semantics end-to-end; q85 remains the exact panel audit."""
+    whose 8-sign-bit buckets sit within hamming distance
+    Q104_PROBE_RADIUS (q70's probe rule generalized; radius is the
+    recall knob, exposed as the operator's ``radius`` argument),
+    verified with the exact sequential-fold cosine, then collapsed by
+    the SAME connected_components as q85/q42. Nothing in the plan is
+    all-pairs: candidates come from a (id, probe_bucket) equi-join of
+    16-byte rows, embeddings join back by high-cardinality id for the
+    verify (test_plans pins no CartesianProduct / no NestedLoop).
+    Approximate BY A STATED RULE, not by luck — the oracle spells the
+    identical hamming<=3 blocking predicate, so driver hash-check covers
+    the blocked semantics end-to-end; q85 remains the exact panel audit.
+
+    Radius choice, measured (tests/test_invariants.py pins the curve):
+    the fixture's deliberately LOOSE 0.4 cosine threshold puts true
+    pairs at θ/π ≈ 0.37, where radius 1 recovers only ~0.21-0.25;
+    radius 3 measures 0.68 (sf0.001) / 0.78 (sf0.01) at a stated cost
+    of 93/256 ≈ 36% of the bucket-pair space (sum_{{w<=3}} C(8,w) = 93
+    probes) vs radius 1's 9/256 ≈ 3.5%. At PRODUCTION SemDeDup
+    thresholds (>= 0.95, θ/π ≈ 0.10) radius 1 already measures ~0.8 —
+    at 100 TB run radius 1 and grow N_PLANES with log(n); the wide
+    radius here exists because the fixture's band is far."""
     from binwatch_spark.operators.similarity import neardup_pairs_lsh
 
     emb = load(spark, sf_dir, "embeddings")
     pairs = neardup_pairs_lsh(
-        emb, "vec_id", "embedding", COSINE_NEARDUP_THRESHOLD
+        emb,
+        "vec_id",
+        "embedding",
+        COSINE_NEARDUP_THRESHOLD,
+        radius=Q104_PROBE_RADIUS,
     )
     return dedup.connected_components(pairs.select("i", "j")).select(
         F.col("doc_id").alias("vec_id"), "cluster_id"

@@ -543,10 +543,10 @@ NEG_K = 5
     oracle=f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS q_emb
-  FROM embeddings WHERE vec_id < 20),
+  FROM embeddings WHERE vec_id < 20 AND embedding IS NOT NULL),
 c AS (
   SELECT vec_id AS cand_id, embedding AS c_emb
-  FROM embeddings WHERE vec_id >= 20),
+  FROM embeddings WHERE vec_id >= 20 AND embedding IS NOT NULL),
 p AS (
   SELECT query_id, cand_id, {{cos}} AS sim FROM q CROSS JOIN c)
 SELECT query_id, cand_id, sim, CAST(rn AS INTEGER) AS rank FROM (
@@ -567,14 +567,13 @@ def q116_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact baseline shape (q20's broadcast nested loop with the band
     filter applied BEFORE the top-k window, so WindowGroupLimit sees the
-    reduced stream); the production rung reuses the ANN ladder: generate
-    band-filtered candidates from the LSH/IVF indexes (q33/q38) exactly
-    as the positives do, since the semi-hard band is still 'nearest
-    neighbors minus the top' — the same bucketed candidate generators
-    apply, followed by this exact filter+rank."""
-    from binwatch_spark.operators.similarity import brute_force_knn
-
-    emb = load(spark, sf_dir, "embeddings")
+    reduced stream); the production rung is q117_hard_negatives_ann —
+    the SAME band+rank over multi-probe LSH bucket candidates (q70's
+    hamming<=radius generator), never a cross join; use THIS query to
+    audit THAT one's recall."""
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -587,6 +586,90 @@ def q116_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _prep(queries, "q_emb")
     c = _prep(cands, "c_emb")
     pairs = c.crossJoin(F.broadcast(q))
+    sim = _pair_dot(F.col("q_emb"), F.col("c_emb"), EMBED_DIM) / (
+        F.col("_norm_q_emb") * F.col("_norm_c_emb")
+    )
+    banded = pairs.select(
+        "query_id", "cand_id", sim.alias("sim")
+    ).filter((F.col("sim") >= NEG_LO) & (F.col("sim") < NEG_HI))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id")
+    )
+    return (
+        banded.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= NEG_K)
+    )
+
+
+NEG_PROBE_RADIUS = 2  # semi-hard band sits far out; radius-1 recall is ~9%
+
+
+@register(
+    "q117_hard_negatives_ann",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb,
+         {{bucket}} AS bucket
+  FROM embeddings WHERE vec_id < 20 AND embedding IS NOT NULL),
+c AS (
+  SELECT vec_id AS cand_id, embedding AS c_emb,
+         {{bucket}} AS bucket
+  FROM embeddings WHERE vec_id >= 20 AND embedding IS NOT NULL),
+p AS (
+  SELECT query_id, cand_id, {{cos}} AS sim
+  FROM q JOIN c ON bit_count(xor(q.bucket, c.bucket)) <= {NEG_PROBE_RADIUS})
+SELECT query_id, cand_id, sim, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT query_id, cand_id, sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
+  FROM p WHERE sim >= {NEG_LO} AND sim < {NEG_HI})
+WHERE rn <= {NEG_K}
+""".format(cos=_COS, bucket=lsh_bucket_sql("embedding")),
+)
+def q117_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-hard negative mining, SCALE rung — q116's band + per-anchor
+    top-{NEG_K} over multi-probe LSH bucket candidates instead of the
+    O(|anchors|×|corpus|) cross join: anchors probe every bucket within
+    hamming distance {NEG_PROBE_RADIUS} of their own (q70's probe rule at
+    radius 2 — the semi-hard band [{NEG_LO}, {NEG_HI}) sits at ~65-80°,
+    where a radius-1 probe set recovers single-digit percent of band
+    pairs; radius 2's 37 probes measure ~0.3 recall on the fixture, the
+    q116 exact panel being the audit). Approximate BY A STATED RULE: the
+    oracle spells the identical hamming<={NEG_PROBE_RADIUS} predicate, so
+    the driver hash-checks the blocked semantics end-to-end.
+
+    Scale shape: probe explosion rides the small broadcast anchor side
+    (37 16-byte rows per anchor); the corpus keeps ONE bucket per row and
+    the join is an equi-join on bucket id — never a cross join
+    (test_plans pins no CartesianProduct / no NestedLoop). Each
+    qualifying pair matches on exactly ONE probe (mask == bucket xor), so
+    no distinct stage. Band filter runs BEFORE the rank window, so
+    WindowGroupLimit sees only in-band pairs."""
+    from binwatch_spark.functions.texthash import EMBED_DIM, N_PLANES
+    from binwatch_spark.operators.similarity import (
+        _pair_dot,
+        _prep,
+        probe_masks,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cands = emb.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    q = _prep(queries, "q_emb", with_bucket=True)
+    probes = F.array(
+        *[
+            F.col("_bucket").bitwiseXOR(F.lit(m)).cast("bigint")
+            for m in probe_masks(NEG_PROBE_RADIUS, N_PLANES)
+        ]
+    )
+    q = q.withColumn("_bucket", F.explode(probes))
+    c = _prep(cands, "c_emb", with_bucket=True)
+    pairs = c.join(F.broadcast(q), on="_bucket")
     sim = _pair_dot(F.col("q_emb"), F.col("c_emb"), EMBED_DIM) / (
         F.col("_norm_q_emb") * F.col("_norm_c_emb")
     )

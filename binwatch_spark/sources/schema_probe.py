@@ -78,6 +78,7 @@ def arity_gate(
     columns_by_table: dict[str, list[str]],
     observation=None,
     metric_name: str = "arity_gate",
+    drop_unknown: bool = False,
 ) -> DataFrame:
     """Arity contract (blreaderwork.go:255-273 parity): an event containing
     ANY row whose value count disagrees with the discovered column count is
@@ -96,9 +97,16 @@ def arity_gate(
     ``StreamingQueryProgress.observedMetrics`` under ``metric_name``
     (ProgressListener accumulates the ``positional_binder`` metric —
     the pipeline path's name — and deliberately ignores other streams'
-    metrics so concurrent pipelines don't cross-count). Tables absent
-    from the map pass through unchecked, mirroring the reference's
-    allowlist guard."""
+    metrics so concurrent pipelines don't cross-count).
+
+    ``drop_unknown=False`` (default): tables absent from the map pass
+    through unchecked — right when the gate runs on an already-named
+    stream whose allowlist is wider than the probed map.
+    ``drop_unknown=True`` (the positional-binder path): events for tables
+    absent from the map are DROPPED and counted (``unknown_table_events``)
+    — the reference's handler skips any table it has no column map for
+    (blreaderwork.go:248-250, ``colNames == nil → continue``), and a
+    positional row that never gets named is useless downstream anyway."""
     if not columns_by_table:
         return df
 
@@ -106,6 +114,7 @@ def arity_gate(
         return lambda r: F.size(r) != F.lit(n)
 
     bad: Column | None = None
+    known: Column = F.lit(False)
     for key, cols in columns_by_table.items():
         db, table = key.split(".", 1)
         has_bad = F.exists(F.col("rows"), mismatch(len(cols)))
@@ -113,10 +122,18 @@ def arity_gate(
         bad = (
             F.when(cond, has_bad) if bad is None else bad.when(cond, has_bad)
         )
-    flagged = df.withColumn("_arity_mismatch", F.coalesce(bad, F.lit(False)))
+        known = known | cond
+    flagged = df.withColumn(
+        "_arity_mismatch", F.coalesce(bad, F.lit(False))
+    ).withColumn(
+        "_unknown_table", ~known if drop_unknown else F.lit(False)
+    )
     metrics = (
         F.sum(F.col("_arity_mismatch").cast("long")).alias(
             "arity_mismatch_events"
+        ),
+        F.sum(F.col("_unknown_table").cast("long")).alias(
+            "unknown_table_events"
         ),
         F.count(F.lit(1)).alias("events_seen"),
     )
@@ -125,7 +142,9 @@ def arity_gate(
         if observation is not None
         else flagged.observe(metric_name, *metrics)
     )
-    return flagged.filter(~F.col("_arity_mismatch")).drop("_arity_mismatch")
+    return flagged.filter(
+        ~F.col("_arity_mismatch") & ~F.col("_unknown_table")
+    ).drop("_arity_mismatch", "_unknown_table")
 
 
 def bind_positional_rows(
@@ -135,18 +154,23 @@ def bind_positional_rows(
 ) -> DataFrame:
     """P1 binding over the discovered schemas: rewrite ``rows`` so each
     positional map gains its column names, per (database, table). Tables
-    absent from the map pass through unchanged (they may already be named —
-    the replay client and the python-mysql-replication live client both
-    emit named maps; only raw positional captures need binding).
+    ABSENT from the map are dropped and counted (``unknown_table_events``)
+    — a positional row with no discovered schema can never be named, and
+    the reference skips exactly these events (blreaderwork.go:248-250);
+    named streams that need a pass-through gate call arity_gate directly
+    with its default ``drop_unknown=False``.
 
     Events failing the ``arity_gate`` check are dropped and counted BEFORE
     binding (metric name ``positional_binder``) — see arity_gate for the
-    reference-parity contract; named streams that skip binding apply
-    arity_gate directly."""
+    reference-parity contract."""
     if not columns_by_table:
         return df
     df = arity_gate(
-        df, columns_by_table, observation, metric_name="positional_binder"
+        df,
+        columns_by_table,
+        observation,
+        metric_name="positional_binder",
+        drop_unknown=True,
     )
 
     def binder(cols: list[str]):

@@ -92,11 +92,63 @@ def test_blocked_semantic_pairs_subset_of_exact_with_equal_sims(spark):
     assert set(blocked) <= set(exact)
     for pair, sim in blocked.items():
         assert sim == exact[pair]
-    # Recall floor at the fixture's deliberately LOOSE 0.4 threshold:
-    # each hyperplane splits a pair with probability θ/π ≈ 0.37 there
-    # (expected hamming ≈ 3/8), so hamming<=1 recovers ~0.2-0.3 — the
-    # operator docstring derives why production thresholds (>=0.95,
-    # θ/π ≈ 0.10) sit at ~0.8 with the same radius. This floor guards
-    # against the generator silently degenerating (e.g. a bucket bug
-    # emitting near-zero candidates), not against the geometry.
-    assert len(blocked) >= 0.15 * len(exact)
+    # Recall-vs-cost curve at the fixture's deliberately LOOSE 0.4
+    # threshold (θ/π ≈ 0.37, expected hamming ≈ 3/8): measured at sf0.001
+    # radius 1/2/3 → 0.212/0.394/0.682 (sf0.01: 0.254/0.492/0.780) at
+    # probe costs 9/37/93 of 256 buckets. Floors with slack pin the curve
+    # so the radius knob (q104 runs Q104_PROBE_RADIUS=3) keeps its
+    # measured meaning; each wider radius must also be a SUPERSET of the
+    # narrower one (probe sets nest). The production derivation —
+    # SemDeDup-grade thresholds sit at ~0.8 recall at radius 1 — lives in
+    # the operator docstring; this guards the generator, not the geometry.
+    prev: set = set()
+    for radius, floor in ((1, 0.15), (2, 0.3), (3, 0.55)):
+        got = {
+            (r["i"], r["j"])
+            for r in neardup_pairs_lsh(
+                emb,
+                "vec_id",
+                "embedding",
+                COSINE_NEARDUP_THRESHOLD,
+                radius=radius,
+            ).collect()
+        }
+        assert got <= set(exact)
+        assert prev <= got
+        assert len(got) >= floor * len(exact)
+        prev = got
+
+
+def test_documented_query_counts_match_registry():
+    # README.md / SURVEY.md counts are PATCHED by tools/gen_query_index.py
+    # from the live registry; this pins them so a hand edit or a forgotten
+    # regeneration fails the suite instead of shipping stale numbers
+    # (VERDICT r05/r06: drifted two rounds running).
+    import os
+    import re
+
+    from binwatch_spark.plans.registry import REGISTRY
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last = max(
+        int(m.group(1))
+        for m in (re.match(r"q(\d+)", n) for n in REGISTRY)
+        if m
+    )
+    n_oracle = sum(1 for e in REGISTRY.values() if e.oracle is not None)
+
+    readme = open(os.path.join(repo, "README.md")).read()
+    m = re.search(r"\(q01\.\.q(\d+)\)", readme)
+    assert m, "README.md lost its (q01..qNNN) inventory line"
+    assert int(m.group(1)) == last, (
+        f"README.md says q01..q{m.group(1)}, registry ends at q{last:03d}; "
+        "run python tools/gen_query_index.py"
+    )
+
+    survey = open(os.path.join(repo, "SURVEY.md")).read()
+    m = re.search(r"\*\*(\d+) queries total, (\d+) with full oracles\*\*", survey)
+    assert m, "SURVEY.md lost its query-count line"
+    assert (int(m.group(1)), int(m.group(2))) == (len(REGISTRY), n_oracle), (
+        f"SURVEY.md says {m.group(1)}/{m.group(2)}, registry has "
+        f"{len(REGISTRY)}/{n_oracle}; run python tools/gen_query_index.py"
+    )

@@ -296,3 +296,14 @@ def test_q111_embed_pipeline_single_exchange(spark):
     assert "ArrowEvalPython" in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_q117_ann_hard_negatives_is_bucket_equijoin(spark):
+    # the semi-hard mining scale rung: probe explosion rides the broadcast
+    # anchor side; the corpus join must stay a hash equi-join on bucket id
+    # (q116 is the exact cross-join baseline; this plan must never
+    # degenerate into it)
+    plan = plan_of(spark, "q117_hard_negatives_ann", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan

@@ -110,6 +110,12 @@ def main() -> int:
             bench = {
                 "value": b.get("value"),
                 "variance_outliers": b.get("variance_outliers", []),
+                # whole-sweep CPU attribution (VERDICT r06 #2): a bench run
+                # on a contended host labels itself, here and in bench.py's
+                # printed JSON line
+                "session_cpu_total": b.get("session_cpu_total"),
+                "other_cpu_total": b.get("other_cpu_total"),
+                "contended": b.get("contended"),
             }
         except (OSError, json.JSONDecodeError):
             rc = rc or 1
