@@ -50,6 +50,10 @@ class ConfigError(ValueError):
 class Location:
     file: str = ""
     position: int = 0
+    # Executed-GTID set to resume AFTER (the modern MySQL resume token —
+    # survives failover where file/pos cannot; sources/binlog.py GtidSet).
+    # May ride alone or alongside file/pos as the untagged-event fallback.
+    gtid_set: str = ""
 
 
 @dataclass
@@ -255,6 +259,7 @@ def parse(doc: dict) -> JobConfig:
         start = Location(
             file=source_d["startLocation"].get("file", ""),
             position=int(source_d["startLocation"].get("position", 0)),
+            gtid_set=str(source_d["startLocation"].get("gtidSet", "") or ""),
         )
 
     connectors = []

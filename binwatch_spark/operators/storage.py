@@ -39,7 +39,26 @@ def write_bucketed(
     key. The table registers in the session catalog (external when `path`
     is given); bucket metadata only survives via the catalog, so readers
     must use spark.table(table), not spark.read.parquet(path).
+
+    Idempotent across SESSIONS, not just overwrites: the default
+    metastore is per-session, so a managed table's warehouse directory
+    can outlive its catalog entry (previous process wrote it) — and
+    saveAsTable then refuses with LOCATION_ALREADY_EXISTS even in
+    overwrite mode. A stale unregistered location is cleared first.
     """
+    spark = df.sparkSession
+    if path is None and not spark.catalog.tableExists(table):
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(
+            spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        ).path
+        import os
+
+        shutil.rmtree(
+            os.path.join(warehouse, table.lower()), ignore_errors=True
+        )
     writer = df.write.format("parquet").mode("overwrite").bucketBy(
         num_buckets, bucket_col
     )

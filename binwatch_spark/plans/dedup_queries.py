@@ -945,3 +945,63 @@ def q107_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("_exact"), F.col("_near")).alias("match_doc_id"),
         )
     )
+
+
+@register("q118_stream_index_dedup", oracle=_incremental_dedup_sql())
+def q118_stream_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized dedup index wired into the STREAMING path — the
+    production shape a CDC/crawl pipeline runs continuously: the corpus
+    index is built ONCE (operators/dedup.build_dedup_index — bucketed
+    digest table + bucketed (band_idx, key) band table), then each
+    arriving micro-batch is probed against it inside foreachBatch
+    (incremental_dedup_with_index: digest join for exact dups, band
+    equi-join with first-collision uniqueness for near candidates, exact
+    Jaccard verify fetching corpus rows BY ID) and the per-doc verdicts
+    (keep / drop_exact / drop_near, with the matched corpus doc) are
+    appended downstream. q107 is this exact semantics as one batch query;
+    q110 proves the stream-static join alone — this composes the REAL
+    artifact: the stream never re-scans or re-hashes the corpus, and the
+    index tables are re-resolved per micro-batch so a concurrently
+    growing index is picked up batch-over-batch.
+
+    Verdicts are per-doc against the CORPUS only (q107's contract — no
+    intra-incoming dedup), so the union of per-micro-batch probes equals
+    the one-shot batch result and the whole streaming path is
+    hash-checked against q107's batch oracle verbatim.
+
+    Scale: the probe side is delta-sized; the digest probe joins 32-byte
+    keys against the bucketed table (stored side exchange-free); band
+    candidates come from the bucketed band table with stored key vectors
+    (no distinct); only verified candidates touch corpus text."""
+    from binwatch_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_with_index,
+    )
+    from binwatch_spark.plans.pipeline_queries import (
+        _run_bounded_stream_foreach,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % INCR_MOD != 0)
+    incoming = docs.filter(F.col("doc_id") % INCR_MOD == 0).select(
+        "doc_id", "text"
+    )
+    prefix = "q118_dedup_index"
+    build_dedup_index(corpus, "text", "doc_id", prefix=prefix)
+    first = incoming.filter(F.col("doc_id") % 10 == 0)
+    second = incoming.filter(F.col("doc_id") % 10 != 0)
+
+    def probe(batch_df: DataFrame) -> DataFrame:
+        return incremental_dedup_with_index(
+            batch_df,
+            corpus,
+            spark,
+            "text",
+            "doc_id",
+            JACCARD_THRESHOLD,
+            prefix=prefix,
+        )
+
+    return _run_bounded_stream_foreach(
+        spark, "q118_stream_", [("b0", first), ("b1", second)], probe
+    )

@@ -545,6 +545,51 @@ def _run_bounded_stream(spark, prefix, stages, build_output) -> DataFrame:
     return spark.read.parquet(sink)
 
 
+def _run_bounded_stream_foreach(spark, prefix, stages, probe) -> DataFrame:
+    """foreachBatch variant of ``_run_bounded_stream``: each staged frame
+    arrives as one micro-batch (maxFilesPerTrigger=1, in list order) and is
+    handed to ``probe(batch_df)`` — an arbitrary batch-DataFrame transform
+    that may join catalog tables, aggregate, or window, exactly like a
+    production foreachBatch sink — whose result is APPENDED to the parquet
+    sink. This is the harness for patterns the built-in streaming sinks
+    can't express (q118: probing each micro-batch against the bucketed
+    dedup index tables); q99-q102/q110 use the plain writeStream form
+    because their whole transform is stream-native."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=prefix)  # noqa: SIM115 — sink outlives us
+    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        probe(batch_df).write.mode("append").parquet(sink)
+
+    try:
+        for name, df in stages:
+            df.coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+        stream = (
+            spark.readStream.schema(stages[0][1].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        with _stream_shuffle_partitions(spark):
+            q = (
+                stream.writeStream.foreachBatch(write_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "bounded stream run did not finish within 300s"
+                )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(sink)
+
+
 def _sentinel_frames(spark, schema, max_ts, make_row):
     """Two far-future single-row frames under reserved negative ids — the
     end-of-stream tail that advances the watermark past every real

@@ -2,11 +2,18 @@
 as a Spark 4 Python DataSource.
 
 Offsets are ``{"file": str, "position": int}`` — exactly the reference's
-``BinlogLocation`` checkpoint token (internal/cache/cache.go:19-30). Spark's
-streaming offset log replaces the local-file/Redis cache backends (C2) and
-commits per-batch monotonically, which also fixes the checkpoint-regression
-race the reference has with >1 sender workers (blsenderwork.go:204-213,
-SURVEY §7.3).
+``BinlogLocation`` checkpoint token (internal/cache/cache.go:19-30) — plus
+an optional ``"gtid_set"`` member carrying the cumulative executed-GTID set
+at that location. GTID sets are the modern MySQL resume token (file/pos
+breaks across failover — the replica's binlog names and byte offsets don't
+match the old primary's; a GTID set survives because transaction ids are
+global): when present, resume-by-GTID is authoritative for GTID-tagged
+events and file/pos remains the fallback for untagged ones. The reference
+is file/pos-only; this is a documented improvement, not a divergence.
+Spark's streaming offset log replaces the local-file/Redis cache backends
+(C2) and commits per-batch monotonically, which also fixes the
+checkpoint-regression race the reference has with >1 sender workers
+(blsenderwork.go:204-213, SURVEY §7.3).
 
 Start-offset resolution preserves the reference's priority order
 (blreaderwork.go:76-109): explicit startLocation > checkpoint (Spark only
@@ -66,14 +73,86 @@ def _file_order_key(name: str) -> tuple:
     return (name, 0, 0, name)
 
 
-@dataclass(frozen=True)
+class GtidSet:
+    """Minimal MySQL executed-GTID set: ``{server_uuid: merged intervals}``.
+
+    Parses/encodes the canonical ``uuid:lo-hi[:lo2-hi2],uuid2:...`` wire
+    form (SHOW MASTER STATUS Executed_Gtid_Set / the auto-position
+    handshake payload). Uuids normalize to lowercase; intervals merge and
+    sort on construction, so ``encode()`` is canonical — equal sets encode
+    equal strings, which the offset JSON relies on."""
+
+    def __init__(self, intervals: dict[str, list[tuple[int, int]]]):
+        self._ivals: dict[str, list[tuple[int, int]]] = {}
+        for uuid, spans in intervals.items():
+            merged: list[tuple[int, int]] = []
+            for lo, hi in sorted(spans):
+                if merged and lo <= merged[-1][1] + 1:
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+                else:
+                    merged.append((lo, hi))
+            if merged:
+                self._ivals[uuid.lower()] = merged
+
+    @classmethod
+    def parse(cls, text: str | None) -> "GtidSet":
+        ivals: dict[str, list[tuple[int, int]]] = {}
+        for part in (text or "").replace("\n", "").split(","):
+            part = part.strip()
+            if not part:
+                continue
+            uuid, *spans = part.split(":")
+            out = ivals.setdefault(uuid.lower(), [])
+            for span in spans:
+                lo, _, hi = span.partition("-")
+                out.append((int(lo), int(hi or lo)))
+        return cls(ivals)
+
+    def contains(self, gtid: str) -> bool:
+        """Membership of one ``uuid:txid`` transaction id."""
+        uuid, _, txid = gtid.partition(":")
+        n = int(txid)
+        return any(
+            lo <= n <= hi for lo, hi in self._ivals.get(uuid.lower(), [])
+        )
+
+    def with_gtid(self, gtid: str) -> "GtidSet":
+        uuid, _, txid = gtid.partition(":")
+        n = int(txid)
+        ivals = {u: list(s) for u, s in self._ivals.items()}
+        ivals.setdefault(uuid.lower(), []).append((n, n))
+        return GtidSet(ivals)
+
+    def encode(self) -> str:
+        return ",".join(
+            uuid
+            + ":"
+            + ":".join(
+                f"{lo}-{hi}" if hi > lo else str(lo)
+                for lo, hi in self._ivals[uuid]
+            )
+            for uuid in sorted(self._ivals)
+        )
+
+    def __bool__(self) -> bool:
+        return bool(self._ivals)
+
+
+@dataclass(frozen=True, eq=False)
 class BinlogLocation:
     """Comparable (file, position) offset; same-stem binlog file names
     order by numeric suffix (mysql-bin.000001 < mysql-bin.000002 <
-    mysql-bin.1000000 — rollover-safe, see _file_order_key)."""
+    mysql-bin.1000000 — rollover-safe, see _file_order_key).
+
+    ``gtid_set`` rides along as the canonical cumulative executed-GTID set
+    AT this location (None on pre-GTID checkpoints — old offset JSONs
+    load unchanged). It is deliberately EXCLUDED from ordering/equality:
+    file/pos stays the total order the offset log advances by; the GTID
+    set is the resume token read_range honors when present."""
 
     file: str
     position: int
+    gtid_set: str | None = None
 
     def _key(self) -> tuple:
         return (*_file_order_key(self.file), self.position)
@@ -90,12 +169,27 @@ class BinlogLocation:
     def __ge__(self, other: "BinlogLocation") -> bool:
         return self._key() >= other._key()
 
+    def __eq__(self, other: object) -> bool:
+        return (
+            isinstance(other, BinlogLocation) and self._key() == other._key()
+        )
+
+    def __hash__(self) -> int:
+        return hash(self._key())
+
     def as_offset(self) -> dict:
-        return {"file": self.file, "position": self.position}
+        out: dict = {"file": self.file, "position": self.position}
+        if self.gtid_set:
+            out["gtid_set"] = self.gtid_set
+        return out
 
     @classmethod
     def from_offset(cls, offset: dict) -> "BinlogLocation":
-        return cls(file=offset["file"], position=int(offset["position"]))
+        return cls(
+            file=offset["file"],
+            position=int(offset["position"]),
+            gtid_set=offset.get("gtid_set") or None,
+        )
 
 
 class ReplayBinlogClient:
@@ -103,6 +197,10 @@ class ReplayBinlogClient:
 
     Each record carries the envelope fields (sources/envelope.py) including
     binlog_file/binlog_position; (file, position) must be unique per record.
+    Records MAY carry a ``"gtid"`` field (``uuid:txid``, the transaction id
+    a GTID-enabled master stamps each transaction with); when present, the
+    locations this client hands out accumulate the canonical executed-GTID
+    set, so checkpoints become GTID-resumable (see read_range).
     """
 
     def __init__(self, replay_dir: str):
@@ -120,38 +218,72 @@ class ReplayBinlogClient:
                         records.append(json.loads(line))
         return records
 
+    def _located(self) -> list[tuple[BinlogLocation, dict[str, Any]]]:
+        """Records in binlog order, each under a location carrying the
+        CUMULATIVE GTID set of every tagged record up to and including it
+        — the executed-set a GTID-enabled master would report there."""
+        selected = sorted(
+            (
+                (BinlogLocation(r["binlog_file"], int(r["binlog_position"])), r)
+                for r in self._records()
+            ),
+            key=lambda x: x[0]._key(),
+        )
+        out: list[tuple[BinlogLocation, dict[str, Any]]] = []
+        gs = GtidSet({})
+        for loc, rec in selected:
+            if rec.get("gtid"):
+                gs = gs.with_gtid(rec["gtid"])
+            out.append(
+                (
+                    BinlogLocation(
+                        loc.file, loc.position, gs.encode() if gs else None
+                    ),
+                    rec,
+                )
+            )
+        return out
+
     def master_location(self) -> BinlogLocation:
         """Earliest location minus one — a fresh replay starts at the top
         (the live client returns SHOW MASTER STATUS instead, utils.go:60-71)."""
-        records = self._records()
-        if not records:
+        located = self._located()
+        if not located:
             return BinlogLocation("", 0)
-        first = min(
-            BinlogLocation(r["binlog_file"], int(r["binlog_position"]))
-            for r in records
-        )
+        first = located[0][0]
         return BinlogLocation(first.file, first.position - 1)
 
     def latest_location(self) -> BinlogLocation:
-        records = self._records()
-        if not records:
+        located = self._located()
+        if not located:
             return BinlogLocation("", 0)
-        return max(
-            BinlogLocation(r["binlog_file"], int(r["binlog_position"]))
-            for r in records
-        )
+        return located[-1][0]
 
     def read_range(
         self, start: BinlogLocation, end: BinlogLocation
     ) -> Iterator[dict[str, Any]]:
-        """Records with start < (file, position) <= end, in binlog order."""
-        selected = [
-            (BinlogLocation(r["binlog_file"], int(r["binlog_position"])), r)
-            for r in self._records()
-        ]
-        for loc, rec in sorted(selected, key=lambda x: x[0]):
-            if start < loc <= end:
-                yield rec
+        """Records with start < (file, position) <= end, in binlog order.
+
+        When ``start.gtid_set`` is present, GTID-TAGGED records resume by
+        set membership instead: a tagged record is skipped iff its gtid is
+        already in the start set, REGARDLESS of file/pos — the property
+        that makes the token survive a failover where the new primary's
+        file names/offsets don't line up (and, in replay, a rotate whose
+        renamed files reorder). Untagged records keep the file/pos rule —
+        the documented fallback."""
+        start_gs = (
+            GtidSet.parse(start.gtid_set) if start.gtid_set else None
+        )
+        for loc, rec in self._located():
+            if loc > end:
+                return
+            gtid = rec.get("gtid")
+            if start_gs is not None and gtid is not None:
+                if start_gs.contains(gtid):
+                    continue
+            elif loc <= start:
+                continue
+            yield rec
 
     def bounded_latest(
         self,
@@ -164,11 +296,9 @@ class ReplayBinlogClient:
         the new file counts from 0) — the admission-control bound for one
         micro-batch. When even the FIRST record past ``start`` exceeds the
         budget it is admitted alone (one over-budget event per batch beats
-        a permanent stall)."""
-        locs = sorted(
-            BinlogLocation(r["binlog_file"], int(r["binlog_position"]))
-            for r in self._records()
-        )
+        a permanent stall). Returned locations carry the cumulative GTID
+        set (via _located), so capped batches stay GTID-resumable."""
+        locs = [loc for loc, _ in self._located()]
         budget = max_bytes
         cur = start
         for loc in locs:
@@ -292,6 +422,21 @@ class MySQLBinlogClient:
     def _open_stream(self, resume_from: BinlogLocation, only_events: list):
         from pymysqlreplication import BinLogStreamReader
 
+        if resume_from.gtid_set:
+            # GTID auto-positioning handshake: the replica sends its
+            # executed-GTID set in COM_BINLOG_DUMP_GTID and the master
+            # streams everything NOT in the set — the resume form that
+            # survives failover, where file/pos from the old primary is
+            # meaningless. log_file/log_pos must be omitted: the master
+            # derives the start point from the set.
+            return BinLogStreamReader(
+                connection_settings=self._connection_settings(),
+                server_id=int(self._options.get("serverid", 100)),
+                auto_position=resume_from.gtid_set,
+                only_events=only_events,
+                blocking=False,
+                slave_heartbeat=self._heartbeat_seconds(),
+            )
         # position 0 means "beginning of this FILE" (a rotation-capped batch
         # boundary, or startFile with no startPosition) — pass the post-magic
         # header offset 4, the first valid binlog position. `position or
@@ -358,9 +503,16 @@ class MySQLBinlogClient:
             try:
                 for event in stream:
                     loc = BinlogLocation(stream.log_file, int(stream.log_pos))
-                    if not start < loc <= end:
-                        if loc > end:
-                            return
+                    if loc > end:
+                        return
+                    # With a GTID start the MASTER already excluded
+                    # delivered transactions (auto-position handshake);
+                    # applying the file/pos lower bound too would wrongly
+                    # drop events when the start token came from a
+                    # different primary's file namespace. After the first
+                    # reconnect the cursor is a real local location again
+                    # and the bound applies as usual.
+                    if not cursor.gtid_set and loc <= cursor:
                         continue
                     etype, op = next(
                         v for k, v in op_of.items() if isinstance(event, k)
@@ -434,10 +586,21 @@ class BinlogStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         # S2 priority: explicit startLocation beats everything; Spark itself
         # handles the checkpoint case (this method is only called on a fresh
-        # stream); otherwise live master position.
+        # stream); otherwise live master position. startGtidSet is the
+        # GTID-form explicit start (the executed set already consumed —
+        # everything NOT in it streams): it may ride alone (file/pos empty;
+        # GTID-tagged records resume purely by set, the failover form) or
+        # alongside startFile as the fallback bound for untagged events.
         file = self._options.get("startfile") or self._options.get("startFile")
         pos = self._options.get("startposition") or self._options.get("startPosition")
-        if file:
+        gtids = self._options.get("startgtidset") or self._options.get(
+            "startGtidSet"
+        )
+        if gtids:
+            start = BinlogLocation(
+                file or "", int(pos or 0), GtidSet.parse(gtids).encode()
+            )
+        elif file:
             start = BinlogLocation(file, int(pos or 0))
         else:
             start = self._client.master_location()

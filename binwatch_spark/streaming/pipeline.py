@@ -93,6 +93,10 @@ def source_stream(spark: SparkSession, cfg: JobConfig) -> DataFrame:
             startFile=cfg.source.start_location.file,
             startPosition=str(cfg.source.start_location.position),
         )
+        if cfg.source.start_location.gtid_set:
+            reader = reader.options(
+                startGtidSet=cfg.source.start_location.gtid_set
+            )
     return reader.load()
 
 

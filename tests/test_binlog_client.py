@@ -498,7 +498,11 @@ def test_alter_table_mid_stream_engine_arity_path(alter_session, spark):
         df, {"shop.users": ["id", "name"]}, observation=obs
     ).collect()
     assert [r["rows"] for r in kept] == [[{"id": "5", "name": "eva"}]]
-    assert obs.get == {"arity_mismatch_events": 1, "events_seen": 2}
+    assert obs.get == {
+        "arity_mismatch_events": 1,
+        "unknown_table_events": 0,
+        "events_seen": 2,
+    }
 
 
 # GTID-tagged recorded session (VERDICT r05 missing #1, follow-up to the
@@ -609,3 +613,101 @@ def test_gtid_stream_reconnect_resumes_across_gtid_boundary(gtid_session):
     # position (320) the wire had internally advanced to
     assert _GtidStreamReader.last_kwargs["log_file"] == "mysql-bin.000010"
     assert _GtidStreamReader.last_kwargs["log_pos"] == 260
+
+
+def test_gtid_set_parse_canonical_merge_contains():
+    """GtidSet: parse the wire form, merge adjacent/overlapping intervals
+    to a canonical encoding, and answer membership — the primitives the
+    GTID resume token rests on."""
+    from binwatch_spark.sources.binlog import GtidSet
+
+    u1 = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    u2 = "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee"
+    gs = GtidSet.parse(f"{u1.upper()}:1-5:8, {u2}:3")
+    assert gs.encode() == f"{u1}:1-5:8,{u2}:3"
+    assert gs.contains(f"{u1}:3") and gs.contains(f"{u1.upper()}:8")
+    assert not gs.contains(f"{u1}:6") and not gs.contains(f"{u2}:4")
+    # adjacent interval merges: adding 6 and 7 bridges 1-5 and 8
+    merged = gs.with_gtid(f"{u1}:6").with_gtid(f"{u1}:7")
+    assert merged.encode() == f"{u1}:1-8,{u2}:3"
+    # canonical: uuid order sorted, singleton spelled bare
+    assert GtidSet.parse(f"{u2}:9,{u1}:2-2").encode() == f"{u1}:2,{u2}:9"
+    assert not GtidSet.parse(None) and not GtidSet.parse("")
+
+
+def test_gtid_auto_position_handshake(fake_pymysqlreplication):
+    """VERDICT r06 #8: resuming from a GTID-set offset must open the
+    replication stream with the auto-position handshake (executed set in
+    COM_BINLOG_DUMP_GTID; no log_file/log_pos — the master derives the
+    start point), and deliver the full recorded session the master sends
+    back without applying a stale file/pos lower bound."""
+    gtids = "3e11fa47-71ca-11e1-9e33-c80aa9429562:1-20"
+    got = list(
+        _client().read_range(
+            BinlogLocation("", 0, gtid_set=gtids),
+            BinlogLocation("mysql-bin.000008", 150),
+        )
+    )
+    kw = _FakeBinLogStreamReader.last_kwargs
+    assert kw["auto_position"] == gtids
+    assert "log_file" not in kw and "log_pos" not in kw
+    assert [(r["binlog_file"], r["binlog_position"]) for r in got] == [
+        ("mysql-bin.000007", 220),
+        ("mysql-bin.000007", 500),
+        ("mysql-bin.000008", 4),
+        ("mysql-bin.000008", 150),
+    ]
+
+
+class _ChecksumFailReader(_FakeBinLogStreamReader):
+    """Recorded session where the dump aborts mid-file with the
+    1236-checksum-style stream error ("binlog checksum mismatch" — the
+    server refusing to continue a corrupt-looking dump); the client must
+    reconnect from the last good location and deliver exactly once."""
+
+    connections: list["_ChecksumFailReader"] = []
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        type(self).connections.append(self)
+        self._failing = len(type(self).connections) == 1
+
+    def __iter__(self):
+        count = 0
+        for f, p, e in self._events:
+            if (f, p) <= (self.log_file, self.log_pos):
+                continue
+            if self._failing and count >= 1:
+                raise OSError(
+                    "error 1236: binlog checksum mismatch reading event at "
+                    f"{self.log_file}:{self.log_pos} (simulated)"
+                )
+            self.log_file = f
+            self.log_pos = p
+            count += 1
+            yield e
+
+
+def test_checksum_mismatch_stream_resumes_exactly_once(
+    fake_pymysqlreplication,
+):
+    """VERDICT r06 #8: a checksum-mismatch abort is a retriable stream
+    error — reconnect resumes at the last good location (at-least-once
+    within the range, exactly-once in the yielded sequence)."""
+    _ChecksumFailReader.connections = []
+    fake_pymysqlreplication.BinLogStreamReader = _ChecksumFailReader
+    got = list(
+        _client().read_range(
+            BinlogLocation("mysql-bin.000007", 4),
+            BinlogLocation("mysql-bin.000008", 150),
+        )
+    )
+    assert [(r["binlog_file"], r["binlog_position"]) for r in got] == [
+        ("mysql-bin.000007", 220),
+        ("mysql-bin.000007", 500),
+        ("mysql-bin.000008", 4),
+        ("mysql-bin.000008", 150),
+    ]
+    conns = _ChecksumFailReader.connections
+    assert len(conns) == 2 and all(c.closed for c in conns)
+    assert _ChecksumFailReader.last_kwargs["log_pos"] == 220

@@ -1,0 +1,76 @@
+"""PNG codec + decode-stage routing tests (operators/multimodal): the
+bytes→pixels path q119 exercises end-to-end, pinned here at the unit level
+— every scanline filter, CRC enforcement, unsupported-variant rejection,
+and the real-vs-fake routing rule in decode_features."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from binwatch_spark.operators.multimodal import (
+    PNG_MAGIC,
+    _decode_or_fake,
+    _fake_decode,
+    png_decode,
+    png_encode,
+    real_decode,
+)
+
+
+def _pixels(n: int, seed: int = 0) -> bytes:
+    return bytes((seed * 7 + k) % 256 for k in range(n))
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_round_trip_each_filter_type(ft):
+    px = _pixels(12 * 5 * 3, seed=ft + 1)
+    blob = png_encode(px, 12, 5, 3, row_filter=lambda y: ft)
+    assert png_decode(blob) == (12, 5, 3, px)
+
+
+def test_round_trip_cycling_filters_and_grayscale():
+    px = _pixels(16 * 16 * 3, seed=3)
+    assert png_decode(png_encode(px, 16, 16, 3))[3] == px
+    gray = _pixels(9 * 7, seed=5)
+    assert png_decode(png_encode(gray, 9, 7, 1)) == (9, 7, 1, gray)
+
+
+def test_crc_corruption_detected():
+    blob = bytearray(png_encode(_pixels(4 * 4 * 3), 4, 4, 3))
+    # flip a byte inside the IDAT body (after IHDR's 8+25 bytes)
+    idat_at = blob.find(b"IDAT")
+    blob[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        png_decode(bytes(blob))
+
+
+def test_unsupported_variants_rejected():
+    # palette color type (3)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="color type"):
+        png_decode(PNG_MAGIC + chunk)
+    with pytest.raises(ValueError, match="not a PNG"):
+        png_decode(b"GIF89a....")
+
+
+def test_real_decode_features_and_fallback_routing():
+    px = _pixels(16 * 16 * 3, seed=2)
+    blob = png_encode(px, 16, 16, 3)
+    feats = real_decode(blob)
+    assert feats[:3] == [16.0, 16.0, 3.0]
+    assert feats[3:6] == [sum(px[c::3]) / 256 for c in range(3)]
+    assert feats[6] == float(min(px)) and feats[7] == float(max(px))
+    # routing: PNG → real path; arbitrary bytes → deterministic fake
+    assert _decode_or_fake(blob) == feats
+    assert _decode_or_fake(b"plain text") == _fake_decode(b"plain text")
+    with pytest.raises(NotImplementedError):
+        real_decode(b"plain text")

@@ -427,21 +427,29 @@ def test_schema_probe_and_positional_binding(spark):
     assert cols == {"testdb.users": ["id", "name"], "testdb.tags": ["tag"]}
     assert jdbc_url(src) == "jdbc:mysql://127.0.0.1:3306/"
 
+    from pyspark.sql import Observation
+
     df = spark.createDataFrame(
         [
             ("testdb", "users", [{"0": "1", "1": "ada"}]),
             ("testdb", "tags", [{"0": "x"}]),
-            ("testdb", "other", [{"0": "keep"}]),  # unbound → unchanged
+            # table with NO discovered schema: a positional row can never
+            # be named — dropped and counted (blreaderwork.go:248-250
+            # colNames == nil → continue parity)
+            ("testdb", "other", [{"0": "keep"}]),
         ],
         "database string, table string, rows array<map<string,string>>",
     )
+    obs = Observation()
     out = {
         (r["database"], r["table"]): r["rows"]
-        for r in bind_positional_rows(df, cols).collect()
+        for r in bind_positional_rows(df, cols, observation=obs).collect()
     }
     assert out[("testdb", "users")] == [{"id": "1", "name": "ada"}]
     assert out[("testdb", "tags")] == [{"tag": "x"}]
-    assert out[("testdb", "other")] == [{"0": "keep"}]
+    assert ("testdb", "other") not in out
+    assert obs.get["unknown_table_events"] == 1
+    assert obs.get["events_seen"] == 3
 
 
 def test_sequence_batch_no_global_sort_when_workers_gt_1(spark, tmp_path):
@@ -701,16 +709,21 @@ def test_positional_binding_arity_mismatch_drops_and_counts(spark, tmp_path):
         # one good row + one bad row: the WHOLE event drops (reference
         # sets err and `continue`s past the event)
         ("testdb", "users", [{"0": "2", "1": "gra"}, {"0": "3"}]),
-        ("testdb", "other", [{"0": "keep"}]),  # unbound → untouched
+        # table with no discovered schema: positional rows can never be
+        # named → dropped and counted separately (blreaderwork.go:248-250)
+        ("testdb", "other", [{"0": "keep"}]),
     ]
     df = spark.createDataFrame(rows, schema)
     obs = Observation()
     out = bind_positional_rows(df, cols, observation=obs).collect()
     got = {(r["database"], r["table"]): r["rows"] for r in out}
-    assert len(out) == 2
+    assert len(out) == 1
     assert got[("testdb", "users")] == [{"id": "1", "name": "ada"}]
-    assert got[("testdb", "other")] == [{"0": "keep"}]
-    assert obs.get == {"arity_mismatch_events": 3, "events_seen": 5}
+    assert obs.get == {
+        "arity_mismatch_events": 3,
+        "unknown_table_events": 1,
+        "events_seen": 5,
+    }
 
     # Streaming replay of the same malformed fixture: the skip counter
     # surfaces in the progress listener, not just the batch Observation.
@@ -742,6 +755,7 @@ def test_positional_binding_arity_mismatch_drops_and_counts(spark, tmp_path):
         while listener.arity_mismatch_events < 1 and time.time() < deadline:
             time.sleep(0.2)  # listener events are delivered asynchronously
         assert listener.arity_mismatch_events == 1
+        assert listener.unknown_table_events == 1
         assert (
             listener.last_progress["observedMetrics"]["positional_binder"][
                 "events_seen"
@@ -812,3 +826,130 @@ def test_pipeline_positional_binding_end_to_end(spark, tmp_path):
         [{"id": "1", "name": "ada"}],
         [{"id": "2", "name": "gra"}],
     ]
+
+
+_GTID_UUID = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+
+
+def _write_gtid_replay(dirpath: str) -> None:
+    """Four GTID-tagged transactions spanning a rotate (two files)."""
+    os.makedirs(dirpath, exist_ok=True)
+    events = [
+        ("mysql-bin.000001", 100, f"{_GTID_UUID}:1"),
+        ("mysql-bin.000001", 200, f"{_GTID_UUID}:2"),
+        ("mysql-bin.000002", 4, f"{_GTID_UUID}:3"),  # rotate
+        ("mysql-bin.000002", 150, f"{_GTID_UUID}:4"),
+    ]
+    with open(os.path.join(dirpath, "gtid1.jsonl"), "w", encoding="utf-8") as fh:
+        for i, (file, pos, gtid) in enumerate(events):
+            fh.write(
+                json.dumps(
+                    {
+                        "event_type": "WriteRowsEventV2",
+                        "binlog_file": file,
+                        "binlog_position": pos,
+                        "database": "testdb",
+                        "table": "users",
+                        "operation": "INSERT",
+                        "rows": [{"id": str(i)}],
+                        "gtid": gtid,
+                    }
+                )
+                + "\n"
+            )
+
+
+def test_replay_resume_by_gtid_across_rotate(tmp_path):
+    """VERDICT r06 #6: GTID sets as first-class resumable offsets. A resume
+    token carrying ONLY the executed set (no file/pos — the failover form)
+    must deliver exactly the un-consumed transactions, including those past
+    a rotate; locations handed out by the client carry the cumulative set
+    so checkpoints stay GTID-resumable batch over batch."""
+    from binwatch_spark.sources.binlog import (
+        BinlogLocation,
+        BinlogStreamReader,
+        ReplayBinlogClient,
+    )
+
+    replay = str(tmp_path / "replay")
+    _write_gtid_replay(replay)
+    client = ReplayBinlogClient(replay)
+    tip = client.latest_location()
+    assert tip.gtid_set == f"{_GTID_UUID}:1-4"
+
+    # failover-style resume: consumed set only, no file/pos
+    start = BinlogLocation("", 0, gtid_set=f"{_GTID_UUID}:1-2")
+    got = [
+        (r["binlog_file"], r["binlog_position"])
+        for r in client.read_range(start, tip)
+    ]
+    assert got == [("mysql-bin.000002", 4), ("mysql-bin.000002", 150)]
+
+    # set membership is authoritative, not positions: a HOLE in the set
+    # (txn 2 missing) re-delivers exactly the hole plus the tail
+    holey = BinlogLocation("", 0, gtid_set=f"{_GTID_UUID}:1:3")
+    got = [
+        (r["binlog_file"], r["binlog_position"])
+        for r in client.read_range(holey, tip)
+    ]
+    assert got == [("mysql-bin.000001", 200), ("mysql-bin.000002", 150)]
+
+    # DataSource surface: startGtidSet rides the offset JSON; the end
+    # offset carries the cumulative set for the next restart
+    reader = BinlogStreamReader(
+        {"replaydir": replay, "startgtidset": f"{_GTID_UUID}:1-2"}
+    )
+    s = reader.initialOffset()
+    e = reader.latestOffset()
+    assert s["gtid_set"] == f"{_GTID_UUID}:1-2"
+    assert e["gtid_set"] == f"{_GTID_UUID}:1-4"
+    recs = list(
+        client.read_range(
+            BinlogLocation.from_offset(s), BinlogLocation.from_offset(e)
+        )
+    )
+    assert [(r["binlog_file"], r["binlog_position"]) for r in recs] == [
+        ("mysql-bin.000002", 4),
+        ("mysql-bin.000002", 150),
+    ]
+
+
+def test_gtid_untagged_records_fall_back_to_file_pos(tmp_path):
+    """Mixed stream: untagged records (non-GTID master sections) keep the
+    file/pos rule while tagged ones resume by set — the documented
+    fallback contract."""
+    from binwatch_spark.sources.binlog import BinlogLocation, ReplayBinlogClient
+
+    replay = str(tmp_path / "replay")
+    os.makedirs(replay)
+    recs = [
+        ("mysql-bin.000001", 100, f"{_GTID_UUID}:1"),
+        ("mysql-bin.000001", 200, None),  # untagged
+        ("mysql-bin.000001", 300, f"{_GTID_UUID}:2"),
+    ]
+    with open(os.path.join(replay, "b.jsonl"), "w", encoding="utf-8") as fh:
+        for file, pos, gtid in recs:
+            rec = {
+                "event_type": "WriteRowsEventV2",
+                "binlog_file": file,
+                "binlog_position": pos,
+                "database": "d",
+                "table": "t",
+                "operation": "INSERT",
+                "rows": [],
+            }
+            if gtid:
+                rec["gtid"] = gtid
+            fh.write(json.dumps(rec) + "\n")
+    client = ReplayBinlogClient(replay)
+    tip = client.latest_location()
+    # start: tagged txn 1 consumed; file/pos cursor sits at 150 — the
+    # untagged record at 200 is ahead of the cursor, so it delivers
+    start = BinlogLocation(
+        "mysql-bin.000001", 150, gtid_set=f"{_GTID_UUID}:1"
+    )
+    got = [
+        (r["binlog_position"], r.get("gtid"))
+        for r in client.read_range(start, tip)
+    ]
+    assert got == [(200, None), (300, f"{_GTID_UUID}:2")]

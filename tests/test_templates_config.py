@@ -31,6 +31,32 @@ def test_config_parse_and_allowlist():
     assert cfg.routes[0].operations == ["INSERT"]
 
 
+def test_config_start_location_gtid_set():
+    """startLocation.gtidSet rides the config into the source reader (the
+    GTID resume token; file/pos stays the untagged-event fallback)."""
+    doc = {
+        **BASE_DOC,
+        "source": {
+            **BASE_DOC["source"],
+            "startLocation": {
+                "file": "mysql-bin.000007",
+                "position": 4,
+                "gtidSet": "3e11fa47-71ca-11e1-9e33-c80aa9429562:1-20",
+            },
+        },
+    }
+    cfg = parse(doc)
+    assert cfg.source.start_location.file == "mysql-bin.000007"
+    assert cfg.source.start_location.gtid_set == (
+        "3e11fa47-71ca-11e1-9e33-c80aa9429562:1-20"
+    )
+    # gtidSet may also ride alone (pure-GTID failover resume)
+    doc["source"]["startLocation"] = {"gtidSet": "abc-def:5"}
+    cfg = parse(doc)
+    assert cfg.source.start_location.file == ""
+    assert cfg.source.start_location.gtid_set == "abc-def:5"
+
+
 @pytest.mark.parametrize(
     "patch,msg",
     [
