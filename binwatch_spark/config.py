@@ -168,6 +168,11 @@ class RouteConfig:
     operations: list[str] = field(default_factory=lambda: list(DML_OPERATIONS))
     db_table: str = ""  # empty = match all (documented divergence, SURVEY §7.3)
     template: str = ""  # JSON-shape template; empty = whole-item to_json
+    # Opt-in: render sprig's random family (uuidv4, randAlpha, ...)
+    # deterministically per item (seeded from the item identity) instead of
+    # rejecting it at compile — replay-safe migration for reference
+    # templates that use those functions (templates.compile_template).
+    seeded_random: bool = False
 
 
 @dataclass
@@ -294,6 +299,7 @@ def parse(doc: dict) -> JobConfig:
             operations=list(r.get("operations", list(DML_OPERATIONS))),
             db_table=r.get("dbTable", ""),
             template=r.get("template", ""),
+            seeded_random=bool(r.get("seededRandom", False)),
         )
         for r in doc.get("routes", []) or []
     ]

@@ -47,12 +47,23 @@ SIMHASH_BITS = 24
 # Random-hyperplane LSH for cosine: N_PLANES fixed planes over 64-dim
 # embeddings; bucket = sign-bit integer. Values rounded to 6 decimals so the
 # literals embedded in SQL are exactly the doubles Spark uses.
+# N_TABLES independent plane sets (seeds 42, 43, 44, ...) support
+# multi-TABLE LSH — the third recall lever besides probe radius and plane
+# count: a pair missed by one table's buckets is recovered if ANY other
+# table agrees, recall 1-(1-r)^L for per-table recall r. Table 0 is the
+# original seed-42 set, so every single-table caller (q33/q70/q104...)
+# keeps its exact historical buckets.
 N_PLANES = 8
 EMBED_DIM = 64
-_planes = np.random.RandomState(42).randn(N_PLANES, EMBED_DIM)
-HYPERPLANES: list[list[float]] = [
-    [round(float(v), 6) for v in row] for row in _planes
+N_TABLES = 3
+HYPERPLANE_TABLES: list[list[list[float]]] = [
+    [
+        [round(float(v), 6) for v in row]
+        for row in np.random.RandomState(42 + t).randn(N_PLANES, EMBED_DIM)
+    ]
+    for t in range(N_TABLES)
 ]
+HYPERPLANES: list[list[float]] = HYPERPLANE_TABLES[0]
 
 # Minimal public stopword lists for the language-ID heuristic (language code →
 # high-frequency function words). Deliberately tiny: the operator contract is
@@ -397,19 +408,21 @@ def minhash_sql(hashes_expr: str, i: int) -> str:
     )
 
 
-def _plane_lit(j: int) -> Column:
-    return F.array(*[F.lit(v) for v in HYPERPLANES[j]])
+def _plane_lit(j: int, table: int = 0) -> Column:
+    return F.array(*[F.lit(v) for v in HYPERPLANE_TABLES[table][j]])
 
 
-def lsh_bucket(embedding: Column) -> Column:
+def lsh_bucket(embedding: Column, table: int = 0) -> Column:
     """Sign-bit bucket id of an array<float|double> embedding: bit j set iff
     dot(embedding, plane_j) >= 0. Pure zip_with/aggregate — JVM-side, and the
-    sequential fold matches DuckDB's list_dot_product associativity."""
+    sequential fold matches DuckDB's list_dot_product associativity.
+    ``table`` selects one of the N_TABLES independent plane sets (0 = the
+    historical single-table planes)."""
     bucket = F.lit(0).cast("bigint")
     for j in range(N_PLANES):
         dot = F.aggregate(
             F.zip_with(
-                embedding, _plane_lit(j), lambda x, p: x.cast("double") * p
+                embedding, _plane_lit(j, table), lambda x, p: x.cast("double") * p
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
@@ -418,11 +431,13 @@ def lsh_bucket(embedding: Column) -> Column:
     return bucket
 
 
-def lsh_bucket_sql(emb_expr: str) -> str:
+def lsh_bucket_sql(emb_expr: str, table: int = 0) -> str:
     parts = []
     for j in range(N_PLANES):
         plane = (
-            "CAST([" + ", ".join(repr(v) for v in HYPERPLANES[j]) + "] AS DOUBLE[])"
+            "CAST(["
+            + ", ".join(repr(v) for v in HYPERPLANE_TABLES[table][j])
+            + "] AS DOUBLE[])"
         )
         parts.append(
             f"CASE WHEN list_dot_product(CAST({emb_expr} AS DOUBLE[]), {plane}) >= 0"

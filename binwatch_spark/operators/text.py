@@ -130,6 +130,38 @@ def pii_scrub(col: Column) -> dict[str, Column]:
     return {"scrubbed": scrubbed, "n_digits": n_digits.cast("bigint")}
 
 
+# Structured PII patterns, shared verbatim with the oracle. Written in the
+# COMMON subset of Java regex (Spark) and RE2 (DuckDB): character classes,
+# bounded repetition, \b word boundaries — no backrefs, no lookaround
+# (RE2 has neither).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d[\d ]{7,}\d"
+
+
+def pii_redact(col: Column) -> dict[str, Column]:
+    """Structured PII redaction — the pass a curation pipeline runs before
+    text reaches a training mix: emails → <EMAIL>, IPv4 literals → <IP>,
+    international-format phone numbers → <PHONE>, applied IN THAT ORDER
+    (an email's host can contain digit.digit sequences; redacting emails
+    first keeps the IP pass from matching inside them). Returns the
+    redacted text plus per-category match counts. All pure regexp
+    expressions — whole-stage codegen, no UDF, and the patterns live in
+    the shared constants above so the oracle spells the identical rules."""
+    n_emails = F.regexp_count(col, F.lit(PII_EMAIL))
+    step1 = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    n_ips = F.regexp_count(step1, F.lit(PII_IPV4))
+    step2 = F.regexp_replace(step1, PII_IPV4, "<IP>")
+    n_phones = F.regexp_count(step2, F.lit(PII_PHONE))
+    redacted = F.regexp_replace(step2, PII_PHONE, "<PHONE>")
+    return {
+        "redacted": redacted,
+        "n_emails": n_emails.cast("bigint"),
+        "n_ips": n_ips.cast("bigint"),
+        "n_phones": n_phones.cast("bigint"),
+    }
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Whole-document rolling hash (polynomial over char codes)."""
     return polyhash(text)

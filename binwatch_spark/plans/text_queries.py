@@ -288,6 +288,98 @@ def q119_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_redact_sql() -> str:
+    from binwatch_spark.operators.text import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    # Deterministic PII spans appended in SQL exactly as the Spark side
+    # does — the fixture corpus carries no real PII, so the query
+    # synthesizes its own test spans from doc_id (every engine-visible
+    # rule shared).
+    aug = (
+        "text || CASE CAST(doc_id % 4 AS INTEGER)"
+        " WHEN 0 THEN ' contact user' || doc_id || '@example.com now'"
+        " WHEN 1 THEN ' from 10.' || CAST(doc_id % 256 AS BIGINT) || '.0.1 seen'"
+        " WHEN 2 THEN ' call +1 555 ' || CAST(1000 + doc_id % 9000 AS BIGINT)"
+        " ELSE '' END"
+    )
+    return f"""
+WITH a AS (SELECT doc_id, {aug} AS t FROM documents),
+s1 AS (
+  SELECT doc_id, t,
+    len(regexp_extract_all(t, '{PII_EMAIL}')) AS n_emails,
+    regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM a),
+s2 AS (
+  SELECT doc_id, n_emails,
+    len(regexp_extract_all(t1, '{PII_IPV4}')) AS n_ips,
+    regexp_replace(t1, '{PII_IPV4}', '<IP>', 'g') AS t2
+  FROM s1),
+s3 AS (
+  SELECT doc_id, n_emails, n_ips,
+    len(regexp_extract_all(t2, '{PII_PHONE}')) AS n_phones,
+    regexp_replace(t2, '{PII_PHONE}', '<PHONE>', 'g') AS t3
+  FROM s2)
+SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_ips AS BIGINT) AS n_ips,
+       CAST(n_phones AS BIGINT) AS n_phones,
+       sha256(t3) AS redacted_sha256
+FROM s3
+"""
+
+
+@register("q121_pii_redact", oracle=_pii_redact_sql())
+def q121_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured PII redaction (emails → <EMAIL>, IPv4 → <IP>, intl
+    phone numbers → <PHONE>) — the curation pass q65's digit-run scrub is
+    the blunt version of. The fixture corpus carries no real PII, so the
+    query appends deterministic spans derived from doc_id (email / IP /
+    phone / none by doc_id % 4) with the SAME expression in both engines,
+    then redacts and counts per category; the output hash-checks the
+    redacted text (sha256) plus the counts, so a pattern-ordering or
+    dialect drift (Java regex vs RE2 — the shared patterns live in
+    operators/text.py and use only the common subset) mismatches
+    immediately. Pure regexp column expressions: one scan, no shuffle,
+    whole-stage codegen — at 100 TB this runs at IO speed."""
+    from binwatch_spark.operators import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit(" from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0.1 seen"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit(" call +1 555 "),
+                (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    r = T.pii_redact(aug)
+    return docs.select(
+        "doc_id",
+        r["n_emails"].alias("n_emails"),
+        r["n_ips"].alias("n_ips"),
+        r["n_phones"].alias("n_phones"),
+        F.sha2(r["redacted"], 256).alias("redacted_sha256"),
+    )
+
+
 _Q64_SQL = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),

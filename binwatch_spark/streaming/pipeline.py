@@ -51,6 +51,7 @@ class CompiledRoute:
     operations: list[str]
     db_table: str
     template: str  # compiled lazily executor-side (callables don't pickle)
+    seeded_random: bool = False  # deterministic sprig random family opt-in
 
 
 def compile_routes(cfg: JobConfig) -> list[CompiledRoute]:
@@ -58,9 +59,17 @@ def compile_routes(cfg: JobConfig) -> list[CompiledRoute]:
     for r in cfg.routes:
         cfg.connector_by_name(r.connector)  # existence check (blsenderwork.go:97-100)
         if r.template:
-            compile_template(r.template)  # fail fast at build time
+            # fail fast at build time, honoring the route's random opt-in
+            compile_template(r.template, seeded_random=r.seeded_random)
         routes.append(
-            CompiledRoute(r.name, r.connector, list(r.operations), r.db_table, r.template)
+            CompiledRoute(
+                r.name,
+                r.connector,
+                list(r.operations),
+                r.db_table,
+                r.template,
+                r.seeded_random,
+            )
         )
     return routes
 
@@ -275,12 +284,19 @@ def make_batch_processor(cfg: JobConfig) -> Callable[[DataFrame, int], None]:
                 matched = matched.repartition(workers)
             conn_cfg = connector_cfgs[route.connector_name]
             template = route.template
+            seeded = route.seeded_random
 
-            def send_partition(rows, _conn_cfg=conn_cfg, _template=template):
+            def send_partition(
+                rows, _conn_cfg=conn_cfg, _template=template, _seeded=seeded
+            ):
                 import json as _json
 
                 connector = make_connector(_conn_cfg)
-                render = compile_template(_template) if _template else None
+                render = (
+                    compile_template(_template, seeded_random=_seeded)
+                    if _template
+                    else None
+                )
                 for row in rows:
                     d = row.asDict(recursive=True)
                     item = item_from_row(d, d.get("item_id", 0))

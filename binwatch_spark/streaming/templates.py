@@ -1468,6 +1468,77 @@ def _operand_value(token: str, item: dict) -> Any:
 
 _NOPIPE = object()
 
+# Per-render seeded RNG holder for the opt-in deterministic random family
+# (compile_template(seeded_random=True)): set by the render closure before
+# each item, cleared after. A mutable 1-slot list, not a global rebind, so
+# the pickled render closure and this module share state on executors.
+_RENDER_RNG: list = [None]
+
+_RAND_ALPHA = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_RAND_ALNUM = _RAND_ALPHA + "0123456789"
+
+
+def _seeded_uuidv4() -> str:
+    rng = _RENDER_RNG[0]
+    b = bytearray(rng.getrandbits(8) for _ in range(16))
+    b[6] = (b[6] & 0x0F) | 0x40  # version 4
+    b[8] = (b[8] & 0x3F) | 0x80  # RFC 4122 variant
+    h = bytes(b).hex()
+    return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
+
+
+def _seeded_chars(charset: str, n) -> str:
+    rng = _RENDER_RNG[0]
+    return "".join(rng.choice(charset) for _ in range(int(_num(n))))
+
+
+# Sprig's random family re-implemented over the per-item seeded RNG — the
+# OUTPUT SHAPES match sprig (uuidv4 format bits, charsets, randInt's
+# half-open [min, max) range, base-64 randBytes, string shuffle); the VALUES are
+# deterministic per item, which is the point: replay, redelivery compare,
+# and oracle checks all survive. Crypto stays excluded — a deterministic
+# private key is worse than none.
+_SEEDED_RANDOM: dict[str, Any] = {
+    "uuidv4": _seeded_uuidv4,
+    "randAlpha": lambda n: _seeded_chars(_RAND_ALPHA, n),
+    "randAlphaNum": lambda n: _seeded_chars(_RAND_ALNUM, n),
+    "randNumeric": lambda n: _seeded_chars("0123456789", n),
+    "randAscii": lambda n: _seeded_chars(
+        "".join(chr(c) for c in range(33, 127)), n
+    ),
+    "randInt": lambda lo, hi: int(_num(lo))
+    + _RENDER_RNG[0].randrange(int(_num(hi)) - int(_num(lo))),
+    "randBytes": lambda n: __import__("base64").b64encode(
+        bytes(_RENDER_RNG[0].getrandbits(8) for _ in range(int(_num(n))))
+    ).decode(),
+    "shuffle": lambda s: "".join(
+        _RENDER_RNG[0].sample(list(_go_str(s)), len(_go_str(s)))
+    ),
+}
+
+
+def _seeded_rng_for(item: dict):
+    """Deterministic per-item RNG: seeded from the item's stable identity
+    (ItemID + binlog file/position — the replay key), so re-rendering the
+    same item yields the same 'random' values in the same order."""
+    import hashlib
+    import random as _random
+
+    log = item.get("Log") or {}
+    key = json.dumps(
+        [
+            item.get("ItemID"),
+            log.get("BinlogFile"),
+            log.get("BinlogPosition"),
+        ],
+        sort_keys=True,
+        default=str,
+    )
+    seed = int.from_bytes(
+        hashlib.sha256(key.encode("utf-8")).digest()[:8], "big"
+    )
+    return _random.Random(seed)
+
 
 def _eval_segment(segment: str, item: dict, piped: Any = _NOPIPE) -> Any:
     m = _INDEX_RE.match(segment)
@@ -1480,6 +1551,11 @@ def _eval_segment(segment: str, item: dict, piped: Any = _NOPIPE) -> Any:
     if not tokens:
         raise ValueError("empty template expression segment")
     head = tokens[0]
+    if _RENDER_RNG[0] is not None and head in _SEEDED_RANDOM:
+        args = [_operand_value(t, item) for t in tokens[1:]]
+        if piped is not _NOPIPE:
+            args.append(piped)
+        return _SEEDED_RANDOM[head](*args)
     if head in _FUNCS:
         args = [_operand_value(t, item) for t in tokens[1:]]
         if piped is not _NOPIPE:
@@ -1584,10 +1660,16 @@ _MIN_ARITY = {
 }
 
 
-def _validate_expr(expr: str) -> None:
+def _validate_expr(expr: str, seeded_random: bool = False) -> None:
     """Compile-time validation: every segment must be a known operand shape
     or a registered function; unknown constructs raise here, before any
-    event flows (blsenderwork.go:102-105 fail-fast parity)."""
+    event flows (blsenderwork.go:102-105 fail-fast parity).
+
+    ``seeded_random=True`` (compile_template's opt-in) admits the sprig
+    random family — rendered deterministically per item via the seeded
+    RNG — so reference-valid templates using uuidv4/randAlpha/... migrate
+    without edits; the compile error for the still-excluded families
+    (crypto, DNS) names the opt-in so the user knows it exists."""
     for n, seg in enumerate(_split_pipes(expr)):
         if _INDEX_RE.match(seg):
             continue
@@ -1595,12 +1677,22 @@ def _validate_expr(expr: str) -> None:
         if not tokens:
             raise ValueError(f"unsupported template expression: {{{{ {expr} }}}}")
         head = tokens[0]
+        if seeded_random and head in _SEEDED_RANDOM:
+            for t in tokens[1:]:
+                _validate_operand(t)
+            continue
         if head in _EXCLUDED_SPRIG:
+            hint = (
+                " (route option seededRandom: true renders this family"
+                " deterministically per item and would accept it)"
+                if head in _SEEDED_RANDOM
+                else ""
+            )
             raise ValueError(
                 f"unsupported template function {head!r}: sprig's"
                 f" {_EXCLUDED_SPRIG[head]} family is deliberately not"
                 " registered — nondeterministic output breaks replay and"
-                " redelivery comparison (see docs/example-config.yaml)"
+                f" redelivery comparison (see docs/example-config.yaml){hint}"
             )
         if head in _FUNCS:
             n_args = len(tokens) - 1 + (1 if n > 0 else 0)
@@ -1620,9 +1712,18 @@ def _validate_expr(expr: str) -> None:
         raise ValueError(f"unsupported template expression: {{{{ {seg} }}}}")
 
 
-def compile_template(template: str):
+def compile_template(template: str, seeded_random: bool = False):
     """Parse once (blsenderwork.go:102-105 compile-at-build parity); returns
-    a render(item) callable. Raises on unsupported constructs."""
+    a render(item) callable. Raises on unsupported constructs.
+
+    ``seeded_random=True`` opts the sprig random family in (uuidv4,
+    randAlpha, randAlphaNum, randNumeric, randAscii, randInt, randBytes,
+    shuffle): values are drawn from an RNG seeded by the item's stable
+    identity (_seeded_rng_for), so a replayed or redelivered item renders
+    the SAME 'random' values — sprig's output shapes, replay-safe
+    semantics. Off by default: the reference's true math/rand behavior is
+    nondeterministic, and silently changing that would mask a migration
+    decision the user should make."""
     pieces: list[Any] = []
     pos = 0
     for m in _EXPR_RE.finditer(template):
@@ -1640,24 +1741,30 @@ def compile_template(template: str):
     # validate expressions at compile time
     for p in pieces:
         if isinstance(p, tuple) and p[0] == "expr":
-            _validate_expr(p[1])
+            _validate_expr(p[1], seeded_random)
 
     def render(item: dict) -> str:
-        out: list[str] = []
-        trim_next = False
-        for p in pieces:
-            if isinstance(p, tuple):
-                if p[0] == "expr":
-                    out.append(_eval_expr(p[1], item))
-                elif p[0] == "rtrim":
-                    trim_next = True
-                continue
-            text = p
-            if trim_next:
-                text = text.lstrip()
-                trim_next = False
-            out.append(text)
-        return "".join(out)
+        if seeded_random:
+            _RENDER_RNG[0] = _seeded_rng_for(item)
+        try:
+            out: list[str] = []
+            trim_next = False
+            for p in pieces:
+                if isinstance(p, tuple):
+                    if p[0] == "expr":
+                        out.append(_eval_expr(p[1], item))
+                    elif p[0] == "rtrim":
+                        trim_next = True
+                    continue
+                text = p
+                if trim_next:
+                    text = text.lstrip()
+                    trim_next = False
+                out.append(text)
+            return "".join(out)
+        finally:
+            if seeded_random:
+                _RENDER_RNG[0] = None
 
     return render
 

@@ -152,3 +152,43 @@ def test_documented_query_counts_match_registry():
         f"SURVEY.md says {m.group(1)}/{m.group(2)}, registry has "
         f"{len(REGISTRY)}/{n_oracle}; run python tools/gen_query_index.py"
     )
+
+
+def test_multitable_blocked_pairs_subset_and_recall_floor(spark):
+    """q120's multi-table generator: subset of exact with identical sims
+    (blocking can only miss), per-table-union recall above the measured
+    floor (0.52 sf0.001 / 0.39 sf0.01 — floors with slack), and strictly
+    more pairs than any SINGLE table at the same radius (the union can
+    only add)."""
+    from binwatch_spark.operators.similarity import (
+        neardup_pairs,
+        neardup_pairs_lsh,
+        neardup_pairs_lsh_multitable,
+    )
+    from binwatch_spark.plans.dedup_queries import COSINE_NEARDUP_THRESHOLD
+    from binwatch_spark.tables import load
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    exact = {
+        (r["i"], r["j"]): r["sim"]
+        for r in neardup_pairs(
+            emb, "vec_id", "embedding", COSINE_NEARDUP_THRESHOLD
+        ).collect()
+    }
+    single = {
+        (r["i"], r["j"])
+        for r in neardup_pairs_lsh(
+            emb, "vec_id", "embedding", COSINE_NEARDUP_THRESHOLD, radius=1
+        ).collect()
+    }
+    multi = {
+        (r["i"], r["j"]): r["sim"]
+        for r in neardup_pairs_lsh_multitable(
+            emb, "vec_id", "embedding", COSINE_NEARDUP_THRESHOLD, radius=1
+        ).collect()
+    }
+    assert set(multi) <= set(exact)
+    for pair, sim in multi.items():
+        assert sim == exact[pair]
+    assert single <= set(multi)  # table 0 IS the single-table bucket set
+    assert len(multi) >= 0.35 * len(exact)

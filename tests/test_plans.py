@@ -307,3 +307,29 @@ def test_q117_ann_hard_negatives_is_bucket_equijoin(spark):
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q120_multitable_generator_never_all_pairs(spark):
+    # multi-table candidates: per-table probe-bucket equi-joins unioned
+    # with first-table-collision filters — no CartesianProduct, no nested
+    # loop, and a hash join per table plus the two by-id verify joins
+    import contextlib
+    import io
+
+    from binwatch_spark.operators.similarity import (
+        neardup_pairs_lsh_multitable,
+    )
+    from binwatch_spark.plans.dedup_queries import COSINE_NEARDUP_THRESHOLD
+    from binwatch_spark.tables import load
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    pairs = neardup_pairs_lsh_multitable(
+        emb, "vec_id", "embedding", COSINE_NEARDUP_THRESHOLD
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain("simple")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert plan.count("HashJoin") >= 5  # 3 table joins + 2 verify joins

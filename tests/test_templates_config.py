@@ -1062,3 +1062,71 @@ def test_source_columns_scalar_rejected():
     }
     with _pytest.raises(ConfigError, match="must be a list"):
         parse(doc)
+
+
+def test_seeded_random_family_deterministic_per_item():
+    """seeded_random=True renders sprig's random family deterministically:
+    same item → same values (replay-safe), different item → different
+    stream, sprig's output shapes (uuid v4 bits, charsets, randInt range,
+    base64 randBytes, string shuffle)."""
+    import base64
+    import re
+
+    tpl = (
+        '{"u":"{{ uuidv4 }}","a":"{{ randAlpha 8 }}",'
+        '"n":"{{ randNumeric 4 }}","i":{{ randInt 10 20 }},'
+        '"b":"{{ randBytes 6 }}","s":"{{ shuffle "abcdef" }}"}'
+    )
+    render = compile_template(tpl, seeded_random=True)
+    item1 = {"ItemID": 1, "Log": {"BinlogFile": "f.1", "BinlogPosition": 4}}
+    item2 = {"ItemID": 2, "Log": {"BinlogFile": "f.1", "BinlogPosition": 9}}
+    out1a, out1b, out2 = render(item1), render(item1), render(item2)
+    assert out1a == out1b  # replay-identical
+    assert out1a != out2  # per-item stream
+
+    import json as _json
+
+    d = _json.loads(out1a)
+    assert re.fullmatch(
+        r"[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}",
+        d["u"],
+    )
+    assert re.fullmatch(r"[A-Za-z]{8}", d["a"])
+    assert re.fullmatch(r"[0-9]{4}", d["n"])
+    assert 10 <= d["i"] < 20
+    assert len(base64.b64decode(d["b"])) == 6
+    assert sorted(d["s"]) == list("abcdef") and len(d["s"]) == 6
+
+
+def test_seeded_random_off_by_default_with_hint():
+    """Without the opt-in the random family still fails compile, and the
+    error names the seededRandom route option; crypto stays excluded
+    either way."""
+    with pytest.raises(ValueError, match="seededRandom"):
+        compile_template("{{ uuidv4 }}")
+    with pytest.raises(ValueError, match="crypto"):
+        compile_template("{{ genPrivateKey }}", seeded_random=True)
+
+
+def test_seeded_random_route_config_roundtrip():
+    doc = {
+        **BASE_DOC,
+        "routes": [
+            {
+                "name": "r1",
+                "connector": "c1",
+                "template": '{"id":"{{ uuidv4 }}"}',
+                "seededRandom": True,
+            }
+        ],
+    }
+    cfg = parse(doc)
+    assert cfg.routes[0].seeded_random is True
+    from binwatch_spark.streaming.pipeline import compile_routes
+
+    routes = compile_routes(cfg)  # must not raise (opt-in honored)
+    assert routes[0].seeded_random is True
+    # same template WITHOUT the opt-in fails fast at build time
+    doc["routes"][0].pop("seededRandom")
+    with pytest.raises(ValueError, match="seededRandom"):
+        compile_routes(parse(doc))
