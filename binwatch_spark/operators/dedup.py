@@ -1284,6 +1284,47 @@ def build_dedup_index(
     return f"{prefix}_digest", f"{prefix}_bands"
 
 
+def update_dedup_index(
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    prefix: str = "dedup_index",
+) -> None:
+    """Append a verified-new batch (the 'keep' verdicts of an incremental
+    probe) to the materialized dedup index — the MAINTENANCE step of the
+    daily-crawl loop: build once (build_dedup_index), then per delta batch
+    probe → keep → APPEND the keepers, so tomorrow's delta dedups against
+    today's accepted docs without any corpus re-scan or index rebuild.
+
+    Appends ride Spark's bucketed-table append (same bucket spec → new
+    files land in the right buckets; the stored side of future probe joins
+    stays exchange-free). Digests are grouped WITHIN the batch (min id per
+    digest); across appends a digest can legitimately recur only if the
+    caller violates the keepers-only contract — the probe side still
+    resolves it safely (min keeper, see incremental_dedup_with_index)."""
+    from binwatch_spark.functions.texthash import make_minhash_band_udf
+    from binwatch_spark.operators.storage import write_bucketed
+    from binwatch_spark.operators.text import distinct_tokens
+
+    digest = new_docs.groupBy(
+        F.sha2(F.col(text_col), 256).alias("digest")
+    ).agg(F.min(id_col).alias("keeper_doc_id"))
+    write_bucketed(digest, f"{prefix}_digest", "digest", 16, mode="append")
+
+    band_udf = make_minhash_band_udf()
+    keyed = spread(new_docs, id_col).select(
+        F.col(id_col),
+        band_udf(distinct_tokens(F.col(text_col))).alias("_bks"),
+    ).select(
+        F.col(id_col),
+        *[F.col("_bks")[b].alias(f"bk{b}") for b in range(N_BANDS)],
+    )
+    exploded = _band_exploded(keyed, id_col, "doc_id", "bk")
+    write_bucketed(
+        exploded, f"{prefix}_bands", "band_key", 16, mode="append"
+    )
+
+
 def incremental_dedup_with_index(
     new_docs: DataFrame,
     corpus_docs: DataFrame,
@@ -1343,10 +1384,17 @@ def incremental_dedup_with_index(
         .groupBy(F.col("i").alias(id_col))
         .agg(F.min("j").alias("_near"))
     )
+    # min over matching keepers: one digest row per digest is the index
+    # contract, but an append-maintained index (update_dedup_index) can
+    # carry a duplicate digest if a caller ever appended non-keepers —
+    # resolving by min here keeps the verdict deterministic (and matches
+    # the oracle's GROUP BY digest, min(doc_id) corpus view) instead of
+    # silently duplicating output rows.
     exact = (
         new_docs.select(id_col, F.sha2(F.col(text_col), 256).alias("digest"))
         .join(spark.table(f"{prefix}_digest"), "digest")
-        .select(id_col, F.col("keeper_doc_id").alias("_exact"))
+        .groupBy(id_col)
+        .agg(F.min("keeper_doc_id").alias("_exact"))
     )
     return (
         new_docs.select(id_col)

@@ -31,6 +31,7 @@ def write_bucketed(
     num_buckets: int,
     path: str | None = None,
     sort: bool = True,
+    mode: str = "overwrite",
 ) -> None:
     """Write df as a bucketed (and bucket-sorted) parquet table.
 
@@ -47,7 +48,11 @@ def write_bucketed(
     overwrite mode. A stale unregistered location is cleared first.
     """
     spark = df.sparkSession
-    if path is None and not spark.catalog.tableExists(table):
+    if (
+        mode == "overwrite"
+        and path is None
+        and not spark.catalog.tableExists(table)
+    ):
         import shutil
         from urllib.parse import urlparse
 
@@ -59,7 +64,7 @@ def write_bucketed(
         shutil.rmtree(
             os.path.join(warehouse, table.lower()), ignore_errors=True
         )
-    writer = df.write.format("parquet").mode("overwrite").bucketBy(
+    writer = df.write.format("parquet").mode(mode).bucketBy(
         num_buckets, bucket_col
     )
     if sort:

@@ -845,10 +845,15 @@ def q106_keep_best_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 INCR_MOD = 5  # doc_id % INCR_MOD == 0 → the "incoming" batch; else corpus
 
 
-def _incremental_dedup_sql() -> str:
-    # Cross-frame variant of q23's oracle: both sides compute the same
-    # 128-permutation MinHash bands; candidates join on (band_idx, key)
-    # ACROSS frames; exact Jaccard verifies; digest equality handles exact.
+def _incr_verdict_ctes(sfx: str, corpus: str, incoming: str) -> str:
+    """CTE chain computing q107's per-doc verdicts for the ``incoming``
+    CTE probed against the ``corpus`` CTE (both must already be defined in
+    the enclosing WITH). Final CTE: ``verd{sfx}`` (doc_id, verdict,
+    match_doc_id). Cross-frame variant of q23's oracle: both sides compute
+    the same 128-permutation MinHash bands; candidates join on (band_idx,
+    key) ACROSS frames; exact Jaccard verifies; digest equality handles
+    exact. Parameterized so q107 (one round) and q122 (probe → append
+    keepers → probe again) state the SAME semantics from one builder."""
     sig_cols = ", ".join(
         f"{minhash_sql('hs', i)} AS mh{i}" for i in range(N_BANDS * BAND_ROWS)
     )
@@ -856,49 +861,56 @@ def _incremental_dedup_sql() -> str:
     def bands(side: str) -> str:
         return " UNION ALL ".join(
             "SELECT doc_id, {b} AS band_idx, concat_ws('-', {cols}) AS band_key"
-            " FROM sig_{side}".format(
+            " FROM sig_{side}{sfx}".format(
                 b=b,
                 cols=", ".join(
                     f"mh{b * BAND_ROWS + r}" for r in range(BAND_ROWS)
                 ),
                 side=side,
+                sfx=sfx,
             )
             for b in range(N_BANDS)
         )
 
+    return f"""base_c{sfx} AS (SELECT doc_id, {_TOKS} AS toks FROM {corpus}),
+base_i{sfx} AS (SELECT doc_id, {_TOKS} AS toks FROM {incoming}),
+th_c{sfx} AS (SELECT doc_id, list_transform(toks, t -> {polyhash_sql('t')}) AS hs FROM base_c{sfx}),
+th_i{sfx} AS (SELECT doc_id, list_transform(toks, t -> {polyhash_sql('t')}) AS hs FROM base_i{sfx}),
+sig_c{sfx} AS (SELECT doc_id, {sig_cols} FROM th_c{sfx}),
+sig_i{sfx} AS (SELECT doc_id, {sig_cols} FROM th_i{sfx}),
+bands_c{sfx} AS ({bands('c')}),
+bands_i{sfx} AS ({bands('i')}),
+cand{sfx} AS (
+  SELECT DISTINCT bi.doc_id AS i, bc.doc_id AS j
+  FROM bands_i{sfx} bi JOIN bands_c{sfx} bc
+    ON bi.band_idx = bc.band_idx AND bi.band_key = bc.band_key),
+near{sfx} AS (
+  SELECT i AS doc_id, min(j) AS m FROM (
+    SELECT c.i, c.j, {_JAC} AS jac
+    FROM cand{sfx} c JOIN base_i{sfx} x ON c.i = x.doc_id
+                JOIN base_c{sfx} y ON c.j = y.doc_id)
+  WHERE jac >= {JACCARD_THRESHOLD} GROUP BY i),
+cdig{sfx} AS (SELECT sha256(text) AS dig, min(doc_id) AS m FROM {corpus} GROUP BY sha256(text)),
+exact{sfx} AS (
+  SELECT inc.doc_id, cdig{sfx}.m FROM {incoming} inc
+  JOIN cdig{sfx} ON sha256(inc.text) = cdig{sfx}.dig),
+verd{sfx} AS (
+  SELECT inc.doc_id,
+    CASE WHEN e.m IS NOT NULL THEN 'drop_exact'
+         WHEN n.m IS NOT NULL THEN 'drop_near'
+         ELSE 'keep' END AS verdict,
+    coalesce(e.m, n.m) AS match_doc_id
+  FROM {incoming} inc
+  LEFT JOIN exact{sfx} e ON inc.doc_id = e.doc_id
+  LEFT JOIN near{sfx} n ON inc.doc_id = n.doc_id)"""
+
+
+def _incremental_dedup_sql() -> str:
     return f"""
 WITH corpus AS (SELECT * FROM documents WHERE doc_id % {INCR_MOD} <> 0),
 incoming AS (SELECT * FROM documents WHERE doc_id % {INCR_MOD} = 0),
-base_c AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
-base_i AS (SELECT doc_id, {_TOKS} AS toks FROM incoming),
-th_c AS (SELECT doc_id, list_transform(toks, t -> {polyhash_sql('t')}) AS hs FROM base_c),
-th_i AS (SELECT doc_id, list_transform(toks, t -> {polyhash_sql('t')}) AS hs FROM base_i),
-sig_c AS (SELECT doc_id, {sig_cols} FROM th_c),
-sig_i AS (SELECT doc_id, {sig_cols} FROM th_i),
-bands_c AS ({bands('c')}),
-bands_i AS ({bands('i')}),
-cand AS (
-  SELECT DISTINCT bi.doc_id AS i, bc.doc_id AS j
-  FROM bands_i bi JOIN bands_c bc
-    ON bi.band_idx = bc.band_idx AND bi.band_key = bc.band_key),
-near AS (
-  SELECT i AS doc_id, min(j) AS m FROM (
-    SELECT c.i, c.j, {_JAC} AS jac
-    FROM cand c JOIN base_i x ON c.i = x.doc_id
-                JOIN base_c y ON c.j = y.doc_id)
-  WHERE jac >= {JACCARD_THRESHOLD} GROUP BY i),
-cdig AS (SELECT sha256(text) AS dig, min(doc_id) AS m FROM corpus GROUP BY sha256(text)),
-exact AS (
-  SELECT inc.doc_id, cdig.m FROM incoming inc
-  JOIN cdig ON sha256(inc.text) = cdig.dig)
-SELECT inc.doc_id,
-  CASE WHEN e.m IS NOT NULL THEN 'drop_exact'
-       WHEN n.m IS NOT NULL THEN 'drop_near'
-       ELSE 'keep' END AS verdict,
-  coalesce(e.m, n.m) AS match_doc_id
-FROM incoming inc
-LEFT JOIN exact e ON inc.doc_id = e.doc_id
-LEFT JOIN near n ON inc.doc_id = n.doc_id
+{_incr_verdict_ctes('', 'corpus', 'incoming')}
+SELECT doc_id, verdict, match_doc_id FROM verd
 """
 
 
@@ -1073,3 +1085,84 @@ def q118_stream_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_bounded_stream_foreach(
         spark, "q118_stream_", [("b0", first), ("b1", second)], probe
     )
+
+
+def _index_loop_sql() -> str:
+    return f"""
+WITH corpus0 AS (SELECT * FROM documents WHERE doc_id % {INCR_MOD} <> 0),
+b AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+c AS (SELECT * FROM documents
+      WHERE doc_id % {INCR_MOD} = 0 AND doc_id % 10 <> 0),
+{_incr_verdict_ctes('_b', 'corpus0', 'b')},
+keep_b AS (
+  SELECT d.* FROM documents d
+  JOIN verd_b v ON d.doc_id = v.doc_id AND v.verdict = 'keep'),
+corpus1 AS (SELECT * FROM corpus0 UNION ALL SELECT * FROM keep_b),
+{_incr_verdict_ctes('_c', 'corpus1', 'c')}
+SELECT 'b0' AS batch, doc_id, verdict, match_doc_id FROM verd_b
+UNION ALL
+SELECT 'b1' AS batch, doc_id, verdict, match_doc_id FROM verd_c
+"""
+
+
+@register("q122_index_update_loop", oracle=_index_loop_sql())
+def q122_index_update_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL daily-crawl index-maintenance loop, batch form: build the
+    corpus index once (build_dedup_index), probe delta batch B against
+    it, APPEND B's accepted docs to the index (update_dedup_index —
+    bucketed-table appends, no rebuild, no corpus re-scan), then probe
+    delta batch C against the UPDATED index — so a C doc duplicating a
+    B keeper is correctly dropped even though neither is in the original
+    corpus. q107 proves one probe; q118 streams the probes; this is the
+    maintenance step between them, and the oracle states both rounds
+    from the same CTE builder (corpus1 = corpus0 ∪ B-keepers), so the
+    append semantics — not just one probe — are hash-checked.
+
+    B's verdicts are materialized to parquet BEFORE the index append:
+    the probe reads the index tables lazily, and evaluating it after the
+    append would let B probe its own keepers (a batch deduping against
+    itself violates q107's corpus-only contract — and a cache-evicted
+    persist() would do exactly that silently).
+
+    Scale: the appends write delta-sized bucketed files into the
+    existing bucket layout (future probes stay exchange-free on the
+    stored side); everything else inherits q107's shape."""
+    import tempfile
+
+    from binwatch_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_with_index,
+        update_dedup_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    corpus0 = docs.filter(F.col("doc_id") % INCR_MOD != 0)
+    b = docs.filter(F.col("doc_id") % 10 == 0)
+    c = docs.filter(
+        (F.col("doc_id") % INCR_MOD == 0) & (F.col("doc_id") % 10 != 0)
+    )
+    prefix = "q122_dedup_index"
+    build_dedup_index(corpus0, "text", "doc_id", prefix=prefix)
+    verd_b_lazy = incremental_dedup_with_index(
+        b, corpus0, spark, "text", "doc_id", JACCARD_THRESHOLD, prefix=prefix
+    )
+    spill = tempfile.mkdtemp(prefix="q122_verd_b_")  # outlives the query
+    verd_b_lazy.write.mode("overwrite").parquet(spill)
+    verd_b = spark.read.parquet(spill)
+
+    keep_b = docs.join(
+        verd_b.filter(F.col("verdict") == "keep").select("doc_id"), "doc_id"
+    )
+    update_dedup_index(keep_b, "text", "doc_id", prefix=prefix)
+    verd_c = incremental_dedup_with_index(
+        c,
+        corpus0.unionByName(keep_b),
+        spark,
+        "text",
+        "doc_id",
+        JACCARD_THRESHOLD,
+        prefix=prefix,
+    )
+    return verd_b.withColumn("batch", F.lit("b0")).unionByName(
+        verd_c.withColumn("batch", F.lit("b1"))
+    ).select("batch", "doc_id", "verdict", "match_doc_id")

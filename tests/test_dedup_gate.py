@@ -166,3 +166,66 @@ def test_band_candidate_pairs_cross_frame_unique_and_complete(spark):
         ).collect()
     )
     assert got == [(1, 101), (3, 103)]
+
+
+def test_index_update_loop_drops_against_appended_keepers(spark):
+    """update_dedup_index's append must make LATER batches dedup against
+    EARLIER batches' keepers (the q122 loop) — the fixture corpus never
+    exercises this cross-batch path (its near-dups all match the original
+    corpus), so this pins it directly: a C doc exactly duplicating a B
+    keeper drops 'drop_exact' against it, and a C doc near-duplicating one
+    drops 'drop_near' — both matches impossible from the original index."""
+    from binwatch_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_with_index,
+        update_dedup_index,
+    )
+
+    schema = "doc_id bigint, text string"
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], schema
+    )
+    b = spark.createDataFrame(
+        [
+            (10, "zeta eta theta iota kappa"),  # new → keep
+            (20, "alpha beta gamma delta"),  # exact dup of corpus 1
+        ],
+        schema,
+    )
+    c = spark.createDataFrame(
+        [
+            (15, "zeta eta theta iota kappa"),  # exact dup of B keeper 10
+            (25, "zeta eta theta iota"),  # jaccard 4/5 = 0.8 vs keeper 10
+            (35, "omega psi chi phi"),  # genuinely new
+        ],
+        schema,
+    )
+    prefix = "t_idx_loop"
+    build_dedup_index(corpus, "text", "doc_id", prefix=prefix)
+    verd_b = {
+        r["doc_id"]: (r["verdict"], r["match_doc_id"])
+        for r in incremental_dedup_with_index(
+            b, corpus, spark, "text", "doc_id", 0.8, prefix=prefix
+        ).collect()
+    }
+    assert verd_b == {10: ("keep", None), 20: ("drop_exact", 1)}
+
+    keep_b = b.filter(b.doc_id == 10)
+    update_dedup_index(keep_b, "text", "doc_id", prefix=prefix)
+    verd_c = {
+        r["doc_id"]: (r["verdict"], r["match_doc_id"])
+        for r in incremental_dedup_with_index(
+            c,
+            corpus.unionByName(keep_b),
+            spark,
+            "text",
+            "doc_id",
+            0.8,
+            prefix=prefix,
+        ).collect()
+    }
+    assert verd_c == {
+        15: ("drop_exact", 10),
+        25: ("drop_near", 10),
+        35: ("keep", None),
+    }
