@@ -632,8 +632,9 @@ def q117_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming distance {NEG_PROBE_RADIUS} of their own (q70's probe rule at
     radius 2 — the semi-hard band [{NEG_LO}, {NEG_HI}) sits at ~65-80°,
     where a radius-1 probe set recovers single-digit percent of band
-    pairs; radius 2's 37 probes measure ~0.3 recall on the fixture, the
-    q116 exact panel being the audit). Approximate BY A STATED RULE: the
+    pairs; radius 2's 37 probes measure 0.27-0.28 top-k recall vs the
+    q116 exact panel at sf0.001/sf0.01, pinned in
+    tests/test_similarity.py). Approximate BY A STATED RULE: the
     oracle spells the identical hamming<={NEG_PROBE_RADIUS} predicate, so
     the driver hash-checks the blocked semantics end-to-end.
 

@@ -711,3 +711,57 @@ def test_checksum_mismatch_stream_resumes_exactly_once(
     conns = _ChecksumFailReader.connections
     assert len(conns) == 2 and all(c.closed for c in conns)
     assert _ChecksumFailReader.last_kwargs["log_pos"] == 220
+
+
+class _AutoPosFailReader(_FakeBinLogStreamReader):
+    """GTID auto-position session that drops after the first event — the
+    reconnect must fall back to file/pos resume from the last GOOD
+    location (the GTID token authorized the START; mid-range recovery is
+    positional, same server)."""
+
+    connections: list["_AutoPosFailReader"] = []
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        type(self).connections.append(self)
+        self._failing = len(type(self).connections) == 1
+
+    def __iter__(self):
+        count = 0
+        for f, p, e in self._events:
+            if (f, p) <= (self.log_file, self.log_pos):
+                continue
+            if self._failing and count >= 1:
+                raise TimeoutError("dropped after auto-position start")
+            self.log_file = f
+            self.log_pos = p
+            count += 1
+            yield e
+
+
+def test_gtid_auto_position_reconnect_falls_back_to_file_pos(
+    fake_pymysqlreplication,
+):
+    _AutoPosFailReader.connections = []
+    fake_pymysqlreplication.BinLogStreamReader = _AutoPosFailReader
+    gtids = "3e11fa47-71ca-11e1-9e33-c80aa9429562:1-20"
+    got = list(
+        _client().read_range(
+            BinlogLocation("", 0, gtid_set=gtids),
+            BinlogLocation("mysql-bin.000008", 150),
+        )
+    )
+    assert [(r["binlog_file"], r["binlog_position"]) for r in got] == [
+        ("mysql-bin.000007", 220),
+        ("mysql-bin.000007", 500),
+        ("mysql-bin.000008", 4),
+        ("mysql-bin.000008", 150),
+    ]
+    conns = _AutoPosFailReader.connections
+    assert len(conns) == 2 and all(c.closed for c in conns)
+    # first open: the GTID handshake; reconnect: positional from last good
+    first, second = conns[0], conns[1]
+    assert type(first).connections[0] is first
+    kw = _AutoPosFailReader.last_kwargs
+    assert "auto_position" not in kw
+    assert kw["log_file"] == "mysql-bin.000007" and kw["log_pos"] == 220

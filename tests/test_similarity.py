@@ -91,3 +91,30 @@ def test_ivf_tolerates_null_embeddings(spark):
     qs = spark.createDataFrame([(1, [1.0, 0.0])], "query_id long, q_emb array<float>")
     rows = ivf_knn(qs, cands, cents, k=5, n_probe=2).collect()
     assert {r["cand_id"] for r in rows} == {10, 12}
+
+
+def test_q117_ann_hard_negatives_recall_floor_vs_exact(spark):
+    """q117's blocked semi-hard mining vs the q116 exact panel: every ANN
+    pair must be a genuine in-band pair (subset of the band universe is
+    guaranteed by the shared filter; here we pin the top-k overlap), and
+    measured top-k recall stays above the floor (measured 0.27-0.28 at
+    sf0.001/sf0.01; floor with slack 0.15 — the guard is against the
+    candidate generator degenerating, not against the geometry)."""
+    from binwatch_spark.plans.similarity_queries import (
+        q116_hard_negatives,
+        q117_hard_negatives_ann,
+    )
+    from tests.conftest import SF_SMALL
+
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in q116_hard_negatives(spark, SF_SMALL).collect()
+    }
+    ann_rows = q117_hard_negatives_ann(spark, SF_SMALL).collect()
+    ann = {(r["query_id"], r["cand_id"]) for r in ann_rows}
+    assert len(exact & ann) >= 0.15 * len(exact)
+    # every ANN hit sits in the semi-hard band (sim bounds shared with q116)
+    from binwatch_spark.plans.similarity_queries import NEG_HI, NEG_LO
+
+    for r in ann_rows:
+        assert NEG_LO <= r["sim"] < NEG_HI

@@ -953,3 +953,34 @@ def test_gtid_untagged_records_fall_back_to_file_pos(tmp_path):
         for r in client.read_range(start, tip)
     ]
     assert got == [(200, None), (300, f"{_GTID_UUID}:2")]
+
+
+def test_binlog_datasource_gtid_start_through_engine(spark, tmp_path):
+    """startGtidSet through the REAL streaming engine: the DataSource
+    resumes a GTID-tagged replay by set membership — only un-consumed
+    transactions reach the sink, including those past the rotate — and
+    the committed end offsets carry the cumulative set."""
+    tmp = str(tmp_path)
+    _write_gtid_replay(f"{tmp}/replay")
+    from binwatch_spark.sources import binlog
+
+    binlog.register(spark)
+    stream = (
+        spark.readStream.format("mysql-binlog")
+        .option("replayDir", f"{tmp}/replay")
+        .option("startGtidSet", f"{_GTID_UUID}:1-2")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", f"{tmp}/sink")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r["binlog_file"], r["binlog_position"])
+        for r in spark.read.parquet(f"{tmp}/sink").collect()
+    )
+    assert rows == [("mysql-bin.000002", 4), ("mysql-bin.000002", 150)]
