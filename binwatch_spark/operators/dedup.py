@@ -1260,14 +1260,27 @@ def build_dedup_index(
     map-side expression; band keys are the fused Arrow kernel) plus the
     bucketed write's own shuffle — paid ONCE, amortized over every
     incremental batch. Returns the two table names."""
-    from binwatch_spark.functions.texthash import make_minhash_band_udf
     from binwatch_spark.operators.storage import write_bucketed
+
+    digest, exploded = _index_frames(docs, text_col, id_col)
+    write_bucketed(digest, f"{prefix}_digest", "digest", num_buckets)
+    write_bucketed(exploded, f"{prefix}_bands", "band_key", num_buckets)
+    return f"{prefix}_digest", f"{prefix}_bands"
+
+
+def _index_frames(
+    docs: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """The two index-table frames (digest, exploded bands) for a doc set —
+    ONE construction shared by build and append so the stored layouts can
+    never drift. Stored band rows use the canonical _band_exploded layout
+    with keys kept under their bk* names; the reader only renames bk→jk."""
+    from binwatch_spark.functions.texthash import make_minhash_band_udf
     from binwatch_spark.operators.text import distinct_tokens
 
     digest = docs.groupBy(
         F.sha2(F.col(text_col), 256).alias("digest")
     ).agg(F.min(id_col).alias("keeper_doc_id"))
-    write_bucketed(digest, f"{prefix}_digest", "digest", num_buckets)
 
     band_udf = make_minhash_band_udf()
     keyed = spread(docs, id_col).select(
@@ -1277,11 +1290,7 @@ def build_dedup_index(
         F.col(id_col),
         *[F.col("_bks")[b].alias(f"bk{b}") for b in range(N_BANDS)],
     )
-    # Stored rows use the canonical _band_exploded layout with the keys
-    # kept under their bk* names, so the reader only renames bk→jk.
-    exploded = _band_exploded(keyed, id_col, "doc_id", "bk")
-    write_bucketed(exploded, f"{prefix}_bands", "band_key", num_buckets)
-    return f"{prefix}_digest", f"{prefix}_bands"
+    return digest, _band_exploded(keyed, id_col, "doc_id", "bk")
 
 
 def update_dedup_index(
@@ -1289,6 +1298,7 @@ def update_dedup_index(
     text_col: str,
     id_col: str,
     prefix: str = "dedup_index",
+    num_buckets: int = 16,
 ) -> None:
     """Append a verified-new batch (the 'keep' verdicts of an incremental
     probe) to the materialized dedup index — the MAINTENANCE step of the
@@ -1301,27 +1311,19 @@ def update_dedup_index(
     stays exchange-free). Digests are grouped WITHIN the batch (min id per
     digest); across appends a digest can legitimately recur only if the
     caller violates the keepers-only contract — the probe side still
-    resolves it safely (min keeper, see incremental_dedup_with_index)."""
-    from binwatch_spark.functions.texthash import make_minhash_band_udf
+    resolves it safely (min keeper, see incremental_dedup_with_index).
+
+    ``num_buckets`` must match the build-time spec (Spark rejects a
+    mismatched bucketed append) — pass the same value given to
+    build_dedup_index for non-default indexes."""
     from binwatch_spark.operators.storage import write_bucketed
-    from binwatch_spark.operators.text import distinct_tokens
 
-    digest = new_docs.groupBy(
-        F.sha2(F.col(text_col), 256).alias("digest")
-    ).agg(F.min(id_col).alias("keeper_doc_id"))
-    write_bucketed(digest, f"{prefix}_digest", "digest", 16, mode="append")
-
-    band_udf = make_minhash_band_udf()
-    keyed = spread(new_docs, id_col).select(
-        F.col(id_col),
-        band_udf(distinct_tokens(F.col(text_col))).alias("_bks"),
-    ).select(
-        F.col(id_col),
-        *[F.col("_bks")[b].alias(f"bk{b}") for b in range(N_BANDS)],
-    )
-    exploded = _band_exploded(keyed, id_col, "doc_id", "bk")
+    digest, exploded = _index_frames(new_docs, text_col, id_col)
     write_bucketed(
-        exploded, f"{prefix}_bands", "band_key", 16, mode="append"
+        digest, f"{prefix}_digest", "digest", num_buckets, mode="append"
+    )
+    write_bucketed(
+        exploded, f"{prefix}_bands", "band_key", num_buckets, mode="append"
     )
 
 

@@ -268,10 +268,22 @@ def _decode_or_fake(payload: bytes) -> list[float]:
     """Real bytes→pixels when the payload is a decodable image, the
     deterministic fake featurizer otherwise — one decode rule for every
     query on this stage (q32/q75/q76 run text stand-ins → fake; q119 runs
-    real PNGs → real)."""
+    real PNGs → real).
+
+    A corrupt PNG-magic payload (truncated chunk, bad CRC, bad IDAT,
+    zero-dimension IHDR) also falls back: one bad image in a 100 TB crawl
+    must not kill the whole decode stage — the fake features still carry
+    the payload digest so the row stays attributable downstream."""
     try:
         return real_decode(payload)
-    except NotImplementedError:
+    except (
+        NotImplementedError,
+        ValueError,
+        zlib.error,
+        struct.error,
+        ZeroDivisionError,
+        IndexError,
+    ):
         return _fake_decode(payload)
 
 

@@ -511,38 +511,18 @@ def _run_bounded_stream(spark, prefix, stages, build_output) -> DataFrame:
       sink must outlive the call (the returned DataFrame reads it lazily —
       the driver collects later), so it is the one dir intentionally kept.
     """
-    import shutil
-    import tempfile
-
-    root = tempfile.mkdtemp(prefix=prefix)  # noqa: SIM115 — sink outlives us
-    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
-    try:
-        for name, df in stages:
-            df.coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
-        stream = (
-            spark.readStream.schema(stages[0][1].schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{src}/*")
+    def start(stream, sink, ckpt):
+        return (
+            build_output(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-        with _stream_shuffle_partitions(spark):
-            q = (
-                build_output(stream)
-                .writeStream.format("parquet")
-                .option("path", sink)
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            if not q.awaitTermination(300):
-                q.stop()
-                raise RuntimeError(
-                    "bounded stream run did not finish within 300s"
-                )
-    finally:
-        shutil.rmtree(src, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.read.parquet(sink)
+
+    return _bounded_stream_core(spark, prefix, stages, start)
 
 
 def _run_bounded_stream_foreach(spark, prefix, stages, probe) -> DataFrame:
@@ -555,15 +535,31 @@ def _run_bounded_stream_foreach(spark, prefix, stages, probe) -> DataFrame:
     can't express (q118: probing each micro-batch against the bucketed
     dedup index tables); q99-q102/q110 use the plain writeStream form
     because their whole transform is stream-native."""
+
+    def start(stream, sink, ckpt):
+        def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            probe(batch_df).write.mode("append").parquet(sink)
+
+        return (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    return _bounded_stream_core(spark, prefix, stages, start)
+
+
+def _bounded_stream_core(spark, prefix, stages, start) -> DataFrame:
+    """One copy of the bounded-stream scaffolding (staging writes, one-file-
+    per-trigger source, scoped shuffle partitions, 300s await, cleanup) —
+    both harness variants differ only in ``start(stream, sink, ckpt)``, the
+    sink-wiring step, so fixes to the shared mechanics cannot miss one."""
     import shutil
     import tempfile
 
     root = tempfile.mkdtemp(prefix=prefix)  # noqa: SIM115 — sink outlives us
     src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
-
-    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        probe(batch_df).write.mode("append").parquet(sink)
-
     try:
         for name, df in stages:
             df.coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
@@ -573,12 +569,7 @@ def _run_bounded_stream_foreach(spark, prefix, stages, probe) -> DataFrame:
             .parquet(f"{src}/*")
         )
         with _stream_shuffle_partitions(spark):
-            q = (
-                stream.writeStream.foreachBatch(write_batch)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
+            q = start(stream, sink, ckpt)
             if not q.awaitTermination(300):
                 q.stop()
                 raise RuntimeError(

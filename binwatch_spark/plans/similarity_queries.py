@@ -571,6 +571,20 @@ def q116_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME band+rank over multi-probe LSH bucket candidates (q70's
     hamming<=radius generator), never a cross join; use THIS query to
     audit THAT one's recall."""
+    from binwatch_spark.operators.similarity import _prep
+
+    queries, cands = _anchor_corpus_split(spark, sf_dir)
+    q = _prep(queries, "q_emb")
+    c = _prep(cands, "c_emb")
+    return _semi_hard_tail(c.crossJoin(F.broadcast(q)))
+
+
+def _anchor_corpus_split(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The shared q116/q117 input split: anchors (vec_id < 20) vs corpus,
+    null embeddings excluded on both sides (the oracle's band filter drops
+    null-sim rows silently; the plan must never feed a null to np.stack)."""
     emb = load(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
@@ -580,12 +594,18 @@ def q116_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = emb.filter(F.col("vec_id") >= 20).select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
     )
-    from binwatch_spark.operators.similarity import _pair_dot, _prep
+    return queries, cands
+
+
+def _semi_hard_tail(pairs: DataFrame) -> DataFrame:
+    """The shared q116/q117 scoring tail: cosine over _prep'd pair frames,
+    the semi-hard band filter [NEG_LO, NEG_HI) applied BEFORE the
+    per-anchor top-NEG_K rank window (so WindowGroupLimit sees only
+    in-band pairs). One definition — the exact panel and the ANN rung can
+    never diverge on the band rule or the tie-break."""
+    from binwatch_spark.operators.similarity import _pair_dot
     from binwatch_spark.functions.texthash import EMBED_DIM
 
-    q = _prep(queries, "q_emb")
-    c = _prep(cands, "c_emb")
-    pairs = c.crossJoin(F.broadcast(q))
     sim = _pair_dot(F.col("q_emb"), F.col("c_emb"), EMBED_DIM) / (
         F.col("_norm_q_emb") * F.col("_norm_c_emb")
     )
@@ -645,22 +665,10 @@ def q117_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying pair matches on exactly ONE probe (mask == bucket xor), so
     no distinct stage. Band filter runs BEFORE the rank window, so
     WindowGroupLimit sees only in-band pairs."""
-    from binwatch_spark.functions.texthash import EMBED_DIM, N_PLANES
-    from binwatch_spark.operators.similarity import (
-        _pair_dot,
-        _prep,
-        probe_masks,
-    )
+    from binwatch_spark.functions.texthash import N_PLANES
+    from binwatch_spark.operators.similarity import _prep, probe_masks
 
-    emb = load(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
-    queries = emb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    cands = emb.filter(F.col("vec_id") >= 20).select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
-    )
+    queries, cands = _anchor_corpus_split(spark, sf_dir)
     q = _prep(queries, "q_emb", with_bucket=True)
     probes = F.array(
         *[
@@ -670,17 +678,4 @@ def q117_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = q.withColumn("_bucket", F.explode(probes))
     c = _prep(cands, "c_emb", with_bucket=True)
-    pairs = c.join(F.broadcast(q), on="_bucket")
-    sim = _pair_dot(F.col("q_emb"), F.col("c_emb"), EMBED_DIM) / (
-        F.col("_norm_q_emb") * F.col("_norm_c_emb")
-    )
-    banded = pairs.select(
-        "query_id", "cand_id", sim.alias("sim")
-    ).filter((F.col("sim") >= NEG_LO) & (F.col("sim") < NEG_HI))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("cand_id")
-    )
-    return (
-        banded.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= NEG_K)
-    )
+    return _semi_hard_tail(c.join(F.broadcast(q), on="_bucket"))

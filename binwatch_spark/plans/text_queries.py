@@ -711,7 +711,13 @@ def q90_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(6) absorbs summation-order and libm-ln last-ulp differences.
     At scale the term set is the only broadcast (bytes), and every shuffle
     carries (doc_id, term) pairs already filtered to query terms."""
-    docs = load(spark, sf_dir, "documents")
+    return bm25_scores(load(spark, sf_dir, "documents"))
+
+
+def bm25_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, bm25 round(6), n_terms_hit) for the fixed BM25_TERMS query
+    — q90's scoring, factored so the hybrid-retrieval rung (q123) ranks
+    the IDENTICAL lexical score; only docs hitting ≥1 query term appear."""
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("t")
     )

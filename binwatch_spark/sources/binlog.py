@@ -205,6 +205,7 @@ class ReplayBinlogClient:
 
     def __init__(self, replay_dir: str):
         self.replay_dir = replay_dir
+        self._located_cache: tuple[tuple, list] | None = None
 
     def _records(self) -> list[dict[str, Any]]:
         records: list[dict[str, Any]] = []
@@ -218,10 +219,28 @@ class ReplayBinlogClient:
                         records.append(json.loads(line))
         return records
 
+    def _dir_fingerprint(self) -> tuple:
+        """(name, size, mtime_ns) per replay file — the cache key for
+        _located. A stat sweep per call instead of a full re-read: replay
+        dirs DO grow mid-run (recorded-session soaks append files between
+        triggers), so the cache must see new/changed files, but the common
+        case — four location lookups per micro-batch over an unchanged
+        dir — must not re-parse and re-merge the whole GTID history."""
+        out = []
+        for name in sorted(os.listdir(self.replay_dir)):
+            if name.endswith((".json", ".jsonl")):
+                st = os.stat(os.path.join(self.replay_dir, name))
+                out.append((name, st.st_size, st.st_mtime_ns))
+        return tuple(out)
+
     def _located(self) -> list[tuple[BinlogLocation, dict[str, Any]]]:
         """Records in binlog order, each under a location carrying the
         CUMULATIVE GTID set of every tagged record up to and including it
-        — the executed-set a GTID-enabled master would report there."""
+        — the executed-set a GTID-enabled master would report there.
+        Memoized on the directory fingerprint (see _dir_fingerprint)."""
+        key = self._dir_fingerprint()
+        if self._located_cache is not None and self._located_cache[0] == key:
+            return self._located_cache[1]
         selected = sorted(
             (
                 (BinlogLocation(r["binlog_file"], int(r["binlog_position"])), r)
@@ -242,6 +261,7 @@ class ReplayBinlogClient:
                     rec,
                 )
             )
+        self._located_cache = (key, out)
         return out
 
     def master_location(self) -> BinlogLocation:
@@ -354,6 +374,12 @@ class MySQLBinlogClient:
         return settings
 
     def master_location(self) -> BinlogLocation:
+        """SHOW MASTER STATUS → (file, pos) PLUS the Executed_Gtid_Set
+        column (index 4) when the server runs with GTIDs — committed
+        offsets must carry the GTID resume token or a failover to a new
+        primary (different binlog file namespace) makes the checkpointed
+        file/pos meaningless. Pre-GTID servers return an empty column →
+        gtid_set=None, identical to the old behavior."""
         import pymysql
 
         conn = pymysql.connect(**self._connection_settings())
@@ -361,7 +387,10 @@ class MySQLBinlogClient:
             with conn.cursor() as cur:
                 cur.execute("SHOW MASTER STATUS")
                 row = cur.fetchone()
-                return BinlogLocation(row[0], int(row[1]))
+                gtid = None
+                if row is not None and len(row) > 4 and row[4]:
+                    gtid = str(row[4]).replace("\n", "")
+                return BinlogLocation(row[0], int(row[1]), gtid_set=gtid)
         finally:
             conn.close()
 

@@ -106,8 +106,11 @@ def arity_gate(
     absent from the map are DROPPED and counted (``unknown_table_events``)
     — the reference's handler skips any table it has no column map for
     (blreaderwork.go:248-250, ``colNames == nil → continue``), and a
-    positional row that never gets named is useless downstream anyway."""
-    if not columns_by_table:
+    positional row that never gets named is useless downstream anyway.
+    An EMPTY map under drop_unknown=True therefore drops (and counts)
+    every event — the all-tables-unknown limit of the same rule, not a
+    pass-through; only the no-drop mode short-circuits."""
+    if not columns_by_table and not drop_unknown:
         return df
 
     def mismatch(n: int):
@@ -124,7 +127,8 @@ def arity_gate(
         )
         known = known | cond
     flagged = df.withColumn(
-        "_arity_mismatch", F.coalesce(bad, F.lit(False))
+        "_arity_mismatch",
+        F.coalesce(bad, F.lit(False)) if bad is not None else F.lit(False),
     ).withColumn(
         "_unknown_table", ~known if drop_unknown else F.lit(False)
     )
@@ -162,9 +166,9 @@ def bind_positional_rows(
 
     Events failing the ``arity_gate`` check are dropped and counted BEFORE
     binding (metric name ``positional_binder``) — see arity_gate for the
-    reference-parity contract."""
-    if not columns_by_table:
-        return df
+    reference-parity contract. An empty discovered map (allowlist matched
+    no tables / probe failed soft) drops and counts EVERY event rather
+    than letting raw positional maps flow downstream unnamed."""
     df = arity_gate(
         df,
         columns_by_table,
@@ -184,4 +188,6 @@ def bind_positional_rows(
         bound = F.transform(F.col("rows"), binder(cols))
         cond = (F.col("database") == db) & (F.col("table") == table)
         expr = F.when(cond, bound) if expr is None else expr.when(cond, bound)
+    if expr is None:  # empty map: the gate above already dropped everything
+        return df
     return df.withColumn("rows", expr.otherwise(F.col("rows")))

@@ -1516,6 +1516,19 @@ _SEEDED_RANDOM: dict[str, Any] = {
     ),
 }
 
+# Exact argument counts for the seeded family (the lambdas above are
+# fixed-signature) — enforced by _validate_expr at compile time.
+_SEEDED_ARITY: dict[str, int] = {
+    "uuidv4": 0,
+    "randAlpha": 1,
+    "randAlphaNum": 1,
+    "randNumeric": 1,
+    "randAscii": 1,
+    "randInt": 2,
+    "randBytes": 1,
+    "shuffle": 1,
+}
+
 
 def _seeded_rng_for(item: dict):
     """Deterministic per-item RNG: seeded from the item's stable identity
@@ -1678,6 +1691,17 @@ def _validate_expr(expr: str, seeded_random: bool = False) -> None:
             raise ValueError(f"unsupported template expression: {{{{ {expr} }}}}")
         head = tokens[0]
         if seeded_random and head in _SEEDED_RANDOM:
+            # Exact arity (the impls are fixed-signature lambdas): a
+            # malformed call must fail HERE, at compile_routes time, not
+            # per-event inside send_partition (fail-fast contract,
+            # blsenderwork.go:102-105 parity — same rule as _MIN_ARITY).
+            n_args = len(tokens) - 1 + (1 if n > 0 else 0)
+            want = _SEEDED_ARITY[head]
+            if n_args != want:
+                raise ValueError(
+                    f"wrong number of args for {head}: want {want}"
+                    f" got {n_args}"
+                )
             for t in tokens[1:]:
                 _validate_operand(t)
             continue

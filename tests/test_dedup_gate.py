@@ -201,7 +201,10 @@ def test_index_update_loop_drops_against_appended_keepers(spark):
         schema,
     )
     prefix = "t_idx_loop"
-    build_dedup_index(corpus, "text", "doc_id", prefix=prefix)
+    # non-default bucket count on purpose: the append below must carry the
+    # SAME spec or Spark rejects the bucketed-table append (regression:
+    # update_dedup_index once hardcoded 16)
+    build_dedup_index(corpus, "text", "doc_id", prefix=prefix, num_buckets=4)
     verd_b = {
         r["doc_id"]: (r["verdict"], r["match_doc_id"])
         for r in incremental_dedup_with_index(
@@ -211,7 +214,7 @@ def test_index_update_loop_drops_against_appended_keepers(spark):
     assert verd_b == {10: ("keep", None), 20: ("drop_exact", 1)}
 
     keep_b = b.filter(b.doc_id == 10)
-    update_dedup_index(keep_b, "text", "doc_id", prefix=prefix)
+    update_dedup_index(keep_b, "text", "doc_id", prefix=prefix, num_buckets=4)
     verd_c = {
         r["doc_id"]: (r["verdict"], r["match_doc_id"])
         for r in incremental_dedup_with_index(

@@ -74,3 +74,22 @@ def test_real_decode_features_and_fallback_routing():
     assert _decode_or_fake(b"plain text") == _fake_decode(b"plain text")
     with pytest.raises(NotImplementedError):
         real_decode(b"plain text")
+
+
+def test_corrupt_png_falls_back_to_fake():
+    """A PNG-magic payload that fails to decode (truncated, bad CRC, bad
+    IDAT, zero-dimension IHDR) must FALL BACK to the fake featurizer, not
+    crash the mapInPandas stage — one bad image in a crawl must never kill
+    the whole decode query."""
+    good = bytearray(png_encode(_pixels(4 * 4 * 3), 4, 4, 3))
+    bad_crc = bytearray(good)
+    bad_crc[bad_crc.find(b"IDAT") + 6] ^= 0xFF
+    truncated = bytes(good[:20])
+    garbage = PNG_MAGIC + b"\x00" * 16
+    zero_dim = PNG_MAGIC + (
+        struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">IIBBBBB", 0, 0, 8, 2, 0, 0, 0)
+    )
+    for payload in (bytes(bad_crc), truncated, garbage, zero_dim):
+        assert _decode_or_fake(payload) == _fake_decode(payload)

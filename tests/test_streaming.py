@@ -984,3 +984,31 @@ def test_binlog_datasource_gtid_start_through_engine(spark, tmp_path):
         for r in spark.read.parquet(f"{tmp}/sink").collect()
     )
     assert rows == [("mysql-bin.000002", 4), ("mysql-bin.000002", 150)]
+
+
+def test_positional_binder_empty_schema_map_drops_everything(spark):
+    """An EMPTY discovered-schema map (allowlist matched nothing / probe
+    failed soft) is the all-tables-unknown limit of the drop-and-count
+    rule: every positional event drops, counted under
+    unknown_table_events — raw positional maps must never flow downstream
+    unnamed (blreaderwork.go:248-250)."""
+    from pyspark.sql import Observation
+
+    from binwatch_spark.sources.schema_probe import bind_positional_rows
+
+    schema = "database string, table string, rows array<map<string,string>>"
+    df = spark.createDataFrame(
+        [
+            ("testdb", "users", [{"0": "1", "1": "ada"}]),
+            ("testdb", "other", [{"0": "x"}]),
+        ],
+        schema,
+    )
+    obs = Observation()
+    out = bind_positional_rows(df, {}, observation=obs).collect()
+    assert out == []
+    assert obs.get == {
+        "arity_mismatch_events": 0,
+        "unknown_table_events": 2,
+        "events_seen": 2,
+    }

@@ -1130,3 +1130,19 @@ def test_seeded_random_route_config_roundtrip():
     doc["routes"][0].pop("seededRandom")
     with pytest.raises(ValueError, match="seededRandom"):
         compile_routes(parse(doc))
+
+
+def test_seeded_random_family_arity_checked_at_compile_time():
+    """Malformed seeded-random calls must fail at compile_template time
+    (the fail-fast contract every other function gets via _MIN_ARITY), not
+    per-event inside send_partition on executors."""
+    for bad in ("{{ randAlpha }}", "{{ uuidv4 8 }}", "{{ randInt 10 }}",
+                "{{ randBytes }}", "{{ shuffle }}"):
+        with pytest.raises(ValueError, match="wrong number of args"):
+            compile_template(bad, seeded_random=True)
+    # well-formed calls still compile and render deterministically
+    f = compile_template(
+        '{{ randAlpha 3 }}|{{ uuidv4 }}|{{ randInt 1 5 }}|{{ "ab" | shuffle }}',
+        seeded_random=True,
+    )
+    assert f(ITEM) == f(dict(ITEM))
