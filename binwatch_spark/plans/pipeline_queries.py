@@ -1121,3 +1121,55 @@ def q115_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+# Per-source token budget for q124 (the fixture's sources hold ~1.3-1.5k
+# whitespace tokens each, so 800 exercises the budget-crossing rule).
+TOKEN_BUDGET = 800
+
+
+@register(
+    "q124_token_budget_select",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY source
+                        ORDER BY n_tokens DESC, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t)
+SELECT doc_id, source, n_tokens, cum_tokens FROM c
+WHERE cum_tokens - n_tokens < {TOKEN_BUDGET}
+""",
+)
+def q124_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: per mixture source, admit documents
+    in priority order (longest first, doc_id tiebreak) until the source's
+    cumulative token count reaches {TOKEN_BUDGET} — the doc that CROSSES
+    the budget is admitted (cum before it < budget), so every source
+    yields at least one doc and the budget is met, not undershot. This is
+    the "fill each source's token quota" step of assembling a pretraining
+    mixture from heterogeneous sources (the greedy dual of q108's
+    rate-based mixture sampling).
+
+    Scale shape: token counts are a map-side expression; the running sum
+    is one window PARTITIONED BY source (shuffle on source — the mixture
+    axis, naturally bounded cardinality; a skewed giant source is the
+    q97-salting case and would reuse that operator). No global sort, no
+    collect."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_tokens").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return c.filter(F.col("cum_tokens") - F.col("n_tokens") < TOKEN_BUDGET)

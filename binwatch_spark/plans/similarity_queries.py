@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from binwatch_spark.functions.texthash import lsh_bucket_sql
 from binwatch_spark.operators.similarity import lsh_knn
 from binwatch_spark.plans.registry import register
+from binwatch_spark.plans.text_queries import BM25_B, BM25_K1, BM25_TERMS
 from binwatch_spark.tables import load
 
 
@@ -679,3 +680,139 @@ def q117_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = q.withColumn("_bucket", F.explode(probes))
     c = _prep(cands, "c_emb", with_bucket=True)
     return _semi_hard_tail(c.join(F.broadcast(q), on="_bucket"))
+
+
+# Hybrid retrieval: candidate-pool sizes, the RRF smoothing constant
+# (Cormack et al.'s k=60), and the fused result size. Spelled identically
+# in the oracle.
+HYB_POOL = 50
+RRF_K = 60
+HYB_TOPK = 20
+
+
+@register(
+    "q123_hybrid_retrieval",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+  FROM documents WHERE doc_id >= 1
+), dl AS (
+  SELECT doc_id, count(*) AS dlen FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n_docs, avg(CAST(dlen AS DOUBLE)) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM tok
+  WHERE t IN {{terms}} GROUP BY doc_id, t
+), df AS (
+  SELECT t, count(*) AS df FROM tf GROUP BY t
+), scored AS (
+  SELECT tf.doc_id,
+    ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+      * (tf.tf * ({{k1}} + 1))
+      / (tf.tf + {{k1}} * (1 - {{b}} + {{b}} * dl.dlen / stats.avgdl)) AS s
+  FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+), lex AS (
+  SELECT doc_id, round(sum(s), 6) AS bm25 FROM scored GROUP BY doc_id
+  ORDER BY bm25 DESC, doc_id LIMIT {HYB_POOL}
+), lex_r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM lex
+), q AS (
+  SELECT embedding AS q_emb FROM embeddings
+  WHERE vec_id = 0 AND embedding IS NOT NULL
+), c AS (
+  SELECT vec_id AS doc_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id >= 1 AND embedding IS NOT NULL
+), sem AS (
+  SELECT doc_id, {{cos}} AS sim FROM c CROSS JOIN q
+  ORDER BY sim DESC, doc_id LIMIT {HYB_POOL}
+), sem_r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY sim DESC, doc_id) AS sem_rank
+  FROM sem
+), fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         CAST(l.lex_rank AS INTEGER) AS lex_rank,
+         CAST(s.sem_rank AS INTEGER) AS sem_rank,
+         round(COALESCE(1.0 / ({RRF_K} + l.lex_rank), 0)
+               + COALESCE(1.0 / ({RRF_K} + s.sem_rank), 0), 6) AS rrf
+  FROM lex_r l FULL OUTER JOIN sem_r s ON l.doc_id = s.doc_id)
+SELECT doc_id, lex_rank, sem_rank, rrf FROM fused
+ORDER BY rrf DESC, doc_id LIMIT {HYB_TOPK}
+""".format(
+        terms=repr(BM25_TERMS), k1=BM25_K1, b=BM25_B, cos=_COS
+    ),
+)
+def q123_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval with reciprocal-rank fusion — the
+    RAG-corpus ranking shape: BM25 (q90's scorer, shared via bm25_scores)
+    and cosine-to-query each nominate a top-{HYB_POOL} candidate pool, the
+    pools full-outer merge on doc id, and RRF
+    1/({RRF_K}+rank) [Cormack et al.] fuses them into one top-{HYB_TOPK}.
+
+    Scale shape: each side reduces to its pool with orderBy().limit() —
+    TakeOrderedAndProject, a per-partition top-N + single merge, never a
+    global sort — and the rank windows then run on the {HYB_POOL}-row
+    bounded pools (the unpartitioned Window.orderBy is safe ONLY because
+    its input is post-limit, constant-bounded). The query vector is a
+    broadcast single row; the fusion join holds 2×{HYB_POOL} rows. At
+    100 TB the corpus-sized work is exactly q90's filtered-aggregate scan
+    plus one map-side cosine pass — no full-corpus window, no cross join
+    against anything unbounded."""
+    from binwatch_spark.functions.texthash import EMBED_DIM
+    from binwatch_spark.operators.similarity import _pair_dot, _prep
+    from binwatch_spark.plans.text_queries import bm25_scores
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") >= 1)
+    lex = (
+        bm25_scores(docs)
+        .select("doc_id", "bm25")
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(HYB_POOL)
+    )
+    lex_w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(lex_w).cast("int").alias("lex_rank")
+    )
+
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    q = _prep(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("q_emb")
+        ),
+        "q_emb",
+    )
+    c = _prep(
+        emb.filter(F.col("vec_id") >= 1).select(
+            F.col("vec_id").alias("doc_id"), F.col("embedding").alias("c_emb")
+        ),
+        "c_emb",
+    )
+    sim = _pair_dot(F.col("q_emb"), F.col("c_emb"), EMBED_DIM) / (
+        F.col("_norm_q_emb") * F.col("_norm_c_emb")
+    )
+    sem = (
+        c.crossJoin(F.broadcast(q))
+        .select("doc_id", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), "doc_id")
+        .limit(HYB_POOL)
+    )
+    sem_w = Window.orderBy(F.col("sim").desc(), "doc_id")
+    sem_r = sem.select(
+        "doc_id", F.row_number().over(sem_w).cast("int").alias("sem_rank")
+    )
+
+    rrf = F.round(
+        F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (RRF_K + F.col("sem_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        lex_r.join(sem_r, "doc_id", "full_outer")
+        .select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(HYB_TOPK)
+    )

@@ -333,3 +333,22 @@ def test_q120_multitable_generator_never_all_pairs(spark):
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
     assert plan.count("HashJoin") >= 5  # 3 table joins + 2 verify joins
+
+
+def test_q123_pools_take_ordered_no_global_sort_on_corpus(spark):
+    # both retrieval pools must reduce via TakeOrderedAndProject
+    # (per-partition top-N + merge); the only nested-loop join is the
+    # broadcast of the single-row query vector; the rank windows run
+    # post-limit on constant-bounded pools
+    plan = plan_of(spark, "q123_hybrid_retrieval", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q124_single_shuffle_on_source(spark):
+    # the running sum is one window partitioned by source: exactly one
+    # exchange, hash-partitioned on the mixture axis — no global sort
+    plan = plan_of(spark, "q124_token_budget_select", mode="simple")
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(source" in plan
+    assert "CartesianProduct" not in plan
