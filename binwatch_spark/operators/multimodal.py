@@ -199,13 +199,17 @@ def real_decode(payload: bytes) -> list[float]:
     mean_c0, mean_c1, mean_c2, min_px, max_px] (absent channels → 0.0;
     integer sums divided by pixel count — exact in doubles for fixture
     sizes, so the q119 oracle can spell the identical means in SQL).
-    Non-PNG modalities raise NotImplementedError — no other codecs ship in
-    this container; decode_features falls back to the deterministic fake
-    featurizer for those payloads."""
+    WAV payloads (RIFF magic) route to the audio featurizer
+    (:func:`wav_features` — same 8-slot layout, audio semantics per slot).
+    Other modalities raise NotImplementedError — no further codecs ship
+    in this container; decode_features falls back to the deterministic
+    fake featurizer for those payloads."""
+    if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
+        return wav_features(payload)
     if not payload.startswith(PNG_MAGIC):
         raise NotImplementedError(
-            "only the PNG codec is available in this environment;"
-            " _fake_decode stands in for other modalities"
+            "only the PNG and WAV codecs are available in this"
+            " environment; _fake_decode stands in for other modalities"
         )
     width, height, channels, px = png_decode(payload)
     n = width * height
@@ -262,6 +266,123 @@ def synthesize_png_payloads(
     return df.select(id_col).mapInPandas(
         gen, schema=f"{id_col} bigint, content binary"
     )
+
+
+def synthesize_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic mono PCM WAV per row — the fixture-audio source for
+    the real-decode path (q125), same policy as synthesize_png_payloads:
+    sample k is ``((id*31 + k*7) % 4096) - 2048`` (closed form, so an SQL
+    oracle can state the decoded statistics without an audio codec). In
+    production this stage is a storage read; only the payload origin is
+    synthetic — the RIFF walk, PCM unpack, and feature math are the real
+    path."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            contents = [
+                wav_encode(
+                    [
+                        ((int(did) * 31 + k * 7) % 4096) - 2048
+                        for k in range(WAV_N)
+                    ]
+                )
+                for did in ids
+            ]
+            yield pd.DataFrame({id_col: ids, "content": contents})
+
+    return df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} bigint, content binary"
+    )
+
+
+WAV_MAGIC = b"RIFF"
+WAV_RATE = 8000  # fixture sample rate (Hz)
+WAV_N = 256  # samples per fixture clip (power of two → exact double means)
+
+
+def wav_encode(samples: list[int], rate: int = WAV_RATE) -> bytes:
+    """Minimal mono 16-bit PCM WAV encoder (RIFF + fmt + data). Exists for
+    fixture/audio synthesis — the decode direction is the production
+    path."""
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def wav_decode(payload: bytes) -> tuple[int, int, list[int]]:
+    """Pure-stdlib WAV decode → (n_channels, sample_rate, samples).
+
+    Supports PCM 16-bit (the normalized ingest format — exotic encodings
+    are transcoded once at ingest, same policy as png_decode), any channel
+    count (samples interleaved), chunk-walked per RIFF so extra chunks
+    (LIST/INFO) are skipped. Truncated or non-PCM payloads raise
+    ValueError."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, channels, rate, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated WAV chunk")
+        if tag == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated fmt chunk")
+            audio_fmt, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    "unsupported WAV variant: only PCM 16-bit is decoded"
+                )
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if channels is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if len(data) % 2:
+        raise ValueError("odd PCM data length")
+    samples = list(
+        struct.unpack(f"<{len(data) // 2}h", data)
+    )
+    return channels, rate, samples
+
+
+def wav_features(payload: bytes) -> list[float]:
+    """Audio feature vector in the shared 8-slot layout: [n_samples,
+    sample_rate, n_channels, mean, mean_abs, zero_crossings, min, max].
+    Integer sums over a power-of-two count keep the doubles exact, so an
+    SQL oracle can state the decoded statistics from the closed-form
+    sample rule without any audio codec."""
+    channels, rate, samples = wav_decode(payload)
+    n = len(samples)
+    if n == 0:
+        raise ValueError("empty WAV data")
+    crossings = sum(
+        1 for i in range(1, n) if (samples[i - 1] < 0) != (samples[i] < 0)
+    )
+    return [
+        float(n),
+        float(rate),
+        float(channels),
+        sum(samples) / n,
+        sum(abs(s) for s in samples) / n,
+        float(crossings),
+        float(min(samples)),
+        float(max(samples)),
+    ]
 
 
 def _decode_or_fake(payload: bytes) -> list[float]:

@@ -288,6 +288,60 @@ def q119_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q125_wav_decode",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, k,
+         ((doc_id * 31 + k * 7) % 4096) - 2048 AS v
+  FROM (SELECT doc_id, unnest(range(0, {multimodal.WAV_N})) AS k
+        FROM documents)
+), z AS (
+  SELECT doc_id, k, v,
+    lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+  FROM s)
+SELECT doc_id,
+  CAST({multimodal.WAV_N} AS BIGINT) AS n_samples,
+  CAST({multimodal.WAV_RATE} AS BIGINT) AS sample_rate,
+  avg(v) AS mean_sample,
+  avg(abs(v)) AS mean_abs,
+  CAST(sum(CASE WHEN pv IS NOT NULL AND (pv < 0) != (v < 0)
+                THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+  CAST(min(v) AS BIGINT) AS min_sample,
+  CAST(max(v) AS BIGINT) AS max_sample
+FROM z GROUP BY doc_id
+""",
+)
+def q125_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL bytes→samples through the multimodal decode stage, audio
+    modality: each doc gets a deterministic mono 16-bit PCM WAV
+    (closed-form sample rule — operators/multimodal.
+    synthesize_wav_payloads), decode_features routes the RIFF magic to
+    wav_features (pure-stdlib chunk walk + PCM unpack), and the decoded
+    statistics (mean, mean |amplitude|, zero crossings, min/max) come out
+    as features. The oracle computes the SAME statistics from the sample
+    rule in SQL — no audio codec on the oracle side — so a decoder that
+    misparses the RIFF layout or sample encoding hash-mismatches
+    immediately. Integer sums over a power-of-two sample count keep the
+    doubles exact in both engines. Together with q119 (PNG) this makes
+    BOTH real decoders first-class oracle-checked paths; q32/q75/q76
+    remain the opaque-payload plumbing checks."""
+    docs = load(spark, sf_dir, "documents")
+    payload = multimodal.synthesize_wav_payloads(docs, "doc_id")
+    decoded = multimodal.decode_features(payload)
+    f = F.col("feature")
+    return decoded.select(
+        "doc_id",
+        f[0].cast("bigint").alias("n_samples"),
+        f[1].cast("bigint").alias("sample_rate"),
+        f[3].alias("mean_sample"),
+        f[4].alias("mean_abs"),
+        f[5].cast("bigint").alias("zero_crossings"),
+        f[6].cast("bigint").alias("min_sample"),
+        f[7].cast("bigint").alias("max_sample"),
+    )
+
+
 def _pii_redact_sql() -> str:
     from binwatch_spark.operators.text import PII_EMAIL, PII_IPV4, PII_PHONE
 

@@ -93,3 +93,49 @@ def test_corrupt_png_falls_back_to_fake():
     )
     for payload in (bytes(bad_crc), truncated, garbage, zero_dim):
         assert _decode_or_fake(payload) == _fake_decode(payload)
+
+
+def test_wav_round_trip_and_chunk_walk():
+    from binwatch_spark.operators.multimodal import (
+        wav_decode,
+        wav_encode,
+        wav_features,
+    )
+
+    samples = [((7 * 31 + k * 7) % 4096) - 2048 for k in range(256)]
+    blob = wav_encode(samples)
+    assert wav_decode(blob) == (1, 8000, samples)
+    # extra RIFF chunk (odd-sized, word-aligned with a pad byte) between
+    # fmt and data must be skipped by the chunk walk
+    fmt_at = blob.find(b"fmt ")
+    data_at = blob.find(b"data")
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    walked = blob[:data_at] + extra + blob[data_at:]
+    assert wav_decode(walked)[2] == samples
+    feats = wav_features(blob)
+    assert feats[0] == 256.0 and feats[1] == 8000.0 and feats[2] == 1.0
+    assert feats[3] == sum(samples) / 256
+    assert feats[6] == float(min(samples)) and feats[7] == float(max(samples))
+    assert fmt_at < data_at
+
+
+def test_wav_rejects_non_pcm_and_corrupt():
+    from binwatch_spark.operators.multimodal import (
+        _decode_or_fake,
+        wav_decode,
+        wav_encode,
+    )
+
+    blob = bytearray(wav_encode([0, 1, -1, 2]))
+    fmt_body = blob.find(b"fmt ") + 8
+    non_pcm = bytearray(blob)
+    non_pcm[fmt_body] = 3  # IEEE-float format tag
+    with pytest.raises(ValueError, match="PCM"):
+        wav_decode(bytes(non_pcm))
+    with pytest.raises(ValueError, match="truncated"):
+        wav_decode(bytes(blob[:24]))
+    with pytest.raises(ValueError, match="not a WAV"):
+        wav_decode(b"RIFFxxxxAVI ")
+    # corrupt WAV payloads fall back to the fake featurizer, same as PNG
+    for payload in (bytes(non_pcm), bytes(blob[:24])):
+        assert _decode_or_fake(payload) == _fake_decode(payload)
