@@ -205,12 +205,14 @@ def test_read_range_stops_past_end(fake_pymysqlreplication):
 def test_master_location_via_show_master_status(
     fake_pymysqlreplication, monkeypatch
 ):
+    gtid_col = [""]
+
     class _Cursor:
         def execute(self, sql):
             assert sql == "SHOW MASTER STATUS"
 
         def fetchone(self):
-            return ("mysql-bin.000008", 150, "", "", "")
+            return ("mysql-bin.000008", 150, "", "", gtid_col[0])
 
         def __enter__(self):
             return self
@@ -230,6 +232,16 @@ def test_master_location_via_show_master_status(
     monkeypatch.setitem(sys.modules, "pymysql", fake_pymysql)
     loc = _client().master_location()
     assert loc == BinlogLocation("mysql-bin.000008", 150)
+    assert loc.gtid_set is None  # pre-GTID server: empty column → None
+
+    # GTID server: the Executed_Gtid_Set column (MySQL wraps it with
+    # newlines) must ride the location so committed offsets survive a
+    # failover to a primary with a different binlog namespace
+    gtid_col[0] = "3e11fa47-71ca-11e1-9e33-c80aa9429562:1-5,\nabc:1"
+    loc = _client().master_location()
+    assert loc.gtid_set == (
+        "3e11fa47-71ca-11e1-9e33-c80aa9429562:1-5,abc:1"
+    )
 
 
 def test_import_gate_message_without_package():
