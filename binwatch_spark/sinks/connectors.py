@@ -49,7 +49,13 @@ class WebhookConnector(Connector):
             "data": payload,
             "timeout": 30,
         }
-        if self._cfg.username or self._cfg.password:
+        # connectors.webhook.go:59-61: basic auth only when BOTH creds are
+        # set AND no explicit Authorization header wins (requests' auth=
+        # would silently override one).
+        has_auth_header = any(
+            k.lower() == "authorization" for k in (self._cfg.headers or {})
+        )
+        if self._cfg.username and self._cfg.password and not has_auth_header:
             kwargs["auth"] = (self._cfg.username, self._cfg.password)
         if self._cfg.tls_skip_verify:
             kwargs["verify"] = False

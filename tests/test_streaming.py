@@ -1012,3 +1012,41 @@ def test_positional_binder_empty_schema_map_drops_everything(spark):
         "unknown_table_events": 2,
         "events_seen": 2,
     }
+
+
+def test_webhook_auth_header_precedence():
+    """connectors.webhook.go:59-61 parity: basic auth applies only when
+    BOTH credentials are set AND no explicit Authorization header exists —
+    an explicit header must never be clobbered by requests' auth kwarg."""
+    from binwatch_spark.config import WebhookConfig
+    from binwatch_spark.sinks.connectors import WebhookConnector
+
+    calls = []
+
+    class _Resp:
+        status_code = 200
+
+    class _FakeRequests:
+        @staticmethod
+        def request(method, url, **kwargs):
+            calls.append((method, url, kwargs))
+            return _Resp()
+
+    def make(**fields):
+        c = WebhookConnector.__new__(WebhookConnector)
+        c._requests = _FakeRequests()
+        c._cfg = WebhookConfig(url="http://example.invalid/hook", **fields)
+        return c
+
+    # both creds, no header → basic auth
+    make(username="u", password="p").send(b"x")
+    assert calls[-1][2]["auth"] == ("u", "p")
+    # explicit Authorization header wins; auth kwarg absent
+    make(
+        username="u", password="p", headers={"Authorization": "Bearer t"}
+    ).send(b"x")
+    assert "auth" not in calls[-1][2]
+    assert calls[-1][2]["headers"] == {"Authorization": "Bearer t"}
+    # one credential only → no auth (reference requires both)
+    make(username="u").send(b"x")
+    assert "auth" not in calls[-1][2]
