@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from binwatch_spark.functions.texthash import lsh_bucket_sql
+from binwatch_spark.functions.texthash import lsh_bucket_sql, polyhash_sql
 from binwatch_spark.operators.similarity import lsh_knn
 from binwatch_spark.plans.registry import register
 from binwatch_spark.plans.text_queries import BM25_B, BM25_K1, BM25_TERMS
@@ -816,3 +816,64 @@ def q123_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(HYB_TOPK)
     )
+
+
+CLUSTER_SAMPLE_TARGET = 12  # per-cluster quota for balanced curation
+
+
+@register(
+    "q126_cluster_balanced_sample",
+    oracle=f"""
+WITH assign AS (
+  SELECT vec_id, cell_id FROM ({{kmeans}}) t
+), sizes AS (
+  SELECT cell_id, count(*) AS cluster_n FROM assign GROUP BY cell_id
+), gated AS (
+  SELECT a.vec_id, a.cell_id, s.cluster_n,
+    CASE WHEN s.cluster_n <= {CLUSTER_SAMPLE_TARGET} THEN 1000000
+         ELSE (1000000 * {CLUSTER_SAMPLE_TARGET}) // s.cluster_n
+    END AS keep_below
+  FROM assign a JOIN sizes s USING (cell_id))
+SELECT vec_id, cell_id, cluster_n FROM gated
+WHERE {{h}} % 1000000 < keep_below
+""".format(
+        kmeans=_kmeans_sql(),
+        h=polyhash_sql("CAST(vec_id AS VARCHAR)"),
+    ),
+)
+def q126_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus sampling — the diversity-preserving
+    curation step (the SemDeDup/SSL-prototypes recipe): cluster the
+    embedding space (q98's two Lloyd rounds, reused verbatim), then cap
+    every cluster at ~{CLUSTER_SAMPLE_TARGET} docs via the deterministic
+    content-hash gate (q36's rule over the vector id) with keep
+    probability TARGET/cluster_n — over-represented modes are thinned,
+    rare modes survive whole, and the subset is reproducible across
+    engines and runs (no RNG).
+
+    Scale shape: q98's kernel does the heavy lifting (one Arrow kernel
+    per round, k driver-resident centroids); sizes is a k-row aggregate
+    broadcast back; the gate is a map-side integer expression. The only
+    corpus-sized shuffles are the ones q98 already pays."""
+    from binwatch_spark.functions.texthash import polyhash
+    from binwatch_spark.operators.similarity import kmeans_lloyd_rounds
+
+    emb = load(spark, sf_dir, "embeddings")
+    assign = kmeans_lloyd_rounds(emb, "vec_id", "embedding", IVF_STRIDE).select(
+        "vec_id", "cell_id"
+    )
+    sizes = assign.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("cluster_n")
+    )
+    keep_below = F.when(
+        F.col("cluster_n") <= CLUSTER_SAMPLE_TARGET, F.lit(1000000)
+    ).otherwise(
+        F.expr(f"(1000000 * {CLUSTER_SAMPLE_TARGET}) div cluster_n")
+    )
+    gated = assign.join(F.broadcast(sizes), "cell_id").withColumn(
+        "keep_below", keep_below
+    )
+    return gated.filter(
+        polyhash(F.col("vec_id").cast("string")) % 1000000
+        < F.col("keep_below")
+    ).select("vec_id", "cell_id", "cluster_n")

@@ -352,3 +352,11 @@ def test_q124_single_shuffle_on_source(spark):
     assert plan.count("Exchange") == 1
     assert "hashpartitioning(source" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q126_sizes_broadcast_gate_map_side(spark):
+    # cluster sizes (k rows) must broadcast back; the keep gate is a
+    # map-side expression — no extra corpus-sized exchange beyond q98's
+    plan = plan_of(spark, "q126_cluster_balanced_sample", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
