@@ -259,3 +259,47 @@ def q69_ship_delay_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dsum(F.col("_d")) / F.count(F.lit(1))).alias("avg_delay_days"),
         )
     )
+
+
+HIER_ROOTS = 10  # doc_id < HIER_ROOTS are forest roots; parent = id div 2
+
+
+@register(
+    "q127_recursive_hierarchy",
+    oracle=f"""
+WITH RECURSIVE walk(doc_id, root, depth) AS (
+  SELECT doc_id, doc_id, 0 FROM documents WHERE doc_id < {HIER_ROOTS}
+  UNION ALL
+  SELECT c.doc_id, w.root, w.depth + 1
+  FROM documents c JOIN walk w ON c.doc_id // 2 = w.doc_id
+  WHERE c.doc_id >= {HIER_ROOTS})
+SELECT doc_id, root, CAST(depth AS BIGINT) AS depth FROM walk
+""",
+)
+def q127_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (hierarchy traversal) through Spark 4's native
+    WITH RECURSIVE — the BOM-explosion / org-chart / thread-ancestry query
+    shape an analytics-engine user expects from the SQL surface. The
+    hierarchy is derived (parent(id) = id div 2, ids below {HIER_ROOTS}
+    are forest roots), so both engines traverse the identical forest and
+    every (node, root, depth) row hash-checks.
+
+    Spark executes the recursion as iterative UnionLoop steps over the
+    base relation — each step is one equi-join of the frontier against
+    the child scan, so at 100 TB the cost is depth × one shuffled join
+    with a shrinking frontier, the same plan a hand-rolled loop would
+    build (and what operators/dedup's pointer-jumping does for the
+    unbounded-depth case; this is the SQL-native bounded-forest form)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs.createOrReplaceTempView("q127_docs")
+    return spark.sql(
+        f"""
+WITH RECURSIVE walk(doc_id, root, depth) AS (
+  SELECT doc_id, doc_id, 0 FROM q127_docs WHERE doc_id < {HIER_ROOTS}
+  UNION ALL
+  SELECT c.doc_id, w.root, w.depth + 1
+  FROM q127_docs c JOIN walk w ON c.doc_id div 2 = w.doc_id
+  WHERE c.doc_id >= {HIER_ROOTS})
+SELECT doc_id, root, CAST(depth AS BIGINT) AS depth FROM walk
+"""
+    )
