@@ -303,3 +303,74 @@ WITH RECURSIVE walk(doc_id, root, depth) AS (
 SELECT doc_id, root, CAST(depth AS BIGINT) AS depth FROM walk
 """
     )
+
+
+@register(
+    "q128_unpivot_measures",
+    oracle=f"""
+WITH a AS (
+  SELECT l_returnflag, l_linestatus,
+         {_dsum_sql("l_quantity")} AS sum_qty,
+         {_dsum_sql("l_extendedprice")} AS sum_price,
+         {_dsum_sql("l_discount")} AS sum_disc
+  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+SELECT l_returnflag, l_linestatus, measure, value
+FROM a UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc))
+""",
+)
+def q128_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long relational melt): the q14-family measure
+    aggregate flipped into (group, measure, value) rows — the long-format
+    export shape metric stores and plotting layers consume. Uses Spark's
+    native DataFrame ``unpivot`` (SQL UNPIVOT underneath); aggregation
+    happens BEFORE the melt, so the corpus-sized scan aggregates
+    two-phase as usual and the unpivot touches only the tiny grouped
+    frame (never melt-then-aggregate, which would triple the shuffle).
+    Decimal accumulation keeps the doubles bit-identical."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+        dsum(F.col("l_discount")).alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "sum_price", "sum_disc"],
+        "measure",
+        "value",
+    )
+
+
+LATERAL_TOPK = 2
+
+
+@register(
+    "q129_lateral_topk",
+    oracle=f"""
+SELECT c.c_custkey, s.o_orderkey, s.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT {LATERAL_TOPK}) s
+""",
+)
+def q129_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (per-customer top-{LATERAL_TOPK}
+    orders) — the "for each row, run this parameterized subquery" SQL
+    surface. Spark 4 plans the correlated LIMIT as a partitioned window
+    under the hood (DomainJoin rewrite), so this is the same physical
+    work as q15's explicit window top-k — the point here is the SQL
+    spelling users port from other warehouses, checked end-to-end.
+    Customers with no orders contribute no rows (inner lateral) in both
+    engines."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("q129_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("q129_orders")
+    return spark.sql(
+        f"""
+SELECT c.c_custkey, s.o_orderkey, s.o_totalprice
+FROM q129_customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM q129_orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT {LATERAL_TOPK}) s
+"""
+    )
