@@ -1137,9 +1137,10 @@ WITH t AS (
   FROM documents
 ), c AS (
   SELECT doc_id, source, n_tokens,
-    sum(n_tokens) OVER (PARTITION BY source
-                        ORDER BY n_tokens DESC, doc_id
-                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    CAST(sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY n_tokens DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS cum_tokens
   FROM t)
 SELECT doc_id, source, n_tokens, cum_tokens FROM c
 WHERE cum_tokens - n_tokens < {TOKEN_BUDGET}
@@ -1171,5 +1172,5 @@ def q124_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_tokens").desc(), "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
     return c.filter(F.col("cum_tokens") - F.col("n_tokens") < TOKEN_BUDGET)
