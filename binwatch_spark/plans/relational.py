@@ -895,3 +895,54 @@ def q105_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(exact, "tok").select(
         F.col("tok").alias("token"), "est_count", "exact_count"
     )
+
+
+BLOOM_NATION = 3  # selective dim predicate for the bloom-join showcase
+
+
+@register(
+    "q130_bloom_join",
+    oracle=(
+        "SELECT s_suppkey, s_name,"
+        f" {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,"
+        " count(*) AS n_items"
+        " FROM lineitem JOIN supplier ON l_suppkey = s_suppkey"
+        f" WHERE s_nationkey = {BLOOM_NATION}"
+        " GROUP BY s_suppkey, s_name"
+    ),
+)
+def q130_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered selective join (operators/bloom.py): the dim keys
+    (suppliers of one nation) build a {0}-bit Bloom filter — constant-size
+    whatever the dim cardinality — whose membership test pre-filters the
+    fact scan MAP-SIDE, so the join exchange carries only possibly-
+    matching rows plus the false-positive sliver. The join after the
+    filter is exact, so the result is bit-identical to the plain join —
+    which is exactly how the oracle checks it (no bloom spelling needed:
+    the filter cannot change the answer, only the shuffle volume). This
+    is the explicit form of Spark's AQE runtime bloom filter, applicable
+    unconditionally and on the streaming side where AQE does not run.
+    Revenue accumulates in decimal (the q97 contract)."""
+    from binwatch_spark.operators.bloom import bloom_build, bloom_prefilter
+
+    sup = load(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") == BLOOM_NATION
+    )
+    li = load(spark, sf_dir, "lineitem")
+    bits = bloom_build(sup, "s_suppkey")
+    pre = bloom_prefilter(li, "l_suppkey", bits)
+    return (
+        pre.join(sup, pre.l_suppkey == sup.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+q130_bloom_join.__doc__ = q130_bloom_join.__doc__.format(
+    __import__("binwatch_spark.operators.bloom", fromlist=["BLOOM_BITS"]).BLOOM_BITS
+)
