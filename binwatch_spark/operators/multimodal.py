@@ -301,12 +301,17 @@ WAV_RATE = 8000  # fixture sample rate (Hz)
 WAV_N = 256  # samples per fixture clip (power of two → exact double means)
 
 
-def wav_encode(samples: list[int], rate: int = WAV_RATE) -> bytes:
-    """Minimal mono 16-bit PCM WAV encoder (RIFF + fmt + data). Exists for
+def wav_encode(
+    samples: list[int], rate: int = WAV_RATE, channels: int = 1
+) -> bytes:
+    """Minimal 16-bit PCM WAV encoder (RIFF + fmt + data); ``samples`` is
+    the interleaved frame stream for ``channels`` > 1. Exists for
     fixture/audio synthesis — the decode direction is the production
     path."""
     data = b"".join(struct.pack("<h", s) for s in samples)
-    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * 2 * channels, 2 * channels, 16
+    )
     return (
         b"RIFF"
         + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
@@ -361,20 +366,35 @@ def wav_decode(payload: bytes) -> tuple[int, int, list[int]]:
 
 
 def wav_features(payload: bytes) -> list[float]:
-    """Audio feature vector in the shared 8-slot layout: [n_samples,
+    """Audio feature vector in the shared 8-slot layout: [n_frames,
     sample_rate, n_channels, mean, mean_abs, zero_crossings, min, max].
     Integer sums over a power-of-two count keep the doubles exact, so an
     SQL oracle can state the decoded statistics from the closed-form
-    sample rule without any audio codec."""
+    sample rule without any audio codec.
+
+    Multi-channel WAVs are de-interleaved: slot 0 counts FRAMES (samples
+    per channel), zero-crossings are counted within each channel across
+    consecutive frames and summed — never across the channel boundary of
+    the interleaved stream (a L/R sign flip inside one frame is not a
+    crossing). mean/mean_abs/min/max pool all channels, identical to the
+    interleaved computation. For mono every slot matches the old
+    definition."""
     channels, rate, samples = wav_decode(payload)
     n = len(samples)
     if n == 0:
         raise ValueError("empty WAV data")
+    if n % channels:
+        raise ValueError("PCM data not a whole number of frames")
+    frames = n // channels
     crossings = sum(
-        1 for i in range(1, n) if (samples[i - 1] < 0) != (samples[i] < 0)
+        1
+        for ch in range(channels)
+        for i in range(1, frames)
+        if (samples[(i - 1) * channels + ch] < 0)
+        != (samples[i * channels + ch] < 0)
     )
     return [
-        float(n),
+        float(frames),
         float(rate),
         float(channels),
         sum(samples) / n,

@@ -622,7 +622,18 @@ def _semi_hard_tail(pairs: DataFrame) -> DataFrame:
     )
 
 
-NEG_PROBE_RADIUS = 2  # semi-hard band sits far out; radius-1 recall is ~9%
+# Semi-hard band sits at ~69-81° where per-plane disagreement is ~0.42, so
+# expected hamming distance between an anchor and an in-band candidate is
+# ~3.4 of 8 planes. Measured recall-vs-cost curve vs the q116 exact panel
+# (sf0.001 / sf0.01, pinned in tests/test_similarity.py):
+#   radius 1:   9 probes ( 3.5% of bucket space) -> recall ~0.09
+#   radius 2:  37 probes (14.5%)                 -> recall 0.27-0.28
+#   radius 3:  93 probes (36.3%)                 -> recall 0.64      <- knee
+#   radius 4: 163 probes (63.7%)                 -> recall 0.83-0.86
+# Radius 4 probes MORE than half the bucket space — blocking stops paying.
+# Radius 3 is the knee: recall clears 0.5 while candidate work stays ~36%
+# of the corpus per anchor (vs 100% for the q116 exact cross join).
+NEG_PROBE_RADIUS = 3
 
 
 @register(
@@ -651,16 +662,17 @@ def q117_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-{NEG_K} over multi-probe LSH bucket candidates instead of the
     O(|anchors|×|corpus|) cross join: anchors probe every bucket within
     hamming distance {NEG_PROBE_RADIUS} of their own (q70's probe rule at
-    radius 2 — the semi-hard band [{NEG_LO}, {NEG_HI}) sits at ~65-80°,
-    where a radius-1 probe set recovers single-digit percent of band
-    pairs; radius 2's 37 probes measure 0.27-0.28 top-k recall vs the
-    q116 exact panel at sf0.001/sf0.01, pinned in
-    tests/test_similarity.py). Approximate BY A STATED RULE: the
+    radius 3 — the knee of the measured recall-vs-cost curve above
+    NEG_PROBE_RADIUS: 93 probes = 36% of bucket space buys 0.64 top-k
+    recall vs the q116 exact panel at sf0.001 AND sf0.01, pinned in
+    tests/test_similarity.py; radius 2 only reached 0.27 because the
+    semi-hard band [{NEG_LO}, {NEG_HI}) sits at ~69-81° where expected
+    hamming is ~3.4/8). Approximate BY A STATED RULE: the
     oracle spells the identical hamming<={NEG_PROBE_RADIUS} predicate, so
     the driver hash-checks the blocked semantics end-to-end.
 
     Scale shape: probe explosion rides the small broadcast anchor side
-    (37 16-byte rows per anchor); the corpus keeps ONE bucket per row and
+    (93 16-byte rows per anchor); the corpus keeps ONE bucket per row and
     the join is an equi-join on bucket id — never a cross join
     (test_plans pins no CartesianProduct / no NestedLoop). Each
     qualifying pair matches on exactly ONE probe (mask == bucket xor), so

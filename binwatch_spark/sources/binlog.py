@@ -501,12 +501,32 @@ class MySQLBinlogClient:
         committed offsets — we resume instead, preserving at-least-once.
         Rotates are absorbed by pymysqlreplication (log_file switches,
         log_pos resets), so a reconnect mid-transaction or mid-rotate
-        resumes in the rotated file."""
+        resumes in the rotated file.
+
+        GTID starts keep their set for the WHOLE call: after the first
+        yielded event the cursor degrades to plain file/pos (the only
+        resume form a mid-range reconnect can use), but transactions
+        already in the start set may sit PAST that cursor in a new
+        primary's binlog after failover — the master would re-serve them.
+        So when ``start.gtid_set`` is present the stream also subscribes
+        to GtidEvent and every row event whose transaction gtid is
+        contained in the start set is skipped, mirroring
+        ReplayBinlogClient.read_range's set-membership rule."""
         from pymysqlreplication.row_event import (
             DeleteRowsEvent,
             UpdateRowsEvent,
             WriteRowsEvent,
         )
+
+        gtid_event_cls = None
+        start_gs = GtidSet.parse(start.gtid_set) if start.gtid_set else None
+        if start_gs is not None:
+            try:
+                from pymysqlreplication.event import GtidEvent
+
+                gtid_event_cls = GtidEvent
+            except ImportError:  # pragma: no cover - fixture environments
+                pass
 
         op_of = {
             WriteRowsEvent: ("WriteRowsEventV2", "INSERT"),
@@ -527,10 +547,23 @@ class MySQLBinlogClient:
 
         cursor = start
         attempts = 0
+        current_gtid: str | None = None
         while True:
-            stream = self._open_stream(cursor, list(op_of))
+            subscribe = list(op_of)
+            if gtid_event_cls is not None:
+                subscribe.append(gtid_event_cls)
+            stream = self._open_stream(cursor, subscribe)
             try:
                 for event in stream:
+                    if gtid_event_cls is not None and isinstance(
+                        event, gtid_event_cls
+                    ):
+                        # Transaction boundary marker: remember the gtid for
+                        # the row events that follow; the cursor stays at
+                        # the last YIELDED location (resume must not land
+                        # on a GTID entry).
+                        current_gtid = str(event.gtid)
+                        continue
                     loc = BinlogLocation(stream.log_file, int(stream.log_pos))
                     if loc > end:
                         return
@@ -542,6 +575,16 @@ class MySQLBinlogClient:
                     # reconnect the cursor is a real local location again
                     # and the bound applies as usual.
                     if not cursor.gtid_set and loc <= cursor:
+                        continue
+                    if (
+                        start_gs is not None
+                        and current_gtid is not None
+                        and start_gs.contains(current_gtid)
+                    ):
+                        # Already-delivered transaction re-served past the
+                        # file/pos cursor (failover / mid-range reconnect):
+                        # advance past it without re-yielding.
+                        cursor = loc
                         continue
                     etype, op = next(
                         v for k, v in op_of.items() if isinstance(event, k)

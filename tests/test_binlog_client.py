@@ -777,3 +777,138 @@ def test_gtid_auto_position_reconnect_falls_back_to_file_pos(
     kw = _AutoPosFailReader.last_kwargs
     assert "auto_position" not in kw
     assert kw["log_file"] == "mysql-bin.000007" and kw["log_pos"] == 220
+
+
+# ADVICE r07 #1: after the first yielded event the cursor degrades to plain
+# file/pos, so a mid-range reconnect resumes positionally — but on a new
+# primary (failover) transactions ALREADY IN the start GTID set can sit
+# PAST that cursor and would be re-served. read_range must keep the parsed
+# start set for the whole call and skip re-served transactions by set
+# membership, mirroring ReplayBinlogClient.read_range.
+_FAILOVER_UUID = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+RECORDED_FAILOVER = [
+    ("mysql-bin.000020", 100, _GtidEvent(f"{_FAILOVER_UUID}:30")),
+    (
+        "mysql-bin.000020",
+        160,
+        _WriteRowsEvent("shop", "users", [{"values": {"id": 9}}]),
+    ),
+    # an old transaction (:21, inside the start set) re-logged past the
+    # cursor — the new primary's binlog order after failover
+    ("mysql-bin.000020", 220, _GtidEvent(f"{_FAILOVER_UUID}:21")),
+    (
+        "mysql-bin.000020",
+        280,
+        _WriteRowsEvent("shop", "users", [{"values": {"id": 7}}]),
+    ),
+    ("mysql-bin.000020", 340, _GtidEvent(f"{_FAILOVER_UUID}:31")),
+    (
+        "mysql-bin.000020",
+        400,
+        _WriteRowsEvent("shop", "users", [{"values": {"id": 10}}]),
+    ),
+]
+
+
+class _FailoverReader(_FakeBinLogStreamReader):
+    """Serves RECORDED_FAILOVER; GtidEvents are yielded only when
+    subscribed (real only_events semantics). Drops the connection after
+    the first yielded ROW so the reconnect exercises the degraded
+    file/pos resume path with the :21 duplicate ahead of it."""
+
+    connections: list["_FailoverReader"] = []
+
+    def __init__(self, **kwargs):
+        type(self).last_kwargs = kwargs
+        type(self).last_instance = self
+        type(self).connections.append(self)
+        self.log_file = kwargs.get("log_file") or "mysql-bin.000020"
+        self.log_pos = kwargs.get("log_pos") or 4
+        self.closed = False
+        self._only = kwargs.get("only_events") or []
+        self._failing = len(type(self).connections) == 1
+
+    def __iter__(self):
+        rows = 0
+        for f, p, e in RECORDED_FAILOVER:
+            if (f, p) <= (self.log_file, self.log_pos):
+                continue
+            if not any(isinstance(e, cls) for cls in self._only):
+                continue
+            if self._failing and rows >= 1 and not isinstance(e, _GtidEvent):
+                raise TimeoutError("failover drop (simulated)")
+            self.log_file = f
+            self.log_pos = p
+            if not isinstance(e, _GtidEvent):
+                rows += 1
+            yield e
+
+    def close(self):
+        self.closed = True
+
+
+@pytest.fixture
+def failover_session(fake_pymysqlreplication, monkeypatch):
+    import sys
+    import types
+
+    _FailoverReader.connections = []
+    fake_pymysqlreplication.BinLogStreamReader = _FailoverReader
+    event_mod = types.ModuleType("pymysqlreplication.event")
+    event_mod.GtidEvent = _GtidEvent
+    fake_pymysqlreplication.event = event_mod
+    monkeypatch.setitem(sys.modules, "pymysqlreplication.event", event_mod)
+    yield fake_pymysqlreplication
+
+
+def test_gtid_start_set_filters_reserved_txn_after_reconnect(
+    failover_session,
+):
+    gtids = f"{_FAILOVER_UUID}:1-21"
+    got = list(
+        _client().read_range(
+            BinlogLocation("", 0, gtid_set=gtids),
+            BinlogLocation("mysql-bin.000020", 400),
+        )
+    )
+    # :30 delivered once before the drop; after the positional reconnect
+    # the re-served :21 row (id=7) is SKIPPED by start-set membership and
+    # :31 (id=10) is delivered — no duplicate, no loss
+    assert [(r["binlog_position"], r["rows"][0]["id"]) for r in got] == [
+        (160, "9"),
+        (400, "10"),
+    ]
+    conns = _FailoverReader.connections
+    assert len(conns) == 2 and all(c.closed for c in conns)
+    # GtidEvent subscribed on both connections (how the client learns each
+    # transaction's gtid on the post-failover stream)
+    for c in conns:
+        assert any(cls is _GtidEvent for cls in c._only)
+    kw = _FailoverReader.last_kwargs
+    assert "auto_position" not in kw
+    assert kw["log_pos"] == 160
+
+
+def test_gtid_start_set_filters_duplicates_without_reconnect(
+    failover_session,
+):
+    """Even with no drop, a start set must filter re-served transactions
+    the master sends anyway (a failed-over primary that ignores
+    auto-position excludes nothing)."""
+    _FailoverReader.connections = []
+
+    class _NoFail(_FailoverReader):
+        connections = []
+
+        def __init__(self, **kwargs):
+            super().__init__(**kwargs)
+            self._failing = False
+
+    failover_session.BinLogStreamReader = _NoFail
+    got = list(
+        _client().read_range(
+            BinlogLocation("", 0, gtid_set=f"{_FAILOVER_UUID}:1-21"),
+            BinlogLocation("mysql-bin.000020", 400),
+        )
+    )
+    assert [r["rows"][0]["id"] for r in got] == ["9", "10"]

@@ -119,6 +119,34 @@ def test_wav_round_trip_and_chunk_walk():
     assert fmt_at < data_at
 
 
+def test_wav_features_deinterleaves_stereo():
+    """ADVICE r07 #2: multi-channel stats must be per-channel — slot 0 is
+    FRAMES (not frames×channels) and zero-crossings never count a sign
+    flip across the L/R boundary inside one interleaved frame."""
+    from binwatch_spark.operators.multimodal import wav_encode, wav_features
+
+    # L channel: +1,-1,+1,-1 (3 crossings); R channel: +2,+2,-2,-2
+    # (1 crossing). Counting over the raw interleaved stream
+    # [1,2,-1,2,1,-2,-1,-2] would give 3 — sign flips at channel
+    # boundaries both add phantom crossings and mask real ones.
+    interleaved = [1, 2, -1, 2, 1, -2, -1, -2]
+    blob = wav_encode(interleaved, channels=2)
+    feats = wav_features(blob)
+    assert feats[0] == 4.0  # frames, not 8 samples
+    assert feats[2] == 2.0
+    assert feats[5] == 4.0  # 3 (L) + 1 (R), not the interleaved 3
+    assert feats[3] == sum(interleaved) / 8
+    assert feats[6] == -2.0 and feats[7] == 2.0
+
+
+def test_wav_features_rejects_ragged_frames():
+    from binwatch_spark.operators.multimodal import wav_encode, wav_features
+
+    blob = wav_encode([1, 2, 3], channels=2)  # 3 samples, 2 channels
+    with pytest.raises(ValueError, match="whole number of frames"):
+        wav_features(blob)
+
+
 def test_wav_rejects_non_pcm_and_corrupt():
     from binwatch_spark.operators.multimodal import (
         _decode_or_fake,

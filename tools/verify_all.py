@@ -2,6 +2,11 @@
 of per-round evidence a judge re-checks, with one JSON summary at the end.
 
 Runs, in order:
+0. ``tools/gen_query_index.py`` — regenerates README/SURVEY/docs/QUERIES.md
+   counts from the live registry, then FAILS if that produced a git diff
+   (VERDICT r07 #2: a registry change physically cannot ship without
+   regenerated docs — three rounds of count drift proved advice alone
+   doesn't work);
 1. ``tools/oracle_check.py`` over the FULL query registry at sf0.01 —
    driver-strength hash compare of every Spark query vs its DuckDB oracle
    (writes ``CORRECTNESS_local_r{N}.json`` when ``--round N`` is given,
@@ -67,6 +72,23 @@ def main() -> int:
     args = ap.parse_args()
 
     summary: dict = {"ok": True}
+
+    # Stage 0 — regenerate doc counts; any resulting diff means the last
+    # registry change was committed without regeneration → hard fail.
+    rc, _ = run([sys.executable, "tools/gen_query_index.py"])
+    diff = subprocess.run(
+        ["git", "diff", "--stat", "--", "README.md", "SURVEY.md",
+         "docs/QUERIES.md"],
+        cwd=REPO, capture_output=True, text=True,
+    ).stdout.strip()
+    summary["gen_index"] = {"rc": rc, "diff": diff}
+    if rc != 0 or diff:
+        summary["ok"] = False
+        if diff:
+            sys.stderr.write(
+                "verify_all: gen_query_index produced a diff — commit the "
+                "regenerated docs:\n" + diff + "\n"
+            )
 
     oracle_out = (
         os.path.join(REPO, f"CORRECTNESS_local_r{args.round:02d}.json")
