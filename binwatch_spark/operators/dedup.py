@@ -1263,8 +1263,16 @@ def build_dedup_index(
     from binwatch_spark.operators.storage import write_bucketed
 
     digest, exploded = _index_frames(docs, text_col, id_col)
-    write_bucketed(digest, f"{prefix}_digest", "digest", num_buckets)
-    write_bucketed(exploded, f"{prefix}_bands", "band_key", num_buckets)
+    # clear_stale_location: the index namespace is owned by this builder
+    # and rebuilt wholesale — safe to clear a leftover from a dead session
+    write_bucketed(
+        digest, f"{prefix}_digest", "digest", num_buckets,
+        clear_stale_location=True,
+    )
+    write_bucketed(
+        exploded, f"{prefix}_bands", "band_key", num_buckets,
+        clear_stale_location=True,
+    )
     return f"{prefix}_digest", f"{prefix}_bands"
 
 

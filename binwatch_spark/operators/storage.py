@@ -32,6 +32,7 @@ def write_bucketed(
     path: str | None = None,
     sort: bool = True,
     mode: str = "overwrite",
+    clear_stale_location: bool = False,
 ) -> None:
     """Write df as a bucketed (and bucket-sorted) parquet table.
 
@@ -41,15 +42,21 @@ def write_bucketed(
     is given); bucket metadata only survives via the catalog, so readers
     must use spark.table(table), not spark.read.parquet(path).
 
-    Idempotent across SESSIONS, not just overwrites: the default
-    metastore is per-session, so a managed table's warehouse directory
-    can outlive its catalog entry (previous process wrote it) — and
-    saveAsTable then refuses with LOCATION_ALREADY_EXISTS even in
-    overwrite mode. A stale unregistered location is cleared first.
+    Idempotent across SESSIONS, not just overwrites — but only on
+    request: the default metastore is per-session, so a managed table's
+    warehouse directory can outlive its catalog entry (previous process
+    wrote it) and saveAsTable then refuses with LOCATION_ALREADY_EXISTS
+    even in overwrite mode. ``clear_stale_location=True`` rmtree's the
+    unregistered location first. It is opt-in (ADVICE r07 #3) because
+    "absent from this session's catalog" cannot distinguish a stale
+    leftover from another live session's managed table in a shared
+    warehouse dir — only callers that OWN their table namespace and
+    rebuild it wholesale (the dedup index builders) should set it.
     """
     spark = df.sparkSession
     if (
-        mode == "overwrite"
+        clear_stale_location
+        and mode == "overwrite"
         and path is None
         and not spark.catalog.tableExists(table)
     ):

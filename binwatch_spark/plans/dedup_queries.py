@@ -1146,7 +1146,15 @@ def q122_index_update_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     verd_b_lazy = incremental_dedup_with_index(
         b, corpus0, spark, "text", "doc_id", JACCARD_THRESHOLD, prefix=prefix
     )
-    spill = tempfile.mkdtemp(prefix="q122_verd_b_")  # outlives the query
+    # The spill must outlive this call (the returned DataFrame reads it
+    # lazily), so removal is deferred to interpreter exit — without it a
+    # bench sweep (3 runs) leaked one parquet temp dir per invocation
+    # (ADVICE r07 #5).
+    import atexit
+    import shutil
+
+    spill = tempfile.mkdtemp(prefix="q122_verd_b_")
+    atexit.register(shutil.rmtree, spill, ignore_errors=True)
     verd_b_lazy.write.mode("overwrite").parquet(spill)
     verd_b = spark.read.parquet(spill)
 

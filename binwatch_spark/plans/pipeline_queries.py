@@ -555,10 +555,15 @@ def _bounded_stream_core(spark, prefix, stages, start) -> DataFrame:
     per-trigger source, scoped shuffle partitions, 300s await, cleanup) —
     both harness variants differ only in ``start(stream, sink, ckpt)``, the
     sink-wiring step, so fixes to the shared mechanics cannot miss one."""
+    import atexit
     import shutil
     import tempfile
 
+    # The sink dir must outlive this call (the returned DataFrame reads it
+    # lazily) — defer removal to interpreter exit, same policy as q122's
+    # verdict spill (ADVICE r07 #5).
     root = tempfile.mkdtemp(prefix=prefix)  # noqa: SIM115 — sink outlives us
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
     try:
         for name, df in stages:

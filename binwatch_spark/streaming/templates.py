@@ -1470,16 +1470,35 @@ _NOPIPE = object()
 
 # Per-render seeded RNG holder for the opt-in deterministic random family
 # (compile_template(seeded_random=True)): set by the render closure before
-# each item, cleared after. A mutable 1-slot list, not a global rebind, so
-# the pickled render closure and this module share state on executors.
-_RENDER_RNG: list = [None]
+# each item, restored after. Keyed by thread id in a shared mutable dict
+# (not a global rebind) so the pickled render closure and this module
+# share state on executors, AND concurrent renders in one interpreter
+# can't interleave draws (ADVICE r07 #4 — a plain 1-slot global broke
+# per-item determinism under threads); nested renders save/restore the
+# outer RNG in the closure, see render().
+_RENDER_RNG: dict = {}
+
+
+def _rng():
+    import threading
+
+    return _RENDER_RNG.get(threading.get_ident())
+
+
+def _set_rng(rng) -> None:
+    import threading
+
+    if rng is None:
+        _RENDER_RNG.pop(threading.get_ident(), None)
+    else:
+        _RENDER_RNG[threading.get_ident()] = rng
 
 _RAND_ALPHA = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
 _RAND_ALNUM = _RAND_ALPHA + "0123456789"
 
 
 def _seeded_uuidv4() -> str:
-    rng = _RENDER_RNG[0]
+    rng = _rng()
     b = bytearray(rng.getrandbits(8) for _ in range(16))
     b[6] = (b[6] & 0x0F) | 0x40  # version 4
     b[8] = (b[8] & 0x3F) | 0x80  # RFC 4122 variant
@@ -1488,7 +1507,7 @@ def _seeded_uuidv4() -> str:
 
 
 def _seeded_chars(charset: str, n) -> str:
-    rng = _RENDER_RNG[0]
+    rng = _rng()
     return "".join(rng.choice(charset) for _ in range(int(_num(n))))
 
 
@@ -1507,12 +1526,12 @@ _SEEDED_RANDOM: dict[str, Any] = {
         "".join(chr(c) for c in range(33, 127)), n
     ),
     "randInt": lambda lo, hi: int(_num(lo))
-    + _RENDER_RNG[0].randrange(int(_num(hi)) - int(_num(lo))),
+    + _rng().randrange(int(_num(hi)) - int(_num(lo))),
     "randBytes": lambda n: __import__("base64").b64encode(
-        bytes(_RENDER_RNG[0].getrandbits(8) for _ in range(int(_num(n))))
+        bytes(_rng().getrandbits(8) for _ in range(int(_num(n))))
     ).decode(),
     "shuffle": lambda s: "".join(
-        _RENDER_RNG[0].sample(list(_go_str(s)), len(_go_str(s)))
+        _rng().sample(list(_go_str(s)), len(_go_str(s)))
     ),
 }
 
@@ -1564,7 +1583,7 @@ def _eval_segment(segment: str, item: dict, piped: Any = _NOPIPE) -> Any:
     if not tokens:
         raise ValueError("empty template expression segment")
     head = tokens[0]
-    if _RENDER_RNG[0] is not None and head in _SEEDED_RANDOM:
+    if _rng() is not None and head in _SEEDED_RANDOM:
         args = [_operand_value(t, item) for t in tokens[1:]]
         if piped is not _NOPIPE:
             args.append(piped)
@@ -1769,7 +1788,8 @@ def compile_template(template: str, seeded_random: bool = False):
 
     def render(item: dict) -> str:
         if seeded_random:
-            _RENDER_RNG[0] = _seeded_rng_for(item)
+            prev_rng = _rng()
+            _set_rng(_seeded_rng_for(item))
         try:
             out: list[str] = []
             trim_next = False
@@ -1788,7 +1808,7 @@ def compile_template(template: str, seeded_random: bool = False):
             return "".join(out)
         finally:
             if seeded_random:
-                _RENDER_RNG[0] = None
+                _set_rng(prev_rng)
 
     return render
 

@@ -1146,3 +1146,38 @@ def test_seeded_random_family_arity_checked_at_compile_time():
         seeded_random=True,
     )
     assert f(ITEM) == f(dict(ITEM))
+
+
+def test_seeded_random_renders_are_thread_safe():
+    """ADVICE r07 #4: concurrent seeded renders in one interpreter must
+    not interleave RNG draws — each thread's output equals its serial
+    render (the per-item determinism the feature exists to guarantee)."""
+    import threading
+
+    tpl = '{{ randAlpha 12 }}-{{ uuidv4 }}-{{ randInt 0 1000000 }}'
+    render = compile_template(tpl, seeded_random=True)
+    items = [
+        {"ItemID": i, "Log": {"BinlogFile": "f.1", "BinlogPosition": i * 7}}
+        for i in range(16)
+    ]
+    serial = [render(it) for it in items]
+
+    results: dict[int, list[str]] = {}
+    barrier = threading.Barrier(8)
+
+    def worker(tid: int) -> None:
+        barrier.wait()
+        out = []
+        for _ in range(20):
+            for it in items:
+                out.append(render(it))
+        results[tid] = out
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    expected = serial * 20
+    for tid, out in results.items():
+        assert out == expected, f"thread {tid} saw interleaved RNG draws"
