@@ -1132,6 +1132,27 @@ def q115_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whitespace tokens each, so 800 exercises the budget-crossing rule).
 TOKEN_BUDGET = 800
 
+# THE budget-fill rule, shared by q124 and q131 (the composite reuses the
+# same cumulative window + crossing predicate; only the budget constant is
+# a parameter): admit longest-first per source while the cumulative count
+# BEFORE the doc is under budget, so the crossing doc is admitted and
+# every source yields at least one doc.
+_BUDGET_CUM_SQL = """CAST(sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY n_tokens DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)"""
+
+
+def token_budget_admit(t: DataFrame, budget: int) -> DataFrame:
+    """Spark spelling of the budget-fill rule over a (doc_id, source,
+    n_tokens, ...) frame — q124's window, verbatim."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_tokens").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+    return c.filter(F.col("cum_tokens") - F.col("n_tokens") < budget)
+
 
 @register(
     "q124_token_budget_select",
@@ -1142,10 +1163,7 @@ WITH t AS (
   FROM documents
 ), c AS (
   SELECT doc_id, source, n_tokens,
-    CAST(sum(n_tokens) OVER (PARTITION BY source
-                             ORDER BY n_tokens DESC, doc_id
-                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
-      AS cum_tokens
+    {_BUDGET_CUM_SQL} AS cum_tokens
   FROM t)
 SELECT doc_id, source, n_tokens, cum_tokens FROM c
 WHERE cum_tokens - n_tokens < {TOKEN_BUDGET}
@@ -1172,10 +1190,165 @@ def q124_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.col("n_tokens").desc(), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return token_budget_admit(t, TOKEN_BUDGET)
+
+
+# q131's per-source budget: the post-thinning survivor mass per source is
+# 38-223 whitespace tokens at the test SFs (q124's 800 would never bind),
+# so 120 exercises the crossing rule on every multi-doc source while
+# single-doc sources still admit their one doc.
+CURATION_BUDGET = 120
+
+
+def _full_curation_sql() -> str:
+    # Compose the SAME SQL pieces the stage queries hash-check alone:
+    # q64's verdict CTE, q34/q95's digest keep-min, q96's source-blocked
+    # Jaccard + recursive-CTE clustering, q126's full thinning oracle
+    # (kmeans + size quota + hash gate) embedded verbatim, q124's budget
+    # window, q73/q95's split rule and accounting shape.
+    from binwatch_spark.plans.dedup_queries import (
+        _JAC,
+        _TOKS,
+        JACCARD_THRESHOLD,
     )
-    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
-    return c.filter(F.col("cum_tokens") - F.col("n_tokens") < TOKEN_BUDGET)
+    from binwatch_spark.plans.similarity_queries import _cluster_sample_sql
+    from binwatch_spark.plans.text_queries import _Q64_SQL
+
+    return f"""
+WITH RECURSIVE
+verdicts AS ({_Q64_SQL}),
+qkeep AS (
+  SELECT d.doc_id, d.text, d.source
+  FROM documents d JOIN verdicts v USING (doc_id) WHERE v.passes
+),
+ex_keepers AS (
+  SELECT min(doc_id) AS doc_id FROM qkeep GROUP BY sha256(text)
+),
+ekeep AS (
+  SELECT qkeep.* FROM qkeep JOIN ex_keepers USING (doc_id)
+),
+s AS (SELECT doc_id, source, {_TOKS} AS toks FROM ekeep),
+pairs AS (
+  SELECT i, j FROM (
+    SELECT x.doc_id AS i, y.doc_id AS j, {_JAC} AS jac
+    FROM s x JOIN s y ON x.source = y.source AND x.doc_id < y.doc_id)
+  WHERE jac >= {JACCARD_THRESHOLD}),
+edges AS (SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs),
+comp(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, c.label FROM comp c JOIN edges e ON e.u = c.node
+  WHERE c.label <= e.v),
+cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM comp GROUP BY node),
+nkeep AS (
+  SELECT ekeep.* FROM ekeep
+  WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+),
+thin AS (SELECT vec_id FROM ({_cluster_sample_sql()}) q126),
+tkeep AS (
+  SELECT nkeep.* FROM nkeep JOIN thin ON nkeep.doc_id = thin.vec_id
+),
+t AS (
+  SELECT doc_id, source, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM tkeep),
+c AS (
+  SELECT doc_id, source, text, n_tokens,
+    {_BUDGET_CUM_SQL} AS cum_tokens
+  FROM t),
+admitted AS (SELECT * FROM c WHERE cum_tokens - n_tokens < {CURATION_BUDGET})
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM (SELECT {split_case_sql()} AS split, n_tokens, source FROM admitted)
+GROUP BY split
+"""
+
+
+@register("q131_full_curation", oracle=_full_curation_sql())
+def q131_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP end-to-end pretraining curation pipeline — the single
+    query a pretraining-data customer runs over a crawl (VERDICT r07 #5),
+    q95 extended to the full modern recipe, every stage the SAME shared
+    expression its standalone query hash-checks:
+
+      1. quality filter          (q64's exact rule set)
+      2. exact dedup keep-first  (q34/q95's digest semantics)
+      3. near dedup              (q96's source-blocked Jaccard pairs +
+                                  connected components, drop non-canonical)
+      4. cluster-balanced thin   (q126 verbatim: k-means quota + hash
+                                  gate over the embedding space; docs
+                                  without an embedding drop — at 100 TB
+                                  the embedding table IS the corpus index)
+      5. token-budget fill       (q124's cumulative window + crossing
+                                  predicate at CURATION_BUDGET)
+      6. split accounting        (q73's content-hash split, q95's
+                                  per-split docs/tokens/sources summary)
+
+    Stage order is the production order: cheap row-local filters first,
+    then digest dedup (32-byte shuffle), then the near-dup pair stage over
+    the already-reduced survivor set, then embedding-space thinning, and
+    the budget window last over the smallest frame. Thinning clusters the
+    FULL embedding space (q126 verbatim, one shared clustering per crawl)
+    and intersects survivors against the kept ids — a recipe choice
+    documented here: clustering only survivors would re-run k-means per
+    pipeline variant instead of reusing the corpus-wide one.
+
+    Scale posture: every join is a key equi-join (verdict/digest/thin
+    frames are delta- or k-sized → AQE broadcasts them); the only
+    quadratic stage is q96's within-block Jaccard with its block-size
+    probe + LSH fallback; the final aggregate reduces to 3 rows map-side.
+    Output is integer-only — bit-exact across engines by construction."""
+    from binwatch_spark.operators import dedup
+    from binwatch_spark.plans.dedup_queries import JACCARD_THRESHOLD
+    from binwatch_spark.plans.similarity_queries import (
+        q126_cluster_balanced_sample,
+    )
+    from binwatch_spark.plans.text_queries import q64_quality_filter
+
+    docs = load(spark, sf_dir, "documents")
+    passing = q64_quality_filter(spark, sf_dir).filter(F.col("passes")).select(
+        "doc_id"
+    )
+    qkeep = docs.join(passing, "doc_id", "left_semi").select(
+        "doc_id", "text", "source"
+    ).persist()
+    if dedup.eager_enabled():  # two consumers: digest groupBy + semi-join
+        qkeep.count()
+    ex_keepers = (
+        qkeep.groupBy(F.sha2(F.col("text"), 256).alias("_dig"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    ekeep = qkeep.join(ex_keepers, "doc_id", "left_semi").persist()
+    if dedup.eager_enabled():  # two consumers: pair stage + anti-join
+        ekeep.count()
+    cc = dedup.connected_components(
+        dedup.jaccard_pairs(
+            ekeep, "text", "doc_id", "source", JACCARD_THRESHOLD
+        ).select("i", "j")
+    )
+    near_drop = cc.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    nkeep = ekeep.join(near_drop, "doc_id", "left_anti")
+    thin = q126_cluster_balanced_sample(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    tkeep = nkeep.join(thin, "doc_id", "left_semi")
+    t = tkeep.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    admitted = token_budget_admit(t, CURATION_BUDGET)
+    return (
+        admitted.select(split_column().alias("split"), "n_tokens", "source")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+    )

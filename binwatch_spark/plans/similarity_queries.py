@@ -833,26 +833,31 @@ def q123_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 CLUSTER_SAMPLE_TARGET = 12  # per-cluster quota for balanced curation
 
 
-@register(
-    "q126_cluster_balanced_sample",
-    oracle=f"""
+def _cluster_sample_sql() -> str:
+    """q126's oracle as a reusable piece — q131's flagship composition
+    embeds it verbatim as its thinning CTE (the sharing contract: the
+    composite can never drift from the stage it reuses)."""
+    return """
 WITH assign AS (
-  SELECT vec_id, cell_id FROM ({{kmeans}}) t
+  SELECT vec_id, cell_id FROM ({kmeans}) t
 ), sizes AS (
   SELECT cell_id, count(*) AS cluster_n FROM assign GROUP BY cell_id
 ), gated AS (
   SELECT a.vec_id, a.cell_id, s.cluster_n,
-    CASE WHEN s.cluster_n <= {CLUSTER_SAMPLE_TARGET} THEN 1000000
-         ELSE (1000000 * {CLUSTER_SAMPLE_TARGET}) // s.cluster_n
+    CASE WHEN s.cluster_n <= {target} THEN 1000000
+         ELSE (1000000 * {target}) // s.cluster_n
     END AS keep_below
   FROM assign a JOIN sizes s USING (cell_id))
 SELECT vec_id, cell_id, cluster_n FROM gated
-WHERE {{h}} % 1000000 < keep_below
+WHERE {h} % 1000000 < keep_below
 """.format(
         kmeans=_kmeans_sql(),
+        target=CLUSTER_SAMPLE_TARGET,
         h=polyhash_sql("CAST(vec_id AS VARCHAR)"),
-    ),
-)
+    )
+
+
+@register("q126_cluster_balanced_sample", oracle=_cluster_sample_sql())
 def q126_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced corpus sampling — the diversity-preserving
     curation step (the SemDeDup/SSL-prototypes recipe): cluster the
