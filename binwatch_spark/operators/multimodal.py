@@ -541,3 +541,79 @@ def resize_thumbnail(
             )
 
     return df.mapInPandas(resize_batches, schema=RESIZE_SCHEMA)
+
+
+RESIZE_FACTOR = 4  # 16x16 fixture -> 4x4 thumbnails
+
+
+def box_downsample(
+    px: bytes, width: int, height: int, channels: int, factor: int
+) -> tuple[int, int, bytes]:
+    """Integer box-filter downsample of an interleaved 8-bit pixel buffer:
+    each output pixel is the FLOOR of the mean of its factor×factor input
+    block, per channel — all-integer arithmetic, so an SQL oracle can
+    state every output pixel from the closed-form input rule (q132).
+    Dimensions must divide evenly (the ingest normalizer pads/crops
+    upstream; partial-edge pooling would make the oracle rule ragged)."""
+    if width % factor or height % factor:
+        raise ValueError("box_downsample needs factor-aligned dimensions")
+    nw, nh = width // factor, height // factor
+    out = bytearray(nw * nh * channels)
+    area = factor * factor
+    for oy in range(nh):
+        for ox in range(nw):
+            for c in range(channels):
+                s = 0
+                for dy in range(factor):
+                    row = (oy * factor + dy) * width * channels
+                    col0 = ox * factor * channels + c
+                    for dx in range(factor):
+                        s += px[row + col0 + dx * channels]
+                out[(oy * nw + ox) * channels + c] = s // area
+    return nw, nh, bytes(out)
+
+
+RESIZE_FEATURES_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, "
+    "mean_r double, mean_g double, mean_b double, "
+    "min_px bigint, max_px bigint"
+)
+
+
+def resize_box_features(
+    df: DataFrame, id_col: str = "doc_id", factor: int = RESIZE_FACTOR
+) -> DataFrame:
+    """REAL bytes→pixels→resized-pixels stage (VERDICT r07 #6): decode each
+    PNG payload (png_decode — the q119 path), box-downsample the pixel
+    buffer by ``factor``, and emit per-channel means + min/max of the
+    RESIZED image. One Arrow-batched mapInPandas pass; a GPU/SIMD resizer
+    replaces only box_downsample — schema, batching, and decode routing
+    stay as tested. Integer pixel sums over a power-of-two output count
+    keep the means exact in doubles on both engines."""
+
+    def batches_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, content in zip(pdf[id_col], pdf["content"]):
+                w, h, ch, px = png_decode(bytes(content))
+                nw, nh, small = box_downsample(px, w, h, ch, factor)
+                n = nw * nh
+                means = [0.0, 0.0, 0.0]
+                for c in range(ch):
+                    means[c] = sum(small[c::ch]) / n
+                rows.append(
+                    (
+                        int(did), nw, nh,
+                        means[0], means[1], means[2],
+                        min(small), max(small),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height",
+                    "mean_r", "mean_g", "mean_b", "min_px", "max_px",
+                ],
+            )
+
+    return df.mapInPandas(batches_fn, schema=RESIZE_FEATURES_SCHEMA)

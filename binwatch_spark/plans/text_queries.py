@@ -342,6 +342,74 @@ def q125_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _resize_sql() -> str:
+    """q132's oracle: every RESIZED pixel stated from the closed-form
+    input rule — value at input (y, x, c) is (doc_id*7 + (y*W + x)*3 + c)
+    % 256 (q119's rule), and output pixel k is the floor-mean of its
+    factor×factor block. No PNG codec and no resampler on the oracle
+    side; a resize that pools the wrong block, channel-interleaves
+    incorrectly, or rounds instead of flooring hash-mismatches."""
+    f = multimodal.RESIZE_FACTOR
+    w, nw = multimodal.PNG_W, multimodal.PNG_W // f
+    nh = multimodal.PNG_H // f
+    n_out = nw * nh * 3
+    # k → (oy = k // (nw*3), ox = (k // 3) % nw, c = k % 3); block member
+    # b → (dy = b // f, dx = b % f); flat input index (y*W + x)*3 + c.
+    px = (
+        f"list_sum(list_transform(range(0, {f * f}), b -> "
+        f"(doc_id * 7 + (((k // {nw * 3}) * {f} + b // {f}) * {w} "
+        f"+ ((k // 3) % {nw}) * {f} + (b % {f})) * 3 + k % 3) % 256"
+        f")) // {f * f}"
+    )
+    return f"""
+WITH o AS (
+  SELECT doc_id, unnest(range(0, {n_out})) AS k FROM documents),
+v AS (
+  SELECT doc_id, k, {px} AS px FROM o)
+SELECT doc_id,
+  CAST({nw} AS BIGINT) AS width,
+  CAST({nh} AS BIGINT) AS height,
+  round(avg(CASE WHEN k % 3 = 0 THEN px END), 6) AS mean_r,
+  round(avg(CASE WHEN k % 3 = 1 THEN px END), 6) AS mean_g,
+  round(avg(CASE WHEN k % 3 = 2 THEN px END), 6) AS mean_b,
+  CAST(min(px) AS BIGINT) AS min_px,
+  CAST(max(px) AS BIGINT) AS max_px
+FROM v GROUP BY doc_id
+"""
+
+
+@register("q132_image_resize", oracle=_resize_sql())
+def q132_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL bytes→pixels→RESIZED-pixels (VERDICT r07 #6 — the rung q76's
+    text-payload stub pointed at): synthesize each doc's deterministic
+    16×16 RGB PNG (q119's fixture rule, all five scanline filters),
+    decode with the pure-stdlib decoder, box-downsample by
+    {multimodal.RESIZE_FACTOR} with integer floor-mean pooling
+    (operators/multimodal.box_downsample), and emit the thumbnail's
+    per-channel means + min/max. The oracle recomputes every output
+    pixel from the closed-form input rule in SQL — decoder AND resampler
+    are both hash-checked end-to-end. Integer sums over a power-of-two
+    output count keep the doubles exact on both engines.
+
+    Scale shape: one Arrow-batched mapInPandas pass, same stage contract
+    as decode_features — at 100 TB the resize fuses with decode in a
+    single partition-local pass (no shuffle), and a GPU/SIMD resampler
+    replaces only box_downsample."""
+    docs = load(spark, sf_dir, "documents")
+    payload = multimodal.synthesize_png_payloads(docs, "doc_id")
+    resized = multimodal.resize_box_features(payload)
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.col("mean_r"), 6).alias("mean_r"),
+        F.round(F.col("mean_g"), 6).alias("mean_g"),
+        F.round(F.col("mean_b"), 6).alias("mean_b"),
+        "min_px",
+        "max_px",
+    )
+
+
 def _pii_redact_sql() -> str:
     from binwatch_spark.operators.text import PII_EMAIL, PII_IPV4, PII_PHONE
 

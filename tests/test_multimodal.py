@@ -167,3 +167,42 @@ def test_wav_rejects_non_pcm_and_corrupt():
     # corrupt WAV payloads fall back to the fake featurizer, same as PNG
     for payload in (bytes(non_pcm), bytes(blob[:24])):
         assert _decode_or_fake(payload) == _fake_decode(payload)
+
+
+def test_box_downsample_pools_blocks_per_channel():
+    from binwatch_spark.operators.multimodal import box_downsample
+
+    # 4x2 RGB image, factor 2 -> 2x1; each output channel value is the
+    # floor-mean of its 2x2 block for that channel only
+    w, h, ch, f = 4, 2, 3, 2
+    px = bytes((y * w + x) * 3 + c for y in range(h) for x in range(w) for c in range(ch))
+    nw, nh, small = box_downsample(px, w, h, ch, f)
+    assert (nw, nh) == (2, 1)
+    for ox in range(2):
+        for c in range(ch):
+            vals = [
+                ((y * w + x) * 3 + c)
+                for y in range(2)
+                for x in (ox * 2, ox * 2 + 1)
+            ]
+            assert small[ox * 3 + c] == sum(vals) // 4
+    with pytest.raises(ValueError, match="factor-aligned"):
+        box_downsample(px, w, h, ch, 3)
+
+
+def test_resize_box_features_matches_manual_decode(spark):
+    """End-to-end through Spark: synthesize -> decode -> box resize equals
+    the same computation done by hand on the closed-form pixel rule."""
+    from binwatch_spark.operators import multimodal as mm
+
+    docs = spark.range(3).withColumnRenamed("id", "doc_id")
+    payload = mm.synthesize_png_payloads(docs, "doc_id")
+    rows = {r["doc_id"]: r for r in mm.resize_box_features(payload).collect()}
+    f, w = mm.RESIZE_FACTOR, mm.PNG_W
+    for did in range(3):
+        px = bytes((did * 7 + k) % 256 for k in range(w * mm.PNG_H * 3))
+        nw, nh, small = mm.box_downsample(px, w, mm.PNG_H, 3, f)
+        r = rows[did]
+        assert (r["width"], r["height"]) == (nw, nh)
+        assert r["mean_r"] == sum(small[0::3]) / (nw * nh)
+        assert r["min_px"] == min(small) and r["max_px"] == max(small)
