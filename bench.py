@@ -113,20 +113,31 @@ def main() -> None:
         busy = sum(int(v) for i, v in enumerate(fields) if i not in (3, 4))
         return session, busy / clk
 
+    # Index-construction wall-clock accumulates in this counter (inside
+    # build_dedup_index/update_dedup_index); snapshotting it around each
+    # run splits q118/q122's ONE-TIME build cost from the recurring probe
+    # cost (VERDICT r07 #4 — at 100 TB the build amortizes across a day of
+    # probes, so the 2× regression bar should track probe_s, not the sum).
+    from binwatch_spark.operators.dedup import INDEX_BUILD_SECONDS
+
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     all_gc: dict[str, list[int]] = {}
     all_cpu: dict[str, list[list[float]]] = {}
+    all_build: dict[str, list[float]] = {}
     for name, fn in all_queries().items():
         runs: list[float] = []
         gcs: list[int] = []
         cpus: list[list[float]] = []
+        builds: list[float] = []
         for _ in range(n_runs):
             g0 = gc_millis()
             s0, m0 = cpu_clock_s()
+            b0 = INDEX_BUILD_SECONDS[0]
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+            builds.append(INDEX_BUILD_SECONDS[0] - b0)
             s1, m1 = cpu_clock_s()
             cpus.append([round(s1 - s0, 1), round(m1 - m0 - (s1 - s0), 1)])
             gcs.append(gc_millis() - g0)
@@ -138,6 +149,8 @@ def main() -> None:
         all_runs[name] = [round(r, 4) for r in runs]
         all_gc[name] = gcs
         all_cpu[name] = cpus
+        if any(b > 0 for b in builds):
+            all_build[name] = [round(b, 4) for b in builds]
         timings[name] = round(min(runs), 2)
 
     # Per-query times are rounded to 2 decimals BEFORE summing so that
@@ -170,6 +183,17 @@ def main() -> None:
     # them.
     session_cpu_total = round(sum(c[0] for cs in all_cpu.values() for c in cs), 1)
     other_cpu_total = round(sum(c[1] for cs in all_cpu.values() for c in cs), 1)
+    # build/probe split for queries that construct a persisted index
+    # in-query (q118/q122): build_s is the one-time construction cost,
+    # probe_s the recurring cost — each the minimum over runs of its
+    # component, same estimator as the headline number.
+    index_build_split = {
+        name: {
+            "build_s": round(min(bs), 2),
+            "probe_s": round(min(w - b for w, b in zip(all_runs[name], bs)), 2),
+        }
+        for name, bs in sorted(all_build.items())
+    }
     result = {
         "metric": "total_query_wall_sec",
         "value": total,
@@ -181,6 +205,7 @@ def main() -> None:
         "session_cpu_total": session_cpu_total,
         "other_cpu_total": other_cpu_total,
         "contended": bool(other_cpu_total > 0.1 * max(session_cpu_total, 1e-9)),
+        "index_build_split": index_build_split,
     }
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),

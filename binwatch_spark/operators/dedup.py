@@ -1237,6 +1237,14 @@ def lsh_recall_audit(
     )
 
 
+# Cumulative wall-clock spent inside index BUILD/APPEND (the one-time,
+# amortized-across-a-day-of-probes cost), accumulated here so bench.py can
+# split it out of q118/q122's recurring probe cost (VERDICT r07 #4: the
+# 2× bar should track the recurring cost, not conflate it with
+# construction). A 1-slot list so importers share the accumulator.
+INDEX_BUILD_SECONDS: list[float] = [0.0]
+
+
 def build_dedup_index(
     docs: DataFrame,
     text_col: str,
@@ -1260,8 +1268,11 @@ def build_dedup_index(
     map-side expression; band keys are the fused Arrow kernel) plus the
     bucketed write's own shuffle — paid ONCE, amortized over every
     incremental batch. Returns the two table names."""
+    import time
+
     from binwatch_spark.operators.storage import write_bucketed
 
+    t0 = time.perf_counter()
     digest, exploded = _index_frames(docs, text_col, id_col)
     # clear_stale_location: the index namespace is owned by this builder
     # and rebuilt wholesale — safe to clear a leftover from a dead session
@@ -1273,6 +1284,7 @@ def build_dedup_index(
         exploded, f"{prefix}_bands", "band_key", num_buckets,
         clear_stale_location=True,
     )
+    INDEX_BUILD_SECONDS[0] += time.perf_counter() - t0
     return f"{prefix}_digest", f"{prefix}_bands"
 
 
@@ -1324,8 +1336,11 @@ def update_dedup_index(
     ``num_buckets`` must match the build-time spec (Spark rejects a
     mismatched bucketed append) — pass the same value given to
     build_dedup_index for non-default indexes."""
+    import time
+
     from binwatch_spark.operators.storage import write_bucketed
 
+    t0 = time.perf_counter()
     digest, exploded = _index_frames(new_docs, text_col, id_col)
     write_bucketed(
         digest, f"{prefix}_digest", "digest", num_buckets, mode="append"
@@ -1333,6 +1348,7 @@ def update_dedup_index(
     write_bucketed(
         exploded, f"{prefix}_bands", "band_key", num_buckets, mode="append"
     )
+    INDEX_BUILD_SECONDS[0] += time.perf_counter() - t0
 
 
 def incremental_dedup_with_index(
