@@ -1050,3 +1050,90 @@ def test_webhook_auth_header_precedence():
     # one credential only → no auth (reference requires both)
     make(username="u").send(b"x")
     assert "auth" not in calls[-1][2]
+
+
+def test_gtid_checkpoint_cycle_across_rotate(spark, tmp_path):
+    """VERDICT r07 #7: GTID-set offsets through Spark's OWN offset log.
+    Phase 1 consumes from an explicit start set and checkpoints; the
+    query is then gone (availableNow terminated). New GTID-tagged
+    transactions arrive in a NEW binlog file (another rotate). Phase 2
+    restarts from the checkpoint alone (no startGtidSet option — the
+    offset must come from Spark's offset log): exactly the new
+    transactions append, proving the gtid_set JSON round-trips through
+    the checkpoint across a rotate with no duplicate and no loss."""
+    tmp = str(tmp_path)
+    _write_gtid_replay(f"{tmp}/replay")
+    from binwatch_spark.sources import binlog
+
+    binlog.register(spark)
+
+    def run(options: dict) -> None:
+        stream = spark.readStream.format("mysql-binlog")
+        for k, v in options.items():
+            stream = stream.option(k, v)
+        q = (
+            stream.load()
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/sink")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run({"replayDir": f"{tmp}/replay", "startGtidSet": f"{_GTID_UUID}:1-2"})
+    rows = sorted(
+        (r["binlog_file"], r["binlog_position"])
+        for r in spark.read.parquet(f"{tmp}/sink").collect()
+    )
+    assert rows == [("mysql-bin.000002", 4), ("mysql-bin.000002", 150)]
+
+    # the committed offset in Spark's log carries the cumulative set
+    import glob as _glob
+
+    offset_files = sorted(_glob.glob(f"{tmp}/ckpt/offsets/*"))
+    assert offset_files, "no offset log written"
+    last = open(offset_files[-1]).read()
+    assert f"{_GTID_UUID}:1-4" in last
+
+    # two more transactions land in a NEW file (second rotate)
+    with open(
+        os.path.join(f"{tmp}/replay", "gtid2.jsonl"), "w", encoding="utf-8"
+    ) as fh:
+        for i, (file, pos, gtid) in enumerate(
+            [
+                ("mysql-bin.000003", 4, f"{_GTID_UUID}:5"),
+                ("mysql-bin.000003", 90, f"{_GTID_UUID}:6"),
+            ]
+        ):
+            fh.write(
+                json.dumps(
+                    {
+                        "event_type": "WriteRowsEventV2",
+                        "binlog_file": file,
+                        "binlog_position": pos,
+                        "database": "testdb",
+                        "table": "users",
+                        "operation": "INSERT",
+                        "rows": [{"id": str(10 + i)}],
+                        "gtid": gtid,
+                    }
+                )
+                + "\n"
+            )
+
+    # restart purely from the checkpoint — no start options
+    run({"replayDir": f"{tmp}/replay"})
+    rows = sorted(
+        (r["binlog_file"], r["binlog_position"])
+        for r in spark.read.parquet(f"{tmp}/sink").collect()
+    )
+    assert rows == [
+        ("mysql-bin.000002", 4),
+        ("mysql-bin.000002", 150),
+        ("mysql-bin.000003", 4),
+        ("mysql-bin.000003", 90),
+    ]
+    offset_files = sorted(_glob.glob(f"{tmp}/ckpt/offsets/*"))
+    last = open(offset_files[-1]).read()
+    assert f"{_GTID_UUID}:1-6" in last
