@@ -338,6 +338,43 @@ class ReplayBinlogClient:
         return cur
 
 
+def _wire_value(v) -> str | None:
+    """Normalize one pymysqlreplication row value to the envelope's string
+    form. ``str(v)`` alone is wrong for exactly the types a live server is
+    most likely to surprise with (VERDICT r07 #8):
+
+    - BLOB/VARBINARY arrive as ``bytes`` — ``str(b"..")`` would emit the
+      Python repr ``"b'..'"``. UTF-8-decodable payloads (TEXT columns and
+      JSON documents delivered as raw bytes by older parser versions)
+      decode to their text; true binary becomes base64, matching how the
+      reference's ``map[string]any`` values marshal through Go's
+      ``encoding/json`` (``[]byte`` → base64, connectors.webhook.go).
+    - JSON columns arrive PARSED (dict/list) from newer parser versions —
+      re-serialized compactly with sorted keys so replay, redelivery
+      compare, and oracle checks are deterministic regardless of parser
+      version or dict order.
+    - SQL NULL stays ``None`` (a null map value), never the string
+      ``"None"`` — downstream templates must be able to distinguish NULL
+      from a literal four-char string.
+    - datetime/date/Decimal/int/float keep ``str()`` (ISO text / exact
+      decimal text — no float round-trip)."""
+    if v is None:
+        return None
+    if isinstance(v, (bytes, bytearray)):
+        b = bytes(v)
+        try:
+            return b.decode("utf-8")
+        except UnicodeDecodeError:
+            import base64
+
+            return base64.b64encode(b).decode("ascii")
+    if isinstance(v, (dict, list)):
+        return json.dumps(
+            v, separators=(",", ":"), sort_keys=True, default=str
+        )
+    return str(v)
+
+
 class MySQLBinlogClient:
     """Live replication client. ROW binlog format only.
 
@@ -595,7 +632,7 @@ class MySQLBinlogClient:
                             row.get("values") or row.get("after_values") or {}
                         )
                         rows.append(
-                            {str(k): str(v) for k, v in values.items()}
+                            {str(k): _wire_value(v) for k, v in values.items()}
                         )
                     yield {
                         "event_type": etype,

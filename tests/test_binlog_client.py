@@ -912,3 +912,111 @@ def test_gtid_start_set_filters_duplicates_without_reconnect(
         )
     )
     assert [r["rows"][0]["id"] for r in got] == ["9", "10"]
+
+
+# VERDICT r07 #8: type fidelity through the live client — a row image
+# carrying the column types a real server is most likely to surprise with
+# (JSON parsed to dict/list by newer pymysqlreplication, BLOB bytes, TEXT
+# bytes, SQL NULL, DATETIME, DECIMAL). The wire contract: bytes decode
+# utf-8 else base64, parsed JSON re-serializes canonically (sorted keys,
+# compact), NULL stays a null map value, temporal/decimal keep str().
+RECORDED_TYPES = [
+    (
+        "mysql-bin.000030",
+        120,
+        _WriteRowsEvent(
+            "shop",
+            "orders",
+            [
+                {
+                    "values": {
+                        "id": 7,
+                        "doc": {"b": [2, 3], "a": 1},
+                        "payload": b"\x00\xff\x10\x80",
+                        "note": b"caf\xc3\xa9 text",
+                        "created": __import__("datetime").datetime(
+                            2026, 8, 14, 12, 30, 5
+                        ),
+                        "amount": __import__("decimal").Decimal("1.2500"),
+                        "deleted_at": None,
+                    }
+                }
+            ],
+        ),
+    ),
+]
+
+
+def test_live_client_type_fidelity_json_blob_null(
+    fake_pymysqlreplication, monkeypatch
+):
+    monkeypatch.setitem(globals(), "RECORDED", RECORDED_TYPES)
+    got = list(
+        _client().read_range(
+            BinlogLocation("mysql-bin.000030", 4),
+            BinlogLocation("mysql-bin.000030", 120),
+        )
+    )
+    assert len(got) == 1
+    row = got[0]["rows"][0]
+    assert row["id"] == "7"
+    # parsed JSON document -> canonical compact text, parser-version- and
+    # dict-order-independent
+    assert row["doc"] == '{"a":1,"b":[2,3]}'
+    # true binary -> base64 (Go json.Marshal([]byte) parity)
+    import base64
+
+    assert row["payload"] == base64.b64encode(b"\x00\xff\x10\x80").decode()
+    # utf-8-decodable bytes (TEXT / raw JSON wire form) -> text
+    assert row["note"] == "café text"
+    assert row["created"] == "2026-08-14 12:30:05"
+    assert row["amount"] == "1.2500"  # exact decimal text, no float trip
+    # SQL NULL stays a NULL map value, not the string "None"
+    assert row["deleted_at"] is None
+
+
+# VERDICT r07 #8 (second scenario): binlog_row_metadata=FULL — the event
+# carries WRITE-TIME column names (TableMapEvent optional metadata), which
+# can DRIFT from what the startup schema probe discovered if an ALTER ...
+# RENAME COLUMN landed in between. Contract: event-time names are
+# authoritative and flow through VERBATIM (the binder's probe map is only
+# for positional sources); the arity gate judges by COUNT, so a pure
+# rename never drops the event.
+RECORDED_FULL_METADATA = [
+    (
+        "mysql-bin.000031",
+        100,
+        _WriteRowsEvent(
+            "shop", "users", [{"values": {"id": 1, "name": "ada"}}]
+        ),
+    ),
+    # rename lands: column `name` -> `full_name`; FULL metadata names the
+    # post-rename image with the new name
+    (
+        "mysql-bin.000031",
+        200,
+        _WriteRowsEvent(
+            "shop", "users", [{"values": {"id": 2, "full_name": "grace"}}]
+        ),
+    ),
+]
+
+
+def test_full_metadata_column_rename_flows_event_time_names(
+    fake_pymysqlreplication, monkeypatch
+):
+    monkeypatch.setitem(globals(), "RECORDED", RECORDED_FULL_METADATA)
+    got = list(
+        _client().read_range(
+            BinlogLocation("mysql-bin.000031", 4),
+            BinlogLocation("mysql-bin.000031", 200),
+        )
+    )
+    assert [sorted(r["rows"][0]) for r in got] == [
+        ["id", "name"],
+        ["full_name", "id"],
+    ]
+    # both rows carry 2 values, so the count-based arity gate (see
+    # schema_probe.arity_gate — it checks map SIZE, never key names)
+    # keeps both events even though the probe map would say ["id","name"]
+    assert all(len(r["rows"][0]) == 2 for r in got)
