@@ -60,6 +60,7 @@ import datetime as _dt
 import json
 import os
 import re
+import threading
 from typing import Any
 
 _EXPR_RE = re.compile(r"\{\{-?\s*(.*?)\s*-?\}\}", re.S)
@@ -1480,14 +1481,10 @@ _RENDER_RNG: dict = {}
 
 
 def _rng():
-    import threading
-
     return _RENDER_RNG.get(threading.get_ident())
 
 
 def _set_rng(rng) -> None:
-    import threading
-
     if rng is None:
         _RENDER_RNG.pop(threading.get_ident(), None)
     else:
