@@ -1012,3 +1012,64 @@ def q113_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tv_distance"),
     )
+
+
+BPE_TOPK = 50
+
+
+@register(
+    "q133_bpe_pair_counts",
+    oracle=f"""
+WITH w AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+f AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM w WHERE len(word) >= 2 GROUP BY word),
+p AS (
+  SELECT unnest(list_transform(range(1, len(word)),
+                i -> substring(word, CAST(i AS INTEGER), 2))) AS pair, freq
+  FROM f)
+SELECT pair, cnt FROM (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY pair)
+ORDER BY cnt DESC, pair LIMIT {BPE_TOPK}
+""",
+)
+def q133_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, iteration zero: corpus-weighted adjacent
+    character-pair frequencies — the statistic the first merge of
+    byte-pair encoding maximizes (Sennrich et al.; production trainers
+    iterate merge→recount, and EVERY iteration is this same shape over a
+    re-symbolized vocabulary). Word frequencies aggregate once
+    (the classic wordcount shuffle — map-side combined, key space is the
+    corpus vocabulary); pair explosion then runs over the DISTINCT
+    vocabulary weighted by freq, not over raw tokens — on a 100 TB corpus
+    the vocabulary is millions of rows while raw tokens are trillions, so
+    pair counting rides the small frame. Top-{BPE_TOPK} with a total-order
+    tiebreak plans as TakeOrderedAndProject (per-partition top-k + single
+    merge, no global sort).
+
+    Simplification vs a production trainer, stated: pairs are raw
+    character bigrams without word-boundary markers and one iteration
+    only — the distributed SHAPE (vocab aggregate → weighted pair count)
+    is the part that matters at scale and is what later iterations reuse.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    ).filter(F.length("word") >= 2)
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = freq.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(BPE_TOPK)
+    )
