@@ -617,3 +617,123 @@ def resize_box_features(
             )
 
     return df.mapInPandas(batches_fn, schema=RESIZE_FEATURES_SCHEMA)
+
+
+# Synthetic video container: "BWV1" magic + u32 frame count, then each
+# frame as [u32 byte length][PNG bytes]. Length-prefixed frames are the
+# minimal honest container shape — a real demuxer walks frame boundaries
+# exactly like this before handing each frame to the image codec.
+VIDEO_MAGIC = b"BWV1"
+VID_FRAMES = 6
+VID_STRIDE = 2  # sample every 2nd frame
+VID_W = 8
+VID_H = 8
+
+
+def video_encode(frames: list[bytes]) -> bytes:
+    out = bytearray(VIDEO_MAGIC)
+    out += struct.pack(">I", len(frames))
+    for f in frames:
+        out += struct.pack(">I", len(f))
+        out += f
+    return bytes(out)
+
+
+def video_decode_frames(payload: bytes) -> list[bytes]:
+    """Walk the length-prefixed container → list of frame payloads (each a
+    full PNG). Truncation or trailing garbage raises ValueError — a
+    corrupt asset must surface at the demux step, not as a half-decoded
+    frame downstream."""
+    if payload[:4] != VIDEO_MAGIC:
+        raise ValueError("not a BWV video payload")
+    (n,) = struct.unpack(">I", payload[4:8])
+    pos, frames = 8, []
+    for _ in range(n):
+        if pos + 4 > len(payload):
+            raise ValueError("truncated video frame table")
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        body = payload[pos + 4 : pos + 4 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated video frame")
+        frames.append(body)
+        pos += 4 + ln
+    if pos != len(payload):
+        raise ValueError("trailing bytes after last frame")
+    return frames
+
+
+def synthesize_video_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic {VID_FRAMES}-frame video per row: frame f is a
+    {VID_W}×{VID_H} RGB PNG whose channel value at flat index k is
+    ``(id*7 + f*13 + k) % 256`` (closed form — the q134 oracle states the
+    decoded statistics of every SAMPLED frame without any codec); the
+    scanline filter still cycles y % 5 per frame, so every frame decode
+    exercises all five reconstruction rules."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = VID_W * VID_H * 3
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            contents = [
+                video_encode(
+                    [
+                        png_encode(
+                            bytes(
+                                (int(did) * 7 + f * 13 + k) % 256
+                                for k in range(n)
+                            ),
+                            VID_W,
+                            VID_H,
+                            3,
+                        )
+                        for f in range(VID_FRAMES)
+                    ]
+                )
+                for did in ids
+            ]
+            yield pd.DataFrame({id_col: ids, "content": contents})
+
+    return df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} bigint, content binary"
+    )
+
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, width bigint, height bigint, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def video_frame_features(
+    df: DataFrame, id_col: str = "doc_id", stride: int = VID_STRIDE
+) -> DataFrame:
+    """REAL bytes→frames→pixels: demux the length-prefixed container, keep
+    every ``stride``-th frame (the ffmpeg `-vf select` shape — sample
+    BEFORE decode, so skipped frames cost only the demux walk, the lever
+    that matters when decode dominates), decode each sampled frame with
+    the pure-stdlib PNG decoder, and emit per-frame channel means. A
+    fan-out mapInPandas stage (rows out = sampled frames per doc)."""
+
+    def batches_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, content in zip(pdf[id_col], pdf["content"]):
+                frames = video_decode_frames(bytes(content))
+                for f in range(0, len(frames), stride):
+                    w, h, ch, px = png_decode(frames[f])
+                    n = w * h
+                    means = [0.0, 0.0, 0.0]
+                    for c in range(ch):
+                        means[c] = sum(px[c::ch]) / n
+                    rows.append(
+                        (int(did), f, w, h, means[0], means[1], means[2])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "frame_idx", "width", "height",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return df.mapInPandas(batches_fn, schema=VIDEO_FRAME_SCHEMA)

@@ -1073,3 +1073,57 @@ def q133_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(BPE_TOPK)
     )
+
+
+_VID_N = 3 * multimodal.VID_W * multimodal.VID_H
+
+
+@register(
+    "q134_video_frame_decode",
+    oracle=f"""
+WITH fr AS (
+  SELECT doc_id, unnest(range(0, {multimodal.VID_FRAMES},
+                              {multimodal.VID_STRIDE})) AS f
+  FROM documents),
+px AS (
+  SELECT doc_id, f, unnest(range(0, {_VID_N})) AS k FROM fr)
+SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+  CAST({multimodal.VID_W} AS BIGINT) AS width,
+  CAST({multimodal.VID_H} AS BIGINT) AS height,
+  round(avg(CASE WHEN k % 3 = 0 THEN (doc_id * 7 + f * 13 + k) % 256 END), 6)
+    AS mean_r,
+  round(avg(CASE WHEN k % 3 = 1 THEN (doc_id * 7 + f * 13 + k) % 256 END), 6)
+    AS mean_g,
+  round(avg(CASE WHEN k % 3 = 2 THEN (doc_id * 7 + f * 13 + k) % 256 END), 6)
+    AS mean_b
+FROM px GROUP BY doc_id, f
+""",
+)
+def q134_video_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL bytes→frames→pixels, the video modality (q75's text-payload
+    frame sampling made real): each doc gets a deterministic
+    {multimodal.VID_FRAMES}-frame length-prefixed container of
+    {multimodal.VID_W}×{multimodal.VID_H} RGB PNGs (closed-form per-frame
+    pixel rule, all five scanline filters per frame), the stage demuxes
+    the container, samples every {multimodal.VID_STRIDE}nd frame BEFORE
+    decoding (skipped frames cost only the demux walk — the economics a
+    real `ffmpeg -vf select` sampler exploits), decodes each sampled
+    frame with the pure-stdlib PNG decoder, and emits per-frame channel
+    means. The oracle restates every sampled frame's means from the
+    closed-form rule in SQL — demuxer AND per-frame decoder are
+    hash-checked end-to-end. With q119 (image), q125 (audio), and q132
+    (resize), all three modalities now have REAL oracle-checked decode
+    paths; the fake featurizer remains only for codecs the container
+    genuinely lacks."""
+    docs = load(spark, sf_dir, "documents")
+    payload = multimodal.synthesize_video_payloads(docs, "doc_id")
+    feat = multimodal.video_frame_features(payload)
+    return feat.select(
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.round(F.col("mean_r"), 6).alias("mean_r"),
+        F.round(F.col("mean_g"), 6).alias("mean_g"),
+        F.round(F.col("mean_b"), 6).alias("mean_b"),
+    )

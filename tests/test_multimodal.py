@@ -206,3 +206,44 @@ def test_resize_box_features_matches_manual_decode(spark):
         assert (r["width"], r["height"]) == (nw, nh)
         assert r["mean_r"] == sum(small[0::3]) / (nw * nh)
         assert r["min_px"] == min(small) and r["max_px"] == max(small)
+
+
+def test_video_container_round_trip_and_corruption():
+    from binwatch_spark.operators.multimodal import (
+        png_encode,
+        video_decode_frames,
+        video_encode,
+    )
+
+    frames = [png_encode(_pixels(4 * 4 * 3, seed=s), 4, 4, 3) for s in range(3)]
+    blob = video_encode(frames)
+    assert video_decode_frames(blob) == frames
+    with pytest.raises(ValueError, match="not a BWV"):
+        video_decode_frames(b"RIFF....")
+    with pytest.raises(ValueError, match="truncated video frame"):
+        video_decode_frames(blob[:-5])
+    with pytest.raises(ValueError, match="trailing bytes"):
+        video_decode_frames(blob + b"\x00")
+
+
+def test_video_frame_features_samples_before_decode(spark):
+    """Sampled frame set is every stride-th index; per-frame means match a
+    hand decode of the closed-form rule."""
+    from binwatch_spark.operators import multimodal as mm
+
+    docs = spark.range(2).withColumnRenamed("id", "doc_id")
+    payload = mm.synthesize_video_payloads(docs, "doc_id")
+    rows = mm.video_frame_features(payload).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    n = mm.VID_W * mm.VID_H * 3
+    for did, rs in by_doc.items():
+        assert sorted(r["frame_idx"] for r in rs) == list(
+            range(0, mm.VID_FRAMES, mm.VID_STRIDE)
+        )
+        for r in rs:
+            px = [
+                (did * 7 + r["frame_idx"] * 13 + k) % 256 for k in range(n)
+            ]
+            assert r["mean_r"] == sum(px[0::3]) / (mm.VID_W * mm.VID_H)
