@@ -1017,18 +1017,52 @@ def q113_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_TOPK = 50
 
 
-@register(
-    "q133_bpe_pair_counts",
-    oracle=f"""
-WITH w AS (
+def _word_freq(docs: DataFrame) -> DataFrame:
+    """The q133/q135 shared vocabulary aggregate: lowercase whitespace
+    words of length >= 2 with corpus frequencies — ONE definition so the
+    merge round can never drift from iteration zero."""
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    ).filter(F.length("word") >= 2)
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def _sym_pairs(df: DataFrame, col: str) -> DataFrame:
+    """Adjacent symbol pairs (2-char windows) of ``col``, weighted by
+    ``freq`` — shared by both BPE iterations."""
+    return df.filter(F.length(col) >= 2).select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({col}) - 1),"
+                f" i -> substring({col}, i, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+
+
+# The oracle-side spelling of the two helpers above (same sharing contract).
+_WORD_FREQ_SQL = """
+w AS (
   SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
 f AS (
   SELECT word, CAST(count(*) AS BIGINT) AS freq
-  FROM w WHERE len(word) >= 2 GROUP BY word),
-p AS (
-  SELECT unnest(list_transform(range(1, len(word)),
-                i -> substring(word, CAST(i AS INTEGER), 2))) AS pair, freq
-  FROM f)
+  FROM w WHERE len(word) >= 2 GROUP BY word)"""
+
+
+def _sym_pairs_sql(rel: str, col: str) -> str:
+    return (
+        f"SELECT unnest(list_transform(range(1, len({col})), "
+        f"i -> substring({col}, CAST(i AS INTEGER), 2))) AS pair, freq "
+        f"FROM {rel} WHERE len({col}) >= 2"
+    )
+
+
+@register(
+    "q133_bpe_pair_counts",
+    oracle=f"""
+WITH {_WORD_FREQ_SQL},
+p AS ({_sym_pairs_sql("f", "word")})
 SELECT pair, cnt FROM (
   SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY pair)
 ORDER BY cnt DESC, pair LIMIT {BPE_TOPK}
@@ -1054,19 +1088,7 @@ def q133_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the part that matters at scale and is what later iterations reuse.
     """
     docs = load(spark, sf_dir, "documents")
-    words = docs.select(
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
-    ).filter(F.length("word") >= 2)
-    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
-    pairs = freq.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(word) - 1),"
-                " i -> substring(word, i, 2))"
-            )
-        ).alias("pair"),
-        "freq",
-    )
+    pairs = _sym_pairs(_word_freq(docs), "word")
     return (
         pairs.groupBy("pair")
         .agg(F.sum("freq").cast("bigint").alias("cnt"))
@@ -1126,4 +1148,76 @@ def q134_video_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mean_r"), 6).alias("mean_r"),
         F.round(F.col("mean_g"), 6).alias("mean_g"),
         F.round(F.col("mean_b"), 6).alias("mean_b"),
+    )
+
+
+@register(
+    "q135_bpe_merge_round",
+    oracle=f"""
+WITH {_WORD_FREQ_SQL},
+p0 AS ({_sym_pairs_sql("f", "word")}),
+top1 AS (
+  SELECT pair AS merge_pair FROM (
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p0 GROUP BY pair)
+  ORDER BY cnt DESC, pair LIMIT 1),
+f2 AS (
+  SELECT replace(word, merge_pair, chr(1)) AS sym, freq
+  FROM f CROSS JOIN top1),
+p2 AS ({_sym_pairs_sql("f2", "sym")})
+SELECT replace(rawpair, chr(1), '<' || merge_pair || '>') AS pair, cnt
+FROM (SELECT pair AS rawpair, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM p2 GROUP BY pair)
+CROSS JOIN top1
+ORDER BY cnt DESC, pair LIMIT {BPE_TOPK}
+""",
+)
+def q135_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, iteration ONE — the merge-and-recount step
+    every subsequent iteration repeats: take q133's winning pair, merge
+    it into a single symbol across the vocabulary (leftmost
+    non-overlapping, the greedy scan both engines' ``replace`` implements
+    — 'aaa' + merge 'aa' → one merged symbol then 'a'), and recount
+    adjacent symbol pairs over the re-symbolized vocabulary. Merged
+    symbols surface as ``<xy>`` in the output pairs. Shares
+    _word_freq/_sym_pairs with q133 on BOTH engines, so the iteration can
+    never drift from iteration zero.
+
+    Scale shape: identical to q133 plus one broadcast — the winning pair
+    is a 1-row frame cross-joined (broadcast) into the map-side
+    re-symbolization; no new shuffle class. A production trainer loops
+    this plan vocabulary-resident (the vocab frame is millions of rows —
+    cacheable), exactly like q98's kmeans loops its Arrow kernel."""
+    docs = load(spark, sf_dir, "documents")
+    freq = _word_freq(docs)
+    p0 = _sym_pairs(freq, "word")
+    top1 = (
+        p0.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(1)
+        .select(F.col("pair").alias("merge_pair"))
+    )
+    f2 = freq.crossJoin(F.broadcast(top1)).select(
+        F.replace(
+            F.col("word"), F.col("merge_pair"), F.lit("\x01")
+        ).alias("sym"),
+        "freq",
+        "merge_pair",
+    )
+    p2 = _sym_pairs(f2, "sym")
+    counted = p2.groupBy("pair").agg(
+        F.sum("freq").cast("bigint").alias("cnt")
+    )
+    return (
+        counted.crossJoin(F.broadcast(top1))
+        .select(
+            F.replace(
+                F.col("pair"),
+                F.lit("\x01"),
+                F.concat(F.lit("<"), F.col("merge_pair"), F.lit(">")),
+            ).alias("pair"),
+            "cnt",
+        )
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(BPE_TOPK)
     )
