@@ -28,7 +28,11 @@ The binlog client is injectable:
 - ``MySQLBinlogClient`` — live replication client over the public
   ``python-mysql-replication`` package (the PyPI equivalent of go-mysql's
   ``replication``, go.mod:9). Import-gated: this container does not ship it.
-  ROW format only (README.md:106-108).
+  ROW format only (README.md:106-108). Both reference flavors supported
+  (``source.flavor: mysql | mariadb``, README.md:47): MariaDB streams open
+  with ``is_mariadb`` + the MariaDB GTID handshake, resume tokens dispatch
+  by tag shape (uuid:txid intervals vs domain-server-seq watermarks — see
+  :func:`parse_gtid_set`).
 """
 
 from __future__ import annotations
@@ -136,6 +140,78 @@ class GtidSet:
 
     def __bool__(self) -> bool:
         return bool(self._ivals)
+
+
+_MARIADB_GTID_RE = re.compile(r"^\d+-\d+-\d+$")
+
+
+class MariaDbGtidSet:
+    """MariaDB GTID position: ``{domain: (server_id, seq)}``.
+
+    MariaDB GTIDs are ``domain-server-seq`` triples and a replication
+    position (``gtid_slave_pos`` / ``gtid_current_pos``) holds ONE entry
+    per domain — the per-domain high-water seq, NOT interval sets:
+    containment of ``d-s-n`` is ``n <= stored_seq(d)`` with the server id
+    ignored (MariaDB orders a domain's stream totally across servers;
+    the server id in the stored triple records who committed the
+    watermark transaction). Same duck-typed surface as :class:`GtidSet`
+    (parse/contains/with_gtid/encode/bool), so every resume path —
+    replay, live, offset JSON — works for both flavors through
+    :func:`parse_gtid_set`. Reference parity: ``source.flavor: mariadb``
+    (README.md:47; go-mysql's Flavor knob at blreaderwork.go:52)."""
+
+    def __init__(self, pos: dict[int, tuple[int, int]]):
+        self._pos = dict(pos)
+
+    @classmethod
+    def parse(cls, text: str | None) -> "MariaDbGtidSet":
+        pos: dict[int, tuple[int, int]] = {}
+        for part in (text or "").replace("\n", "").split(","):
+            part = part.strip()
+            if not part:
+                continue
+            d, s, n = (int(x) for x in part.split("-"))
+            if d not in pos or n > pos[d][1]:
+                pos[d] = (s, n)
+        return cls(pos)
+
+    def contains(self, gtid: str) -> bool:
+        d, _, n = (int(x) for x in gtid.split("-"))
+        return d in self._pos and n <= self._pos[d][1]
+
+    def with_gtid(self, gtid: str) -> "MariaDbGtidSet":
+        d, s, n = (int(x) for x in gtid.split("-"))
+        pos = dict(self._pos)
+        if d not in pos or n > pos[d][1]:
+            pos[d] = (s, n)
+        return MariaDbGtidSet(pos)
+
+    def encode(self) -> str:
+        return ",".join(
+            f"{d}-{self._pos[d][0]}-{self._pos[d][1]}"
+            for d in sorted(self._pos)
+        )
+
+    def __bool__(self) -> bool:
+        return bool(self._pos)
+
+
+def parse_gtid_set(text: str | None):
+    """Flavor-dispatching parse: MariaDB ``domain-server-seq`` lists parse
+    to :class:`MariaDbGtidSet`, anything else to the MySQL
+    :class:`GtidSet`. One factory so offsets, replay records, and the
+    live client agree on the dispatch rule (first element's shape)."""
+    first = (text or "").replace("\n", "").split(",")[0].strip()
+    if _MARIADB_GTID_RE.match(first):
+        return MariaDbGtidSet.parse(text)
+    return GtidSet.parse(text)
+
+
+def _empty_set_for(gtid: str):
+    """Fresh set of the right flavor for accumulating from tagged records."""
+    return (
+        MariaDbGtidSet({}) if _MARIADB_GTID_RE.match(gtid) else GtidSet({})
+    )
 
 
 @dataclass(frozen=True, eq=False)
@@ -249,10 +325,12 @@ class ReplayBinlogClient:
             key=lambda x: x[0]._key(),
         )
         out: list[tuple[BinlogLocation, dict[str, Any]]] = []
-        gs = GtidSet({})
+        gs = None
         for loc, rec in selected:
             if rec.get("gtid"):
-                gs = gs.with_gtid(rec["gtid"])
+                gs = (gs or _empty_set_for(rec["gtid"])).with_gtid(
+                    rec["gtid"]
+                )
             out.append(
                 (
                     BinlogLocation(
@@ -292,7 +370,7 @@ class ReplayBinlogClient:
         renamed files reorder). Untagged records keep the file/pos rule —
         the documented fallback."""
         start_gs = (
-            GtidSet.parse(start.gtid_set) if start.gtid_set else None
+            parse_gtid_set(start.gtid_set) if start.gtid_set else None
         )
         for loc, rec in self._located():
             if loc > end:
@@ -485,9 +563,13 @@ class MySQLBinlogClient:
             or 3
         )
 
+    def _is_mariadb(self) -> bool:
+        return (self._options.get("flavor") or "mysql").lower() == "mariadb"
+
     def _open_stream(self, resume_from: BinlogLocation, only_events: list):
         from pymysqlreplication import BinLogStreamReader
 
+        flavor_kw = {"is_mariadb": True} if self._is_mariadb() else {}
         if resume_from.gtid_set:
             # GTID auto-positioning handshake: the replica sends its
             # executed-GTID set in COM_BINLOG_DUMP_GTID and the master
@@ -502,6 +584,7 @@ class MySQLBinlogClient:
                 only_events=only_events,
                 blocking=False,
                 slave_heartbeat=self._heartbeat_seconds(),
+                **flavor_kw,
             )
         # position 0 means "beginning of this FILE" (a rotation-capped batch
         # boundary, or startFile with no startPosition) — pass the post-magic
@@ -520,6 +603,7 @@ class MySQLBinlogClient:
             only_events=only_events,
             blocking=False,
             slave_heartbeat=self._heartbeat_seconds(),
+            **flavor_kw,
         )
 
     def read_range(
@@ -556,12 +640,19 @@ class MySQLBinlogClient:
         )
 
         gtid_event_cls = None
-        start_gs = GtidSet.parse(start.gtid_set) if start.gtid_set else None
+        start_gs = (
+            parse_gtid_set(start.gtid_set) if start.gtid_set else None
+        )
         if start_gs is not None:
             try:
-                from pymysqlreplication.event import GtidEvent
+                if self._is_mariadb():
+                    from pymysqlreplication.event import MariadbGtidEvent
 
-                gtid_event_cls = GtidEvent
+                    gtid_event_cls = MariadbGtidEvent
+                else:
+                    from pymysqlreplication.event import GtidEvent
+
+                    gtid_event_cls = GtidEvent
             except ImportError:  # pragma: no cover - fixture environments
                 pass
 
@@ -707,7 +798,7 @@ class BinlogStreamReader(DataSourceStreamReader):
         )
         if gtids:
             start = BinlogLocation(
-                file or "", int(pos or 0), GtidSet.parse(gtids).encode()
+                file or "", int(pos or 0), parse_gtid_set(gtids).encode()
             )
         elif file:
             start = BinlogLocation(file, int(pos or 0))

@@ -92,6 +92,7 @@ def source_stream(spark: SparkSession, cfg: JobConfig) -> DataFrame:
         serverID=str(cfg.source.server_id),
         readTimeout=cfg.source.read_timeout,
         heartbeatPeriod=cfg.source.heartbeat_period,
+        flavor=cfg.source.flavor,
     )
     if cfg.source.max_bytes_per_batch:
         reader = reader.options(

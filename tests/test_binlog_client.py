@@ -1020,3 +1020,88 @@ def test_full_metadata_column_rename_flows_event_time_names(
     # schema_probe.arity_gate — it checks map SIZE, never key names)
     # keeps both events even though the probe map would say ["id","name"]
     assert all(len(r["rows"][0]) == 2 for r in got)
+
+
+# Reference parity: source.flavor supports mariadb (README.md:47 — go-mysql
+# Flavor knob). MariaDB GTIDs are domain-server-seq triples; a position is
+# one per-domain high-water entry, containment is seq <= watermark.
+def test_mariadb_gtid_set_parse_contains_watermark():
+    from binwatch_spark.sources.binlog import (
+        GtidSet,
+        MariaDbGtidSet,
+        parse_gtid_set,
+    )
+
+    gs = parse_gtid_set("0-1-100, 1-2-5")
+    assert isinstance(gs, MariaDbGtidSet)
+    assert gs.contains("0-1-100") and gs.contains("0-99-42")
+    assert not gs.contains("0-1-101") and not gs.contains("2-1-1")
+    assert gs.contains("1-2-5") and not gs.contains("1-2-6")
+    # watermark advances to the max seq; server id records the committer
+    g2 = gs.with_gtid("0-7-150").with_gtid("0-3-120")
+    assert g2.encode() == "0-7-150,1-2-5"
+    # duplicate domains in the wire text keep the max
+    assert parse_gtid_set("0-1-10,0-2-50").encode() == "0-2-50"
+    # dispatch: uuid form still parses to the MySQL set
+    assert isinstance(
+        parse_gtid_set("3e11fa47-71ca-11e1-9e33-c80aa9429562:1-5"), GtidSet
+    )
+    assert not parse_gtid_set("")
+
+
+def _mariadb_client():
+    from binwatch_spark.sources.binlog import MySQLBinlogClient
+
+    return MySQLBinlogClient(
+        {"host": "127.0.0.1", "port": "3306", "user": "repl",
+         "password": "x", "serverid": "42", "flavor": "mariadb"}
+    )
+
+
+RECORDED_MARIADB = [
+    ("maria-bin.000005", 100, _GtidEvent("0-1-21")),
+    (
+        "maria-bin.000005",
+        160,
+        _WriteRowsEvent("shop", "users", [{"values": {"id": 7}}]),
+    ),
+    ("maria-bin.000005", 220, _GtidEvent("0-1-22")),
+    (
+        "maria-bin.000005",
+        280,
+        _WriteRowsEvent("shop", "users", [{"values": {"id": 8}}]),
+    ),
+]
+
+
+def test_mariadb_gtid_start_handshake_and_set_filter(
+    fake_pymysqlreplication, monkeypatch
+):
+    """flavor=mariadb: the stream opens with is_mariadb=True and the
+    MariaDB GTID auto-position handshake; transactions at or below the
+    start watermark are filtered by set membership (MariadbGtidEvent
+    subscription), later ones deliver."""
+    import sys
+    import types
+
+    monkeypatch.setitem(globals(), "RECORDED", RECORDED_MARIADB)
+    event_mod = types.ModuleType("pymysqlreplication.event")
+    event_mod.GtidEvent = type("GtidEvent", (), {})  # never instantiated
+    event_mod.MariadbGtidEvent = _GtidEvent
+    fake_pymysqlreplication.event = event_mod
+    monkeypatch.setitem(sys.modules, "pymysqlreplication.event", event_mod)
+
+    got = list(
+        _mariadb_client().read_range(
+            BinlogLocation("", 0, gtid_set="0-1-21"),
+            BinlogLocation("maria-bin.000005", 280),
+        )
+    )
+    kw = _FakeBinLogStreamReader.last_kwargs
+    assert kw["is_mariadb"] is True
+    assert kw["auto_position"] == "0-1-21"
+    # txn 0-1-21 (id=7) is in the start position -> filtered by membership
+    # even though the fake master re-served it; 0-1-22 (id=8) delivers
+    assert [(r["binlog_position"], r["rows"][0]["id"]) for r in got] == [
+        (280, "8"),
+    ]

@@ -159,3 +159,32 @@ def test_wire_value_json_documents_round_trip_semantically(doc):
     s = _wire_value(doc)
     assert json.loads(s) == doc
     assert _wire_value(json.loads(s)) == s
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3), st.integers(1, 9), st.integers(1, 100)
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    st.tuples(st.integers(0, 4), st.integers(1, 9), st.integers(1, 110)),
+)
+@settings(max_examples=80, deadline=None)
+def test_mariadb_gtid_set_matches_watermark_model(adds, probe):
+    """MariaDbGtidSet vs a per-domain max-seq model: contains is
+    seq <= watermark, encode/parse round-trips the watermarks."""
+    from binwatch_spark.sources.binlog import MariaDbGtidSet
+
+    gs = MariaDbGtidSet({})
+    model: dict[int, int] = {}
+    for d, s, n in adds:
+        gs = gs.with_gtid(f"{d}-{s}-{n}")
+        model[d] = max(model.get(d, 0), n)
+    pd_, ps, pn = probe
+    assert gs.contains(f"{pd_}-{ps}-{pn}") == (pn <= model.get(pd_, 0))
+    reparsed = MariaDbGtidSet.parse(gs.encode())
+    for d, hi in model.items():
+        assert reparsed.contains(f"{d}-1-{hi}")
+        assert not reparsed.contains(f"{d}-1-{hi + 1}")

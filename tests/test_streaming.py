@@ -1137,3 +1137,52 @@ def test_gtid_checkpoint_cycle_across_rotate(spark, tmp_path):
     offset_files = sorted(_glob.glob(f"{tmp}/ckpt/offsets/*"))
     last = open(offset_files[-1]).read()
     assert f"{_GTID_UUID}:1-6" in last
+
+
+def test_replay_resume_by_mariadb_gtid_across_rotate(tmp_path):
+    """MariaDB-flavor GTID tags (domain-server-seq) through the replay
+    client: resume by per-domain watermark across a rotate, cumulative
+    position carried on handed-out locations, flavor auto-dispatched from
+    the tag shape."""
+    from binwatch_spark.sources.binlog import (
+        BinlogLocation,
+        ReplayBinlogClient,
+    )
+
+    replay = str(tmp_path / "replay")
+    os.makedirs(replay)
+    events = [
+        ("maria-bin.000001", 100, "0-1-1"),
+        ("maria-bin.000001", 200, "0-1-2"),
+        ("maria-bin.000002", 4, "0-1-3"),  # rotate
+        ("maria-bin.000002", 150, "1-2-1"),  # second domain
+    ]
+    with open(os.path.join(replay, "m.jsonl"), "w", encoding="utf-8") as fh:
+        for i, (file, pos, gtid) in enumerate(events):
+            fh.write(
+                json.dumps(
+                    {
+                        "event_type": "WriteRowsEventV2",
+                        "binlog_file": file,
+                        "binlog_position": pos,
+                        "database": "testdb",
+                        "table": "users",
+                        "operation": "INSERT",
+                        "rows": [{"id": str(i)}],
+                        "gtid": gtid,
+                    }
+                )
+                + "\n"
+            )
+    client = ReplayBinlogClient(replay)
+    tip = client.latest_location()
+    # cumulative position: domain 0 watermark 3, domain 1 watermark 1
+    assert tip.gtid_set == "0-1-3,1-2-1"
+    start = BinlogLocation("", 0, gtid_set="0-1-2")
+    got = [
+        (r["binlog_file"], r["binlog_position"])
+        for r in client.read_range(start, tip)
+    ]
+    # 0-1-1 and 0-1-2 are under the domain-0 watermark; 0-1-3 and the
+    # domain-1 txn deliver (domain 1 absent from the start position)
+    assert got == [("maria-bin.000002", 4), ("maria-bin.000002", 150)]
