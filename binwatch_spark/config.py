@@ -78,6 +78,13 @@ class SourceConfig:
     # opt-in for raw captures). Binding includes the blreaderwork.go
     # arity gate: mismatched events are dropped and counted.
     positional_rows: bool = False
+    # Reference-parity loss mode (blreaderwork.go:149-190): on a stream
+    # error, skip ahead to the CURRENT master position instead of resuming
+    # at the last good location — accepting loss of the in-between events
+    # to escape a poison section, exactly the reference's
+    # restartSyncerOnError reader behavior. Default False: the Spark
+    # default resumes, preserving at-least-once over the committed range.
+    skip_ahead_on_error: bool = False
     # Explicit "db.tbl" -> [column, ...] map. Empty with positional_rows
     # set → the pipeline runs the JDBC LIMIT-0 probe at startup
     # (discover_table_columns), exactly like the reference.
@@ -337,6 +344,9 @@ def parse(doc: dict) -> JobConfig:
             start_location=start,
             replay_dir=source_d.get("replayDir", ""),
             positional_rows=bool(source_d.get("positionalRows", False)),
+            skip_ahead_on_error=bool(
+                source_d.get("skipAheadOnError", False)
+            ),
             columns=_parse_columns(source_d.get("columns", {}) or {}),
             max_bytes_per_batch=int(source_d.get("maxBytesPerBatch", 0)),
         ),

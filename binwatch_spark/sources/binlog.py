@@ -563,6 +563,14 @@ class MySQLBinlogClient:
             or 3
         )
 
+    def _skip_ahead_on_error(self) -> bool:
+        v = (
+            self._options.get("skipaheadonerror")
+            or self._options.get("skipAheadOnError")
+            or ""
+        )
+        return str(v).lower() in ("1", "true", "yes")
+
     def _is_mariadb(self) -> bool:
         return (self._options.get("flavor") or "mysql").lower() == "mariadb"
 
@@ -619,7 +627,12 @@ class MySQLBinlogClient:
         position (blreaderwork.go:149-190 — accepting loss to avoid an
         error loop); a Spark partition read must be replayable over the
         exact (start, end] range, so skipping ahead would silently drop
-        committed offsets — we resume instead, preserving at-least-once.
+        committed offsets — the default resumes, preserving at-least-once.
+        ``skipAheadOnError: true`` opts into the reference's loss
+        semantics verbatim for users migrating poison-event workloads:
+        the cursor jumps positionally to the master tip, dropping the
+        in-between events (and the rest of the range when the tip is past
+        ``end``).
         Rotates are absorbed by pymysqlreplication (log_file switches,
         log_pos resets), so a reconnect mid-transaction or mid-rotate
         resumes in the rotated file.
@@ -740,6 +753,21 @@ class MySQLBinlogClient:
                 attempts += 1
                 if attempts > self._max_reconnects():
                     raise
+                if self._skip_ahead_on_error():
+                    # Reference-parity LOSS mode (blreaderwork.go:149-190,
+                    # restartSyncerOnError): jump to the CURRENT master
+                    # position instead of the last good location — events
+                    # between cursor and the tip are dropped by design
+                    # (escaping a poison section beats an error loop).
+                    # Positional restart like the reference (no GTID
+                    # handshake — that would re-dedupe and defeat the
+                    # explicit skip). A tip past this range's end means
+                    # the remainder of the range is lost: return.
+                    tip = self.latest_location()
+                    skipped_to = BinlogLocation(tip.file, tip.position)
+                    if skipped_to > end:
+                        return
+                    cursor = skipped_to
             finally:
                 stream.close()
 

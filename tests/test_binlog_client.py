@@ -1105,3 +1105,75 @@ def test_mariadb_gtid_start_handshake_and_set_filter(
     assert [(r["binlog_position"], r["rows"][0]["id"]) for r in got] == [
         (280, "8"),
     ]
+
+
+def test_skip_ahead_on_error_adopts_reference_loss_semantics(
+    fake_pymysqlreplication, monkeypatch
+):
+    """skipAheadOnError=true opts into the reference's restartSyncerOnError
+    behavior (blreaderwork.go:149-190): on a stream error the cursor jumps
+    to the CURRENT master position, LOSING the in-between events — no
+    redelivery, no resume at last-good. Default-mode coverage of the same
+    failure is test_checksum_mismatch_stream_resumes_exactly_once."""
+    from binwatch_spark.sources.binlog import BinlogLocation, MySQLBinlogClient
+
+    _ChecksumFailReader.connections = []
+    fake_pymysqlreplication.BinLogStreamReader = _ChecksumFailReader
+    client = MySQLBinlogClient(
+        {"host": "127.0.0.1", "port": "3306", "user": "repl", "password": "x",
+         "serverid": "42", "skipaheadonerror": "true"}
+    )
+    # master tip sits past the UPDATE at 000007:500 — the skip drops it
+    monkeypatch.setattr(
+        client,
+        "latest_location",
+        lambda: BinlogLocation(
+            "mysql-bin.000008", 4, gtid_set="deadbeef-0000-0000-0000-000000000000:1"
+        ),
+    )
+    got = list(
+        client.read_range(
+            BinlogLocation("mysql-bin.000007", 4),
+            BinlogLocation("mysql-bin.000008", 150),
+        )
+    )
+    # delivered: the INSERT before the failure, then everything after the
+    # tip; LOST: 000007:500 (UPDATE) and 000008:4 — the price the mode
+    # states up front
+    assert [(r["binlog_file"], r["binlog_position"]) for r in got] == [
+        ("mysql-bin.000007", 220),
+        ("mysql-bin.000008", 150),
+    ]
+    # the skip restarts POSITIONALLY (no GTID handshake — that would
+    # re-dedupe and defeat the explicit skip)
+    kw = _ChecksumFailReader.last_kwargs
+    assert "auto_position" not in kw
+    assert kw["log_file"] == "mysql-bin.000008" and kw["log_pos"] == 4
+
+
+def test_skip_ahead_past_range_end_terminates_range(
+    fake_pymysqlreplication, monkeypatch
+):
+    from binwatch_spark.sources.binlog import BinlogLocation, MySQLBinlogClient
+
+    _ChecksumFailReader.connections = []
+    fake_pymysqlreplication.BinLogStreamReader = _ChecksumFailReader
+    client = MySQLBinlogClient(
+        {"host": "127.0.0.1", "port": "3306", "user": "repl", "password": "x",
+         "serverid": "42", "skipAheadOnError": "true"}
+    )
+    monkeypatch.setattr(
+        client, "latest_location",
+        lambda: BinlogLocation("mysql-bin.000009", 4),
+    )
+    got = list(
+        client.read_range(
+            BinlogLocation("mysql-bin.000007", 4),
+            BinlogLocation("mysql-bin.000008", 150),
+        )
+    )
+    # tip is past end: the rest of the range is lost, the read terminates
+    assert [(r["binlog_file"], r["binlog_position"]) for r in got] == [
+        ("mysql-bin.000007", 220),
+    ]
+    assert len(_ChecksumFailReader.connections) == 1
