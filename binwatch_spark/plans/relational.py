@@ -946,3 +946,128 @@ def q130_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 q130_bloom_join.__doc__ = q130_bloom_join.__doc__.format(
     __import__("binwatch_spark.operators.bloom", fromlist=["BLOOM_BITS"]).BLOOM_BITS
 )
+
+
+HIST_BUCKETS = 256
+_HQ_PS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "q136_histogram_quantiles",
+    oracle=f"""
+WITH b AS (
+  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+  FROM lineitem),
+a AS (
+  SELECT l_returnflag AS g,
+    CAST(least({HIST_BUCKETS} - 1,
+         floor((l_extendedprice - mn) / ((mx - mn) / {HIST_BUCKETS})))
+         AS BIGINT) AS bucket
+  FROM lineitem CROSS JOIN b),
+c AS (
+  SELECT g, bucket, CAST(count(*) AS BIGINT) AS c FROM a
+  GROUP BY g, bucket),
+cum AS (
+  SELECT g, bucket, c,
+    CAST(sum(c) OVER (PARTITION BY g ORDER BY bucket
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM c),
+n AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY g),
+ps AS (SELECT unnest([{", ".join(str(p) for p in _HQ_PS)}]) AS p),
+sel AS (
+  SELECT cum.g, ps.p, min(bucket) AS b
+  FROM cum JOIN n USING (g) CROSS JOIN ps
+  WHERE cum >= ceil(ps.p * n.n)
+  GROUP BY cum.g, ps.p),
+est AS (
+  SELECT sel.g, sel.p,
+    round(b0.mn + ((b0.mx - b0.mn) / {HIST_BUCKETS})
+      * (sel.b + (ceil(sel.p * n.n) - (cum.cum - cum.c))
+         / CAST(cum.c AS DOUBLE)), 6) AS e
+  FROM sel
+  JOIN cum ON sel.g = cum.g AND sel.b = cum.bucket
+  JOIN n ON sel.g = n.g
+  CROSS JOIN b b0)
+SELECT g AS l_returnflag,
+  max(CASE WHEN p = 0.5 THEN e END) AS p50,
+  max(CASE WHEN p = 0.9 THEN e END) AS p90,
+  max(CASE WHEN p = 0.99 THEN e END) AS p99
+FROM est GROUP BY g
+""",
+)
+def q136_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q43's production rung: DETERMINISTIC approximate per-group quantiles
+    from a fixed-width {HIST_BUCKETS}-bucket histogram — the
+    bounded-memory path exact percentiles can't take at 100 TB (they
+    buffer each group's values), and unlike t-digest/approx_percentile
+    the estimate is a pure function of the data: same answer on every
+    engine, every run, every partitioning, which is why it can carry a
+    full hash-checked oracle while q55-style sketches cannot. Error is
+    bounded by one bucket width of the value range; tighten with more
+    buckets (state is groups×{HIST_BUCKETS} rows — still tiny).
+
+    Shape: one cheap global min/max aggregate broadcast back (1 row),
+    bucket assignment map-side, ONE bounded aggregate (≤ {HIST_BUCKETS}
+    rows per group through the exchange, map-side combined), then
+    nearest-rank selection (rank ceil(p·n)) with linear interpolation
+    inside the selected bucket — all on the k-row histogram frame."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    width = (F.col("mx") - F.col("mn")) / HIST_BUCKETS
+    a = li.crossJoin(F.broadcast(b)).select(
+        F.col("l_returnflag").alias("g"),
+        F.least(
+            F.lit(HIST_BUCKETS - 1),
+            F.floor((F.col("l_extendedprice") - F.col("mn")) / width),
+        ).cast("bigint").alias("bucket"),
+    )
+    c = a.groupBy("g", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = c.withColumn("cum", F.sum("c").over(wcum).cast("bigint"))
+    n = c.groupBy("g").agg(F.sum("c").cast("bigint").alias("n"))
+    ps = spark.createDataFrame([(p,) for p in _HQ_PS], "p double")
+    sel = (
+        cum.join(n, "g")
+        .crossJoin(F.broadcast(ps))
+        .filter(F.col("cum") >= F.ceil(F.col("p") * F.col("n")))
+        .groupBy("g", "p")
+        .agg(F.min("bucket").alias("b"))
+    )
+    est = (
+        sel.join(cum.withColumnRenamed("bucket", "b"), ["g", "b"])
+        .join(n, "g")
+        .crossJoin(F.broadcast(b))
+        .select(
+            "g",
+            "p",
+            F.round(
+                F.col("mn")
+                + width
+                * (
+                    F.col("b")
+                    + (
+                        F.ceil(F.col("p") * F.col("n"))
+                        - (F.col("cum") - F.col("c"))
+                    )
+                    / F.col("c").cast("double")
+                ),
+                6,
+            ).alias("e"),
+        )
+    )
+    return (
+        est.groupBy("g")
+        .agg(
+            F.max(F.when(F.col("p") == 0.5, F.col("e"))).alias("p50"),
+            F.max(F.when(F.col("p") == 0.9, F.col("e"))).alias("p90"),
+            F.max(F.when(F.col("p") == 0.99, F.col("e"))).alias("p99"),
+        )
+        .withColumnRenamed("g", "l_returnflag")
+    )
