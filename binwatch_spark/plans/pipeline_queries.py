@@ -1352,3 +1352,131 @@ def q131_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("source").alias("n_sources"),
         )
     )
+
+
+MIN_DOC_TOKENS = 30  # q64's lower bound, reused as the audit's gate
+
+
+@register(
+    "q137_constraint_audit",
+    oracle=f"""
+SELECT 'orders_fk_customer' AS check_name,
+  CAST((SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    AS violations,
+  CAST((SELECT count(*) FROM orders) AS BIGINT) AS checked
+UNION ALL
+SELECT 'lineitem_fk_orders',
+  CAST((SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+  CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+UNION ALL
+SELECT 'orders_pk_unique',
+  CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS BIGINT),
+  CAST((SELECT count(*) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_qty_range',
+  CAST((SELECT count(*) FROM lineitem
+        WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT),
+  CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+UNION ALL
+SELECT 'events_required_fields',
+  CAST((SELECT count(*) FROM events
+        WHERE ts IS NULL OR user_id IS NULL OR event_type IS NULL)
+    AS BIGINT),
+  CAST((SELECT count(*) FROM events) AS BIGINT)
+UNION ALL
+SELECT 'documents_min_tokens',
+  CAST((SELECT count(*) FROM documents
+        WHERE text IS NULL
+           OR len(string_split(text, ' ')) < {MIN_DOC_TOKENS}) AS BIGINT),
+  CAST((SELECT count(*) FROM documents) AS BIGINT)
+""",
+)
+def q137_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training-run data validation (the dbt-test / Great-Expectations
+    pass a pipeline runs before spending GPU-hours): referential
+    integrity (FK anti-joins), key uniqueness, domain ranges,
+    required-field nulls, and the corpus minimum-length gate — one
+    (check_name, violations, checked) row each, all six checks in one
+    result so the run gate is a single scan of a tiny frame.
+
+    Scale shape: each FK check is a LEFT ANTI join counting survivors
+    (broadcast when the parent side is dim-sized, shuffle otherwise —
+    Catalyst's call); per-table predicate checks fuse into one aggregate
+    per table (violations + total in the same pass, conditional sum).
+    Output is integer-only and 6 rows regardless of corpus size."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    lineitem = load(spark, sf_dir, "lineitem")
+    events = load(spark, sf_dir, "events")
+    docs = load(spark, sf_dir, "documents")
+
+    def row(name, violations_df, checked_df):
+        v = violations_df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("violations")
+        )
+        c = checked_df.agg(F.count(F.lit(1)).cast("bigint").alias("checked"))
+        return v.crossJoin(c).select(
+            F.lit(name).alias("check_name"), "violations", "checked"
+        )
+
+    def agg_row(name, df, bad):
+        # one pass: violations and total from the same aggregate
+        return df.agg(
+            F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias(
+                "violations"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("checked"),
+        ).select(F.lit(name).alias("check_name"), "violations", "checked")
+
+    checks = [
+        row(
+            "orders_fk_customer",
+            orders.join(
+                customer, orders.o_custkey == customer.c_custkey, "left_anti"
+            ),
+            orders,
+        ),
+        row(
+            "lineitem_fk_orders",
+            lineitem.join(
+                orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+            ),
+            lineitem,
+        ),
+        orders.agg(
+            (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+            .cast("bigint")
+            .alias("violations"),
+            F.count(F.lit(1)).cast("bigint").alias("checked"),
+        ).select(
+            F.lit("orders_pk_unique").alias("check_name"),
+            "violations",
+            "checked",
+        ),
+        agg_row(
+            "lineitem_qty_range",
+            lineitem,
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+        ),
+        agg_row(
+            "events_required_fields",
+            events,
+            F.col("ts").isNull()
+            | F.col("user_id").isNull()
+            | F.col("event_type").isNull(),
+        ),
+        agg_row(
+            "documents_min_tokens",
+            docs,
+            F.col("text").isNull()
+            | (F.size(F.split(F.col("text"), " ")) < MIN_DOC_TOKENS),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
