@@ -1480,3 +1480,71 @@ def q137_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+# q138's budget: arrival order admits SHORT docs too, so the quota fills
+# slower than q124's longest-first — same constant still crosses within
+# the fixture sources' 1.3-1.5k token mass.
+STREAM_BUDGET = TOKEN_BUDGET
+
+
+@register(
+    "q138_stream_budget_fill",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+    CAST(sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS cum_tokens
+  FROM t)
+SELECT doc_id, source, n_tokens, cum_tokens FROM c
+WHERE cum_tokens - n_tokens < {STREAM_BUDGET}
+""",
+)
+def q138_stream_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q124's token-budget admission executed through the REAL streaming
+    engine — the SEVENTH streaming pattern with driver-grade hash
+    evidence: a lifetime per-key quota in applyInPandasWithState (state =
+    one long per source, NO timeout — a budget is a quota, not a
+    window), in ARRIVAL order because a stream cannot sort the future
+    (the batch form's longest-first priority becomes doc_id arrival
+    order, which the oracle's window states identically). Documents
+    stream as three doc_id-ranged micro-batches; each source's running
+    total persists across batches, so admission decisions span
+    micro-batch boundaries — the property that actually needs the state
+    store. The crossing doc is admitted per the shared rule; everything
+    after is dropped at the operator, so the downstream write sees only
+    admitted rows (the streaming-curation economics: drop at ingest,
+    not in a later batch pass).
+
+    Scale posture: state shuffles once on source (the mixture axis,
+    bounded cardinality), O(1) bytes per source, no watermark needed;
+    the staged file-ordering exists only to make the bounded fixture's
+    arrival order deterministic."""
+    from binwatch_spark.streaming.analytics import budget_fill_stream
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    # three ordered arrival waves by doc_id range — batch boundaries land
+    # mid-source so the cross-batch state carry is actually exercised
+    n_docs = t.agg(F.max("doc_id")).first()[0]
+    b0 = t.filter(F.col("doc_id") <= n_docs // 3)
+    b1 = t.filter(
+        (F.col("doc_id") > n_docs // 3) & (F.col("doc_id") <= 2 * n_docs // 3)
+    )
+    b2 = t.filter(F.col("doc_id") > 2 * n_docs // 3)
+    return _run_bounded_stream(
+        spark,
+        "q138_stream_",
+        [("b0", b0), ("b1", b1), ("b2", b2)],
+        lambda s: budget_fill_stream(s, STREAM_BUDGET),
+    )

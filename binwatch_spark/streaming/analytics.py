@@ -108,3 +108,53 @@ def interval_join(
         & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {lookback}"))
     )
     return l.join(r, cond, "inner").drop(r[key])
+
+
+BUDGET_OUTPUT_SCHEMA = (
+    "doc_id long, source string, n_tokens long, cum_tokens long"
+)
+BUDGET_STATE_SCHEMA = "cum long"
+
+
+def budget_fill_stream(df: DataFrame, budget: int) -> DataFrame:
+    """Streaming per-source token-budget admission (q124's streaming twin,
+    ARRIVAL-order semantics): documents arrive per source in stream
+    order; each is admitted while the source's cumulative token count
+    BEFORE it is under ``budget`` — so the crossing doc is admitted and
+    everything after is dropped, exactly the batch rule with priority
+    order replaced by arrival order (a stream can't sort the future).
+
+    applyInPandasWithState keyed by source; state is ONE long (the
+    running token total — O(1) per source, no timeout: a budget is a
+    lifetime quota, not a window). Input batches sort by doc_id within
+    the group so replays of the same micro-batch sequence are
+    deterministic. Input needs (doc_id, source, n_tokens)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (source,) = key
+        batch = pd.concat(list(pdfs)).sort_values("doc_id")
+        (cum,) = state.get if state.exists else (0,)
+        out = []
+        for doc_id, n in zip(batch["doc_id"], batch["n_tokens"]):
+            if cum < budget:
+                out.append((int(doc_id), source, int(n), cum + int(n)))
+            cum += int(n)
+        state.update((cum,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["doc_id", "source", "n_tokens", "cum_tokens"]
+            )
+
+    return df.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType=BUDGET_OUTPUT_SCHEMA,
+        stateStructType=BUDGET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

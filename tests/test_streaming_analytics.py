@@ -161,3 +161,26 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     # delivery joining twice — dedup upstream is dedup_stream's job)
     assert (1, 101) in got and (3, 102) in got
     assert all(o != 103 and o != 104 for _, o in got)
+
+
+def test_q138_budget_state_carries_across_microbatches(spark):
+    """The budget quota must span micro-batch boundaries: at least one
+    source admits documents in more than one doc_id tercile (the staged
+    batch ranges), proving the per-source running total persisted in the
+    state store rather than resetting per batch."""
+    from binwatch_spark.plans.pipeline_queries import (
+        STREAM_BUDGET,
+        q138_stream_budget_fill,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = q138_stream_budget_fill(spark, SF_SMALL).collect()
+    assert rows
+    max_id = max(r["doc_id"] for r in rows)
+    tercile = {r["doc_id"]: r["doc_id"] * 3 // (max_id + 1) for r in rows}
+    by_source: dict[str, set[int]] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], set()).add(tercile[r["doc_id"]])
+        # every admitted row satisfies the shared crossing rule
+        assert r["cum_tokens"] - r["n_tokens"] < STREAM_BUDGET
+    assert any(len(t) > 1 for t in by_source.values())
