@@ -1071,3 +1071,56 @@ def q136_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("g", "l_returnflag")
     )
+
+
+@register(
+    "q139_scd2_history",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type
+  FROM events),
+chg AS (
+  SELECT user_id, event_type, ts, event_id FROM o
+  WHERE prev_type IS NULL OR prev_type <> event_type),
+iv AS (
+  SELECT user_id, event_type, ts AS valid_from,
+    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM chg)
+SELECT user_id, event_type, valid_from, valid_to,
+  (valid_to IS NULL) AS is_current
+FROM iv
+""",
+)
+def q139_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change stream: collapse
+    consecutive no-change events per key, then close each surviving
+    version with the next change's timestamp — (user_id, event_type,
+    valid_from, valid_to, is_current) validity intervals, the standard
+    warehouse history table a CDC consumer materializes from exactly the
+    envelope this engine's pipeline delivers (q77 keeps the LATEST
+    snapshot; this keeps ALL versions — the other half of the CDC apply
+    story, and the table q31's as-of join would read at scale).
+
+    Shape: two windows over the same (user_id, ts) sort — lag for
+    change detection, lead to close intervals — ONE shuffle on the key,
+    second window reuses the partitioning (no second exchange). At
+    100 TB this is the streaming-state recipe too: per-key state is the
+    open version, closed on the next change."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
