@@ -1548,3 +1548,56 @@ def q138_stream_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("b0", b0), ("b1", b1), ("b2", b2)],
         lambda s: budget_fill_stream(s, STREAM_BUDGET),
     )
+
+
+# Temperature sampling at alpha = 1/2: doc keep probability proportional
+# to n_lang^(alpha-1) = 1/sqrt(n_lang) — rare languages survive whole,
+# dominant ones thin as the square root. C and M spelled in both engines.
+TEMP_C = 32
+TEMP_M = 1000
+
+
+@register(
+    "q140_temperature_sample",
+    oracle=f"""
+WITH n AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM documents GROUP BY lang)
+SELECT doc_id, lang, n_l FROM (
+  SELECT doc_id, d.lang, n_l,
+         ({polyhash_sql("text")} % {TEMP_M}) AS h
+  FROM documents d JOIN n ON d.lang = n.lang)
+WHERE h * h * n_l < {TEMP_C * TEMP_C * TEMP_M * TEMP_M}
+""",
+)
+def q140_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual temperature sampling (the mT5/XLM-R mixture recipe) at
+    temperature alpha = 1/2, fully DETERMINISTIC: a document survives iff
+    hash/M < C/sqrt(n_lang) — i.e. per-doc keep probability proportional
+    to n_lang^(alpha-1), which upweights rare languages exactly like
+    temperature-scaled sampling, but reproducible across engines and
+    runs. The square-root threshold is evaluated in ALL-INTEGER form
+    (h²·n_lang < C²·M²) — no pow()/sqrt() doubles anywhere near the
+    decision boundary, so a last-ulp libm difference can never flip a
+    document in or out (the failure mode that keeps float thresholds out
+    of hash-gate oracles; compare q36/q66's rational-rate gates, which
+    this generalizes to data-dependent rates).
+
+    Scale shape: the language histogram is a k-row aggregate broadcast
+    back; the gate is one map-side integer expression — same single-scan
+    economics as q36 with the rate now a function of corpus statistics.
+    When C² >= n_lang the inequality holds for every h (< M), so
+    under-threshold languages are kept whole with no special case."""
+    from binwatch_spark.functions.texthash import polyhash
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_l"))
+    h = polyhash(F.col("text")) % TEMP_M
+    return (
+        docs.join(F.broadcast(n), "lang")
+        .withColumn("h", h)
+        .filter(
+            F.col("h") * F.col("h") * F.col("n_l")
+            < F.lit(TEMP_C * TEMP_C * TEMP_M * TEMP_M)
+        )
+        .select("doc_id", "lang", "n_l")
+    )
