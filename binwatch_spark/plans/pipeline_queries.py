@@ -1601,3 +1601,68 @@ def q140_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "n_l")
     )
+
+
+@register(
+    "q141_scd2_stream",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type
+  FROM events),
+chg AS (
+  SELECT user_id, event_type, ts, event_id FROM o
+  WHERE prev_type IS NULL OR prev_type <> event_type),
+iv AS (
+  SELECT user_id, event_type, ts AS valid_from,
+    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM chg)
+SELECT user_id, event_type, valid_from, valid_to
+FROM iv WHERE valid_to IS NOT NULL
+""",
+)
+def q141_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q139's SCD2 maintenance executed through the REAL streaming engine
+    — the EIGHTH streaming pattern with driver-grade hash evidence:
+    per-key open-version state (string + epoch-micros, O(1), no
+    timeout), each change CLOSING the predecessor version; emitted
+    history is exactly q139's closed intervals (open versions are not
+    history yet, so the oracle filters valid_to IS NOT NULL — the one
+    stated difference from the batch view, inherent to append-mode
+    streaming). Events stream as three ts-ranged micro-batches, so
+    versions opened in one batch close in a later one — the cross-batch
+    carry the state store exists for.
+
+    Scale posture: one shuffle on the key, O(1) state per key forever
+    (no watermark needed — a dimension version has no expiry); this is
+    the natural foreachBatch-free form of maintaining a type-2 history
+    table directly from the CDC envelope stream."""
+    from binwatch_spark.streaming.analytics import scd2_stream
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+    )
+    # three ts-ranged arrival waves: exact tercile cut points (2 scalars
+    # driver-side); ties share a batch because the split is on ts value
+    cuts = ev.agg(
+        F.percentile(F.col("ts").cast("double"), F.lit(1.0 / 3)).alias("c1"),
+        F.percentile(F.col("ts").cast("double"), F.lit(2.0 / 3)).alias("c2"),
+    ).first()
+    c1, c2 = cuts["c1"], cuts["c2"]
+    tsd = F.col("ts").cast("double")
+    stages = [
+        ("b0", ev.filter(tsd <= c1)),
+        ("b1", ev.filter((tsd > c1) & (tsd <= c2))),
+        ("b2", ev.filter(tsd > c2)),
+    ]
+    out = _run_bounded_stream(spark, "q141_stream_", stages, scd2_stream)
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
+        F.col("valid_to").cast("timestamp_ntz").alias("valid_to"),
+    )

@@ -158,3 +158,66 @@ def budget_fill_stream(df: DataFrame, budget: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SCD2_OUTPUT_SCHEMA = (
+    "user_id long, event_type string, valid_from timestamp, "
+    "valid_to timestamp"
+)
+SCD2_STATE_SCHEMA = "open_type string, open_from long"
+
+
+def scd2_stream(df: DataFrame) -> DataFrame:
+    """Streaming SCD2 maintenance (q139's streaming twin): per-key state
+    holds the OPEN version (type + start); each arriving change CLOSES
+    the previous version — one emitted row per closed version, open
+    versions never emit (they are not history yet). No timeout: a
+    dimension version has no expiry, only a successor. Consecutive
+    no-change events fold into the open version, the SCD2 collapse rule.
+
+    State is O(1) per key (a string + an epoch-micros long — the
+    timestamp rides the state store as int64 to stay timezone-exact);
+    arrival must be event-time ordered per key across micro-batches
+    (the CDC pipeline's per-key ordering contract; the bounded harness
+    stages ts-ranged batches). Input needs (user_id, event_type, ts,
+    event_id)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        open_type, open_from = state.get if state.exists else (None, None)
+        closed = []
+        for etype, ts in zip(batch["event_type"], batch["ts"]):
+            ts_us = int(ts.value // 1_000)  # pandas ns -> micros
+            if open_type is None:
+                open_type, open_from = str(etype), ts_us
+            elif str(etype) != open_type:
+                closed.append(
+                    (
+                        int(user_id),
+                        open_type,
+                        pd.Timestamp(open_from * 1_000),
+                        pd.Timestamp(ts_us * 1_000),
+                    )
+                )
+                open_type, open_from = str(etype), ts_us
+        state.update((open_type, open_from))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "event_type", "valid_from", "valid_to"],
+            )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SCD2_OUTPUT_SCHEMA,
+        stateStructType=SCD2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -184,3 +184,24 @@ def test_q138_budget_state_carries_across_microbatches(spark):
         # every admitted row satisfies the shared crossing rule
         assert r["cum_tokens"] - r["n_tokens"] < STREAM_BUDGET
     assert any(len(t) > 1 for t in by_source.values())
+
+
+def test_q141_scd2_versions_close_across_microbatches(spark):
+    """A version opened in one ts-tercile batch must close in a LATER one
+    for at least one user — the cross-batch state carry streaming SCD2
+    exists for — and every interval is well-formed."""
+    from binwatch_spark.plans.pipeline_queries import q141_scd2_stream
+    from tests.conftest import SF_SMALL
+
+    rows = q141_scd2_stream(spark, SF_SMALL).collect()
+    assert rows
+    all_ts = sorted(
+        {r["valid_from"] for r in rows} | {r["valid_to"] for r in rows}
+    )
+    c1 = all_ts[len(all_ts) // 3]
+    crossers = [
+        r for r in rows if r["valid_from"] <= c1 and r["valid_to"] > c1
+    ]
+    assert crossers, "no version spans a batch boundary"
+    for r in rows:
+        assert r["valid_from"] < r["valid_to"]
