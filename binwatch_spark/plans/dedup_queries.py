@@ -1174,3 +1174,48 @@ def q122_index_update_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verd_b.withColumn("batch", F.lit("b0")).unionByName(
         verd_c.withColumn("batch", F.lit("b1"))
     ).select("batch", "doc_id", "verdict", "match_doc_id")
+
+
+@register(
+    "q142_source_overlap_matrix",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT sha256(text) AS dig, source FROM documents)
+SELECT a.source AS src_a, b.source AS src_b,
+  CAST(count(*) AS BIGINT) AS shared_digests
+FROM d a JOIN d b ON a.dig = b.dig AND a.source < b.source
+GROUP BY a.source, b.source
+""",
+)
+def q142_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix — the curation diagnostic that
+    answers "which of my crawls/dumps duplicate each other" BEFORE
+    deciding mixture weights (two sources sharing half their content
+    would otherwise be double-weighted): for every source pair, the
+    number of distinct content digests present in both. Runs on exact
+    digests (q34's identity rule); the near-dup analogue swaps the digest
+    for a q23 band-cluster id.
+
+    Scale shape: distinct (digest, source) first — ONE shuffle carrying
+    32-byte digests, map-side combined; the self-join is digest-keyed
+    (co-partitioned, no broadcast of the corpus), and per-digest fan-out
+    is bounded by the SOURCE count (≤ k² pairs per digest for k sources,
+    k = mixture cardinality ~dozens), so the join output is tiny even at
+    100 TB. Output is a ≤ k²-row matrix."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        F.sha2(F.col("text"), 256).alias("dig"), "source"
+    ).distinct()
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.dig") == F.col("b.dig"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_digests"))
+    )
