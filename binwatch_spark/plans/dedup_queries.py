@@ -1219,3 +1219,123 @@ def q142_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_digests"))
     )
+
+
+@register(
+    "q143_dedup_impact",
+    oracle="""
+WITH k AS (
+  SELECT min(doc_id) AS keeper FROM documents GROUP BY sha256(text)),
+t AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    doc_id IN (SELECT keeper FROM k) AS is_keeper
+  FROM documents)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS docs_total,
+  CAST(sum(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+  CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+  CAST(sum(CASE WHEN is_keeper THEN n_tokens ELSE 0 END) AS BIGINT)
+    AS tokens_kept
+FROM t GROUP BY source
+""",
+)
+def q143_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact accounting — "what did exact dedup cost each source":
+    per source, docs/tokens before vs after keep-first digest dedup
+    (q34's keeper rule). The report a curation run publishes next to its
+    drop list; read together with q142 it tells you WHO the removed
+    duplicates were shared with.
+
+    Shape: keeper set is the digest aggregate (32-byte shuffle); the
+    membership flag is a keeper-side semi-join back on doc_id; the final
+    per-source aggregate is map-side combined. Integer-only output."""
+    docs = load(spark, sf_dir, "documents")
+    keepers = (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("_dig"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    ).join(
+        keepers.withColumn("is_keeper", F.lit(True)), "doc_id", "left"
+    ).withColumn("is_keeper", F.coalesce("is_keeper", F.lit(False)))
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_total"),
+        F.sum(F.when(F.col("is_keeper"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_kept"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+        F.sum(F.when(F.col("is_keeper"), F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+    )
+
+
+def _split_leakage_sql() -> str:
+    # q24's blocked-pair CTE + q73's split rule, composed: the leakage a
+    # hash split CANNOT prevent (exact dups co-locate by construction;
+    # near dups need not).
+    from binwatch_spark.plans.pipeline_queries import split_case_sql
+
+    return f"""
+WITH s AS (
+  SELECT doc_id, source, {_TOKS} AS toks, {split_case_sql()} AS split
+  FROM documents),
+p AS (
+  SELECT x.split AS sx, y.split AS sy
+  FROM s x JOIN s y ON x.source = y.source AND x.doc_id < y.doc_id
+  WHERE {_JAC} >= {JACCARD_THRESHOLD})
+SELECT least(sx, sy) AS split_a, greatest(sx, sy) AS split_b,
+  CAST(count(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY least(sx, sy), greatest(sx, sy)
+"""
+
+
+@register("q144_split_leakage", oracle=_split_leakage_sql())
+def q144_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit for NEAR duplicates: q73's content-hash
+    split provably co-locates EXACT duplicates, but near-dups (q24's
+    blocked Jaccard pairs) can land on opposite sides — this matrix
+    counts near-dup pairs by split pair, and its off-diagonal rows
+    (train-test, train-val, test-val) are the contamination a curation
+    run must drive to zero (by dropping or re-assigning one member —
+    q82's decontamination is the substring-grade version of the same
+    audit). Shares the pair generator with q24 and the split rule with
+    q73 on both engines.
+
+    Scale: the pair stage is q24's (block-size gated, LSH cutover); the
+    split label is a map-side expression joined by doc_id; output is a
+    ≤6-row matrix."""
+    from binwatch_spark.plans.pipeline_queries import split_column
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, "text", "doc_id", "source", JACCARD_THRESHOLD
+    ).select("i", "j")
+    lab = docs.select("doc_id", split_column().alias("split"))
+    joined = (
+        pairs.join(
+            lab.select(
+                F.col("doc_id").alias("i"), F.col("split").alias("sx")
+            ),
+            "i",
+        )
+        .join(
+            lab.select(
+                F.col("doc_id").alias("j"), F.col("split").alias("sy")
+            ),
+            "j",
+        )
+    )
+    return (
+        joined.select(
+            F.least("sx", "sy").alias("split_a"),
+            F.greatest("sx", "sy").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
