@@ -185,15 +185,18 @@ def main() -> None:
     other_cpu_total = round(sum(c[1] for cs in all_cpu.values() for c in cs), 1)
     # build/probe split for queries that construct a persisted index
     # in-query (q118/q122): build_s is the one-time construction cost,
-    # probe_s the recurring cost — each the minimum over runs of its
-    # component, same estimator as the headline number.
-    index_build_split = {
-        name: {
-            "build_s": round(min(bs), 2),
-            "probe_s": round(min(w - b for w, b in zip(all_runs[name], bs)), 2),
+    # probe_s the recurring cost. Both components come from the SAME run —
+    # the one with minimum wall time (the headline estimator's pick) — so
+    # build_s + probe_s always reconciles with the reported query time;
+    # mixing min-of-component across different runs could undershoot the
+    # headline and break the regression-bar arithmetic (ADVICE r08).
+    index_build_split = {}
+    for name, bs in sorted(all_build.items()):
+        best = min(range(len(bs)), key=lambda i: all_runs[name][i])
+        index_build_split[name] = {
+            "build_s": round(bs[best], 2),
+            "probe_s": round(all_runs[name][best] - bs[best], 2),
         }
-        for name, bs in sorted(all_build.items())
-    }
     result = {
         "metric": "total_query_wall_sec",
         "value": total,

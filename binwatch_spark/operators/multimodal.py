@@ -646,6 +646,8 @@ def video_decode_frames(payload: bytes) -> list[bytes]:
     frame downstream."""
     if payload[:4] != VIDEO_MAGIC:
         raise ValueError("not a BWV video payload")
+    if len(payload) < 8:
+        raise ValueError("truncated video header")
     (n,) = struct.unpack(">I", payload[4:8])
     pos, frames = 8, []
     for _ in range(n):

@@ -1343,7 +1343,7 @@ def q131_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
     )
     admitted = token_budget_admit(t, CURATION_BUDGET)
-    return (
+    out = (
         admitted.select(split_column().alias("split"), "n_tokens", "source")
         .groupBy("split")
         .agg(
@@ -1352,6 +1352,18 @@ def q131_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("source").alias("n_sources"),
         )
     )
+    # Materialize the 3-row summary eagerly so qkeep/ekeep can be released
+    # HERE instead of leaking into executor storage for the rest of the
+    # session (3 bench runs + oracle sweep would otherwise accumulate six
+    # cached survivor sets). localCheckpoint keeps the result executor-side
+    # (no driver collect of anything unbounded) and its tiny RDD is
+    # ContextCleaner-reclaimed once the frame is dropped, unlike persist()
+    # entries which the cache manager holds until an explicit unpersist.
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        qkeep.unpersist()
+        ekeep.unpersist()
 
 
 MIN_DOC_TOKENS = 30  # q64's lower bound, reused as the audit's gate

@@ -416,17 +416,55 @@ class ReplayBinlogClient:
         return cur
 
 
-def _wire_value(v) -> str | None:
+def _binary_columns(event) -> frozenset:
+    """Column names the event's table map declares as BINARY-typed.
+
+    pymysqlreplication attaches ``columns`` (from the TableMapEvent /
+    information_schema probe) to each rows event; a string/blob column
+    with no character set — ``character_set_name`` of None/""/"binary",
+    or the reserved binary collation id 63 — is VARBINARY/BLOB rather
+    than TEXT. Only ``bytes`` payloads consult this set, so non-string
+    columns (which also report no character set but never deliver
+    ``bytes``) cannot be misclassified in practice. Events without
+    column metadata yield the empty set → content-sniffing fallback."""
+    cols = getattr(event, "columns", None)
+    if not cols:
+        return frozenset()
+    out = set()
+    for c in cols:
+        name = getattr(c, "name", None)
+        if name is None:
+            continue
+        cs = getattr(c, "character_set_name", _MISSING)
+        if cs is not _MISSING:
+            if cs is None or str(cs).lower() in ("", "binary"):
+                out.add(str(name))
+            continue
+        coll = getattr(c, "collation_id", None)
+        if coll is not None and int(coll) == 63:
+            out.add(str(name))
+    return frozenset(out)
+
+
+_MISSING = object()
+
+
+def _wire_value(v, binary_typed: bool = False) -> str | None:
     """Normalize one pymysqlreplication row value to the envelope's string
     form. ``str(v)`` alone is wrong for exactly the types a live server is
     most likely to surprise with (VERDICT r07 #8):
 
     - BLOB/VARBINARY arrive as ``bytes`` — ``str(b"..")`` would emit the
-      Python repr ``"b'..'"``. UTF-8-decodable payloads (TEXT columns and
-      JSON documents delivered as raw bytes by older parser versions)
-      decode to their text; true binary becomes base64, matching how the
-      reference's ``map[string]any`` values marshal through Go's
-      ``encoding/json`` (``[]byte`` → base64, connectors.webhook.go).
+      Python repr ``"b'..'"`` — and Go's ``encoding/json`` base64s EVERY
+      ``[]byte`` regardless of content (connectors.webhook.go), so when the
+      event carries column metadata naming the column as BINARY-typed
+      (``character_set_name`` NULL/"binary", or collation id 63) the value
+      is base64'd UNCONDITIONALLY, even if it happens to decode as UTF-8 —
+      otherwise a consumer could not round-trip binary that looks like
+      text. Without column metadata (older parser versions / recorded
+      sessions), UTF-8-decodable payloads decode to their text (TEXT
+      columns and JSON documents delivered as raw bytes) and only
+      undecodable payloads fall back to base64.
     - JSON columns arrive PARSED (dict/list) from newer parser versions —
       re-serialized compactly with sorted keys so replay, redelivery
       compare, and oracle checks are deterministic regardless of parser
@@ -439,12 +477,14 @@ def _wire_value(v) -> str | None:
     if v is None:
         return None
     if isinstance(v, (bytes, bytearray)):
+        import base64
+
         b = bytes(v)
+        if binary_typed:
+            return base64.b64encode(b).decode("ascii")
         try:
             return b.decode("utf-8")
         except UnicodeDecodeError:
-            import base64
-
             return base64.b64encode(b).decode("ascii")
     if isinstance(v, (dict, list)):
         return json.dumps(
@@ -731,12 +771,16 @@ class MySQLBinlogClient:
                         v for k, v in op_of.items() if isinstance(event, k)
                     )
                     rows = []
+                    bin_cols = _binary_columns(event)
                     for row in event.rows:
                         values = (
                             row.get("values") or row.get("after_values") or {}
                         )
                         rows.append(
-                            {str(k): _wire_value(v) for k, v in values.items()}
+                            {
+                                str(k): _wire_value(v, str(k) in bin_cols)
+                                for k, v in values.items()
+                            }
                         )
                     yield {
                         "event_type": etype,
@@ -768,6 +812,14 @@ class MySQLBinlogClient:
                     if skipped_to > end:
                         return
                     cursor = skipped_to
+                    # The positional jump breaks transaction continuity:
+                    # any gtid remembered from before the jump belongs to
+                    # a transaction we abandoned mid-stream. Keeping it
+                    # would make the start-set filter misclassify rows
+                    # served at the tip (drop fresh transactions when the
+                    # stale gtid is in the start set, re-yield re-served
+                    # ones when it is not) until the next GtidEvent.
+                    current_gtid = None
             finally:
                 stream.close()
 

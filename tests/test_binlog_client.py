@@ -1177,3 +1177,104 @@ def test_skip_ahead_past_range_end_terminates_range(
         ("mysql-bin.000007", 220),
     ]
     assert len(_ChecksumFailReader.connections) == 1
+
+
+def test_skip_ahead_resets_stale_gtid_at_tip(gtid_session, monkeypatch):
+    """ADVICE r08: the skip-ahead positional jump abandons the in-flight
+    transaction, so a gtid remembered from BEFORE the jump must not
+    classify rows served AT THE TIP before the next GtidEvent — with the
+    stale gtid in the start set, fresh transactions would be silently
+    dropped (loss beyond the mode's stated semantics)."""
+    from binwatch_spark.sources.binlog import BinlogLocation, MySQLBinlogClient
+
+    event_mod = types.ModuleType("pymysqlreplication.event")
+    event_mod.GtidEvent = _GtidEvent
+    gtid_session.event = event_mod
+    monkeypatch.setitem(sys.modules, "pymysqlreplication.event", event_mod)
+    _GtidStreamReader.connections = []
+    _GtidStreamReader.fail_once = True
+    client = MySQLBinlogClient(
+        {"host": "127.0.0.1", "port": "3306", "user": "repl", "password": "x",
+         "serverid": "42", "skipAheadOnError": "true"}
+    )
+    # tip sits PAST the GtidEvent for txn :22 (000010:320) — the reconnect
+    # serves txn-:22 rows with no GtidEvent preceding them
+    monkeypatch.setattr(
+        client, "latest_location",
+        lambda: BinlogLocation("mysql-bin.000010", 340),
+    )
+    got = list(
+        client.read_range(
+            BinlogLocation(
+                "mysql-bin.000010", 4,
+                gtid_set="3e11fa47-71ca-11e1-9e33-c80aa9429562:1-21",
+            ),
+            BinlogLocation("mysql-bin.000010", 380),
+        )
+    )
+    # connection 1 delivered GtidEvent :21 (in the start set) then dropped;
+    # the jump lost row id=7 (the mode's stated price). Row id=8 at 380
+    # belongs to the FRESH txn :22 — it must arrive even though the last
+    # gtid the client saw (:21) is in the start set.
+    assert [(r["binlog_position"], r["rows"][0]["id"]) for r in got] == [
+        (380, "8"),
+    ]
+    assert len(_GtidStreamReader.connections) == 2
+
+
+# ADVICE r08: Go's encoding/json base64s EVERY []byte regardless of
+# content; when the event carries column metadata typing a column as
+# BINARY (character_set_name NULL/"binary" under FULL metadata, or the
+# reserved binary collation id 63 from older parsers), the wire value must
+# be base64 even if the payload happens to decode as UTF-8 — otherwise a
+# consumer cannot round-trip binary that looks like text.
+def _typed_event():
+    ev = _WriteRowsEvent(
+        "shop",
+        "files",
+        [
+            {
+                "values": {
+                    "blob_utf8": b"looks like text",
+                    "note": b"caf\xc3\xa9",
+                    "legacy_bin": b"plain ascii",
+                    "no_meta": b"hello",
+                }
+            }
+        ],
+    )
+    ev.columns = [
+        types.SimpleNamespace(name="blob_utf8", character_set_name=None),
+        types.SimpleNamespace(name="note", character_set_name="utf8mb4"),
+        # older parser surface: no character_set_name attr, collation only
+        types.SimpleNamespace(name="legacy_bin", collation_id=63),
+        # no_meta intentionally absent -> content-sniffing fallback
+    ]
+    return ev
+
+
+RECORDED_BINARY_TYPED = [("mysql-bin.000032", 90, _typed_event())]
+
+
+def test_binary_typed_columns_base64_unconditionally(
+    fake_pymysqlreplication, monkeypatch
+):
+    import base64
+
+    monkeypatch.setitem(globals(), "RECORDED", RECORDED_BINARY_TYPED)
+    got = list(
+        _client().read_range(
+            BinlogLocation("mysql-bin.000032", 4),
+            BinlogLocation("mysql-bin.000032", 90),
+        )
+    )
+    assert len(got) == 1
+    row = got[0]["rows"][0]
+    # BINARY-typed (FULL metadata, NULL charset): base64 despite decoding
+    assert row["blob_utf8"] == base64.b64encode(b"looks like text").decode()
+    # BINARY-typed (collation id 63, no charset attr): base64
+    assert row["legacy_bin"] == base64.b64encode(b"plain ascii").decode()
+    # TEXT-typed: decodes to text as before
+    assert row["note"] == "café"
+    # column missing from metadata: sniffing fallback unchanged
+    assert row["no_meta"] == "hello"

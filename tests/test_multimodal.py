@@ -222,6 +222,10 @@ def test_video_container_round_trip_and_corruption():
         video_decode_frames(b"RIFF....")
     with pytest.raises(ValueError, match="truncated video frame"):
         video_decode_frames(blob[:-5])
+    # ADVICE r08: 4-7 byte payload passes the magic check but is too short
+    # for the frame-count field — must still be ValueError, not struct.error
+    with pytest.raises(ValueError, match="truncated video header"):
+        video_decode_frames(blob[:6])
     with pytest.raises(ValueError, match="trailing bytes"):
         video_decode_frames(blob + b"\x00")
 
