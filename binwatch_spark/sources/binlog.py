@@ -416,6 +416,18 @@ class ReplayBinlogClient:
         return cur
 
 
+#: MySQL wire type codes of the string/blob family — the only types whose
+#: ``bytes`` payloads mean VARBINARY/BLOB when no character set is declared
+#: (VARCHAR=15, TINY/MEDIUM/LONG/BLOB=249-252, VAR_STRING=253, STRING=254).
+#: Notably EXCLUDES JSON (245): older pymysqlreplication builds report a
+#: NULL charset for JSON columns (information_schema probe) while also
+#: delivering the document as raw bytes, so charset alone would base64 the
+#: same document that newer parsers (which deliver it parsed) emit as
+#: canonical compact text — breaking cross-parser-version replay/redelivery
+#: determinism (ADVICE r09).
+_STRING_BLOB_TYPE_CODES = frozenset((15, 249, 250, 251, 252, 253, 254))
+
+
 def _binary_columns(event) -> frozenset:
     """Column names the event's table map declares as BINARY-typed.
 
@@ -423,9 +435,12 @@ def _binary_columns(event) -> frozenset:
     information_schema probe) to each rows event; a string/blob column
     with no character set — ``character_set_name`` of None/""/"binary",
     or the reserved binary collation id 63 — is VARBINARY/BLOB rather
-    than TEXT. Only ``bytes`` payloads consult this set, so non-string
-    columns (which also report no character set but never deliver
-    ``bytes``) cannot be misclassified in practice. Events without
+    than TEXT. When the column metadata carries a wire type code, only
+    the string/blob family is eligible: JSON (245) and other non-string
+    types also report no charset but are NOT binary — see
+    ``_STRING_BLOB_TYPE_CODES``. Only ``bytes`` payloads consult this
+    set, so non-string columns without a type code (which never deliver
+    ``bytes``) still cannot be misclassified in practice. Events without
     column metadata yield the empty set → content-sniffing fallback."""
     cols = getattr(event, "columns", None)
     if not cols:
@@ -435,6 +450,13 @@ def _binary_columns(event) -> frozenset:
         name = getattr(c, "name", None)
         if name is None:
             continue
+        tc = getattr(c, "type", None)
+        if tc is not None:
+            try:
+                if int(tc) not in _STRING_BLOB_TYPE_CODES:
+                    continue
+            except (TypeError, ValueError):
+                pass
         cs = getattr(c, "character_set_name", _MISSING)
         if cs is not _MISSING:
             if cs is None or str(cs).lower() in ("", "binary"):
@@ -446,10 +468,36 @@ def _binary_columns(event) -> frozenset:
     return frozenset(out)
 
 
+def _json_columns(event) -> frozenset:
+    """Column names the event's table map types as JSON (wire code 245).
+
+    Consulted only for ``bytes`` payloads: an older parser build that
+    delivers a JSON document as raw bytes must canonicalize it through the
+    same compact/sorted re-serialization the parsed-dict path uses, so the
+    wire value is byte-identical across parser generations (ADVICE r09)."""
+    cols = getattr(event, "columns", None)
+    if not cols:
+        return frozenset()
+    out = set()
+    for c in cols:
+        name = getattr(c, "name", None)
+        if name is None:
+            continue
+        tc = getattr(c, "type", None)
+        try:
+            if tc is not None and int(tc) == 245:
+                out.add(str(name))
+        except (TypeError, ValueError):
+            continue
+    return frozenset(out)
+
+
 _MISSING = object()
 
 
-def _wire_value(v, binary_typed: bool = False) -> str | None:
+def _wire_value(
+    v, binary_typed: bool = False, json_typed: bool = False
+) -> str | None:
     """Normalize one pymysqlreplication row value to the envelope's string
     form. ``str(v)`` alone is wrong for exactly the types a live server is
     most likely to surprise with (VERDICT r07 #8):
@@ -468,7 +516,10 @@ def _wire_value(v, binary_typed: bool = False) -> str | None:
     - JSON columns arrive PARSED (dict/list) from newer parser versions —
       re-serialized compactly with sorted keys so replay, redelivery
       compare, and oracle checks are deterministic regardless of parser
-      version or dict order.
+      version or dict order. Older builds deliver the same document as raw
+      bytes with a NULL charset; ``json_typed`` (from the table map's type
+      code 245) routes those through the SAME canonical dump — and keeps
+      them out of the unconditional-base64 binary path (ADVICE r09).
     - SQL NULL stays ``None`` (a null map value), never the string
       ``"None"`` — downstream templates must be able to distinguish NULL
       from a literal four-char string.
@@ -483,9 +534,23 @@ def _wire_value(v, binary_typed: bool = False) -> str | None:
         if binary_typed:
             return base64.b64encode(b).decode("ascii")
         try:
-            return b.decode("utf-8")
+            text = b.decode("utf-8")
         except UnicodeDecodeError:
             return base64.b64encode(b).decode("ascii")
+        if json_typed:
+            # Old-parser JSON-as-raw-bytes: canonicalize through the same
+            # compact/sorted dump the parsed-dict path below uses, so the
+            # wire value is identical across parser generations.
+            try:
+                return json.dumps(
+                    json.loads(text),
+                    separators=(",", ":"),
+                    sort_keys=True,
+                    default=str,
+                )
+            except ValueError:
+                return text
+        return text
     if isinstance(v, (dict, list)):
         return json.dumps(
             v, separators=(",", ":"), sort_keys=True, default=str
@@ -772,13 +837,18 @@ class MySQLBinlogClient:
                     )
                     rows = []
                     bin_cols = _binary_columns(event)
+                    json_cols = _json_columns(event)
                     for row in event.rows:
                         values = (
                             row.get("values") or row.get("after_values") or {}
                         )
                         rows.append(
                             {
-                                str(k): _wire_value(v, str(k) in bin_cols)
+                                str(k): _wire_value(
+                                    v,
+                                    str(k) in bin_cols,
+                                    str(k) in json_cols,
+                                )
                                 for k, v in values.items()
                             }
                         )

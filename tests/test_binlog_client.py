@@ -1278,3 +1278,63 @@ def test_binary_typed_columns_base64_unconditionally(
     assert row["note"] == "café"
     # column missing from metadata: sniffing fallback unchanged
     assert row["no_meta"] == "hello"
+
+
+# ADVICE r09: older pymysqlreplication builds report a NULL charset for
+# JSON columns while delivering the document as raw bytes; newer builds
+# deliver it parsed (dict) and the wire form is canonical compact text.
+# The charset heuristic alone would base64 under the old parser but emit
+# text under the new one — the SAME committed document yielding two
+# different wire values across parser versions. The type code (JSON=245)
+# must exclude JSON from the binary set so both paths emit the text form.
+def _json_typed_event():
+    ev = _WriteRowsEvent(
+        "shop",
+        "files",
+        [
+            {
+                "values": {
+                    # old-parser surface: JSON delivered as raw bytes,
+                    # charset NULL, type code 245
+                    "doc": b'{"b": 2, "a": 1}',
+                    # real VARBINARY with a UTF-8-decodable payload: the
+                    # type gate must NOT loosen this — still base64
+                    "blob": b"looks like text",
+                    # non-string type reporting no charset (e.g. INT
+                    # under some probes) — never delivers bytes, but the
+                    # gate must not add it to the set either
+                    "n": 7,
+                }
+            }
+        ],
+    )
+    ev.columns = [
+        types.SimpleNamespace(name="doc", character_set_name=None, type=245),
+        types.SimpleNamespace(name="blob", character_set_name=None, type=252),
+        types.SimpleNamespace(name="n", character_set_name=None, type=3),
+    ]
+    return ev
+
+
+RECORDED_JSON_TYPED = [("mysql-bin.000033", 90, _json_typed_event())]
+
+
+def test_json_typed_column_not_binary(fake_pymysqlreplication, monkeypatch):
+    import base64
+
+    monkeypatch.setitem(globals(), "RECORDED", RECORDED_JSON_TYPED)
+    got = list(
+        _client().read_range(
+            BinlogLocation("mysql-bin.000033", 4),
+            BinlogLocation("mysql-bin.000033", 90),
+        )
+    )
+    assert len(got) == 1
+    row = got[0]["rows"][0]
+    # JSON type code 245 excluded from the binary set: raw-bytes delivery
+    # canonicalizes through the same compact/sorted dump the parsed-dict
+    # path uses — byte-identical across parser generations, never base64
+    assert row["doc"] == '{"a":1,"b":2}'
+    # BLOB type code 252 + NULL charset: still unconditional base64
+    assert row["blob"] == base64.b64encode(b"looks like text").decode()
+    assert row["n"] == "7"

@@ -1,0 +1,292 @@
+#!/usr/bin/env python
+"""Generate a scale-up benchmark fixture distribution-matched to the
+driver's testdata (TESTDATA.md, seed=42).
+
+WHY THIS EXISTS (VERDICT r08 Next #1): the 100 TB posture was argued from
+sf0.1 plans alone; a measured decade of scaling needs an sf1.0 fixture,
+and `/root/testdata` is read-only with no generator shipped. This script
+re-derives the generator from the sf0.1 data's *measured* distributions —
+it is NOT the driver's code and produces different bytes, but the same
+workload shape, so per-query time ratios and AQE plan decisions at 10× are
+meaningful. Every distribution below was fit against
+/root/testdata/sf0.1 (see docs/SCALE_NOTES.md for the fitting evidence):
+
+- documents: 30-word uniform vocab + rare 'dup' marker token; word count
+  ~ U{10..100}; lang mix en .412 / zh .151 / es .149 / fr .148 / de .140;
+  source = src{doc_id % 20}; 5%% of docs are near-duplicates (mutations of
+  family bases, 'dup' token present — matches the 250/5000 'dup'-marked
+  docs with >0.9 Jaccard clusters at sf0.1); 0.32%% of docs are exact
+  copies of earlier docs (8 dup pairs / 5000 docs at sf0.1).
+- embeddings: 64-dim unit-normalized isotropic Gaussian (per-label mean
+  norms at sf0.1 are 0.063-0.073 ~= the 0.071 expected from pure noise,
+  so labels carry no real cluster signal); label ~ U{0..9}.
+- events: ts sorted uniform over [2024-01-01, 2024-01-31) (corr(event_id,
+  ts)=0.99999 at sf0.1), user_id ~ U{0..15*SF*10000}, event_type uniform
+  over 5, value ~ Exp(mean 50) (sf0.1 quantiles 14.7/34.7/69.0/114.3 vs
+  Exp(50)'s 14.4/34.7/69.3/115.1), props = {"k": U{0..99}}.
+- lineitem: l_orderkey i.i.d. uniform over orders — the sf0.1
+  lines-per-order histogram IS Poisson(4) to <2%% per bucket (11016 vs
+  10995 at k=1, 21814 vs 21977 at k=2, ...); l_extendedprice ~
+  U(900, 105000) *independent* of quantity and part price (verified:
+  min/max of extprice/qty = 18.04/104945.7 = the independent-uniform
+  envelope; all 600k rows differ from qty*retailprice); l_linenumber ~
+  U{1..7} (max 7 despite up to 17 lines/order, so not a sequence).
+- orders: o_totalprice ~ U(1000, 500000) independent of its lines
+  (147234/150000 sf0.1 orders differ from their line sum by >1);
+  o_orderdate ~ U over [1995-01-01, 2001-08-01].
+- part: p_retailprice = 900 + (p_partkey %% 1000)/10 (exact at sf0.1);
+  p_name = {8 adjectives} x {8 nouns}; p_brand Brand#1..25.
+
+Determinism: every table uses numpy's PCG64 seeded from (42, table name),
+so any table regenerates identically in isolation. Output is row-group
+chunked parquet (512k rows) so Spark gets realistic scan parallelism.
+
+Usage: python tools/gen_scale_fixture.py --sf 1.0 --out .scale/sf1.0
+"""
+
+import argparse
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = [
+    "spark", "window", "merge", "table", "column", "vector", "stream",
+    "value", "data", "small", "join", "filter", "big", "group", "hash",
+    "customer", "sort", "order", "slow", "line", "part", "fast", "row",
+    "the", "agg", "key", "query", "a", "scan", "batch",
+]
+LANGS = ["en", "zh", "es", "fr", "de"]
+LANG_P = [0.412, 0.151, 0.149, 0.148, 0.140]
+ADJ = ["blue", "cold", "hot", "large", "new", "old", "red", "small"]
+NOUN = ["anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget"]
+P_TYPES = ["ECONOMY", "MEDIUM", "SMALL", "PROMO", "LARGE", "STANDARD"]
+SEGMENTS = ["MACHINERY", "AUTOMOBILE", "BUILDING", "HOUSEHOLD", "FURNITURE"]
+PRIORITIES = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+EVENT_TYPES = ["signup", "purchase", "view", "click", "error"]
+ROW_GROUP = 512 * 1024
+
+
+def rng_for(table: str) -> np.random.Generator:
+    return np.random.default_rng(np.random.SeedSequence([42, *table.encode()]))
+
+
+def write(out_dir: str, name: str, table: pa.Table) -> None:
+    path = os.path.join(out_dir, f"{name}.parquet")
+    pq.write_table(table, path, row_group_size=ROW_GROUP)
+    print(f"  {name}: {table.num_rows} rows -> {path}")
+
+
+def us_ts(days_since_epoch: np.ndarray) -> pa.Array:
+    # the driver's parquet uses TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    # at every sf — match it exactly so Spark/DuckDB read paths behave
+    # identically on the scale fixture
+    us = days_since_epoch.astype(np.int64) * 86_400_000_000
+    return pa.array(us, type=pa.timestamp("us"))
+
+
+EPOCH_1995 = (np.datetime64("1995-01-01") - np.datetime64("1970-01-01")).astype(int)
+
+
+def gen_region_nation(out_dir: str) -> None:
+    regions = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+    write(out_dir, "region", pa.table({
+        "r_regionkey": pa.array(range(5), type=pa.int32()),
+        "r_name": regions,
+    }))
+    write(out_dir, "nation", pa.table({
+        "n_nationkey": pa.array(range(25), type=pa.int32()),
+        "n_name": [f"NATION_{i}" for i in range(25)],
+        "n_regionkey": pa.array([i % 5 for i in range(25)], type=pa.int32()),
+    }))
+
+
+def gen_customer(out_dir: str, n: int) -> None:
+    r = rng_for("customer")
+    write(out_dir, "customer", pa.table({
+        "c_custkey": pa.array(np.arange(n, dtype=np.int64)),
+        "c_name": [f"Customer#{i:09d}" for i in range(n)],
+        "c_nationkey": pa.array(r.integers(0, 25, n).astype(np.int32)),
+        "c_acctbal": np.round(r.uniform(-1000, 10000, n), 2),
+        "c_mktsegment": pa.array(np.array(SEGMENTS)[r.integers(0, 5, n)]),
+    }))
+
+
+def gen_supplier(out_dir: str, n: int) -> None:
+    r = rng_for("supplier")
+    write(out_dir, "supplier", pa.table({
+        "s_suppkey": pa.array(np.arange(n, dtype=np.int64)),
+        "s_name": [f"Supplier#{i:09d}" for i in range(n)],
+        "s_nationkey": pa.array(r.integers(0, 25, n).astype(np.int32)),
+        "s_acctbal": np.round(r.uniform(-1000, 10000, n), 2),
+    }))
+
+
+def gen_part(out_dir: str, n: int) -> None:
+    r = rng_for("part")
+    keys = np.arange(n, dtype=np.int64)
+    adj = np.array(ADJ)[r.integers(0, 8, n)]
+    noun = np.array(NOUN)[r.integers(0, 8, n)]
+    write(out_dir, "part", pa.table({
+        "p_partkey": pa.array(keys),
+        "p_name": pa.array([f"{a} {b}" for a, b in zip(adj, noun)]),
+        "p_brand": pa.array([f"Brand#{v}" for v in r.integers(1, 26, n)]),
+        "p_type": pa.array(np.array(P_TYPES)[r.integers(0, 6, n)]),
+        "p_size": pa.array(r.integers(1, 51, n).astype(np.int32)),
+        "p_retailprice": 900.0 + (keys % 1000) / 10.0,
+    }))
+
+
+def gen_orders(out_dir: str, n: int, n_cust: int) -> None:
+    r = rng_for("orders")
+    # span measured at sf0.1: 1995-01-01 .. 2001-08-01 = 2404 days
+    days = EPOCH_1995 + r.integers(0, 2405, n)
+    write(out_dir, "orders", pa.table({
+        "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+        "o_custkey": pa.array(r.integers(0, n_cust, n).astype(np.int64)),
+        "o_orderstatus": pa.array(np.array(["O", "P", "F"])[r.integers(0, 3, n)]),
+        "o_totalprice": np.round(r.uniform(1000, 500000, n), 2),
+        "o_orderdate": us_ts(days),
+        "o_orderpriority": pa.array(np.array(PRIORITIES)[r.integers(0, 5, n)]),
+    }))
+
+
+def gen_lineitem(out_dir: str, n: int, n_ord: int, n_part: int, n_supp: int) -> None:
+    r = rng_for("lineitem")
+    days = EPOCH_1995 + 1 + r.integers(0, 2499, n)
+    write(out_dir, "lineitem", pa.table({
+        "l_orderkey": pa.array(r.integers(0, n_ord, n).astype(np.int64)),
+        "l_partkey": pa.array(r.integers(0, n_part, n).astype(np.int64)),
+        "l_suppkey": pa.array(r.integers(0, n_supp, n).astype(np.int64)),
+        "l_linenumber": pa.array(r.integers(1, 8, n).astype(np.int32)),
+        "l_quantity": r.integers(1, 51, n).astype(np.float64),
+        "l_extendedprice": np.round(r.uniform(900, 105000, n), 2),
+        "l_discount": r.integers(0, 11, n) / 100.0,
+        "l_tax": r.integers(0, 9, n) / 100.0,
+        "l_returnflag": pa.array(np.array(["A", "N", "R"])[r.integers(0, 3, n)]),
+        "l_linestatus": pa.array(np.array(["F", "O"])[r.integers(0, 2, n)]),
+        "l_shipdate": us_ts(days),
+    }))
+
+
+def gen_events(out_dir: str, n: int, n_users: int) -> None:
+    r = rng_for("events")
+    start = (np.datetime64("2024-01-01") - np.datetime64("1970-01-01")).astype(
+        "timedelta64[s]"
+    ).astype(np.int64)
+    span_us = 30 * 86400 * 10**6
+    ts = np.sort(start * 10**6 + r.integers(0, span_us, n))
+    k = r.integers(0, 100, n)
+    write(out_dir, "events", pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "user_id": pa.array(r.integers(0, n_users, n).astype(np.int64)),
+        "event_type": pa.array(np.array(EVENT_TYPES)[r.integers(0, 5, n)]),
+        "value": np.round(r.exponential(50.0, n), 2),
+        "props": pa.array([f'{{"k": {v}}}' for v in k]),
+    }))
+
+
+def gen_documents(out_dir: str, n: int) -> None:
+    r = rng_for("documents")
+    vocab = np.array(VOCAB)
+    lengths = r.integers(10, 101, n)
+    flat = vocab[r.integers(0, len(vocab), int(lengths.sum()))]
+    bounds = np.concatenate([[0], np.cumsum(lengths)])
+    texts = [
+        " ".join(flat[bounds[i]:bounds[i + 1]]) for i in range(n)
+    ]
+
+    # near-dup families: 5% of docs carry the 'dup' marker and are ~8%
+    # mutations of a shared family base (sf0.1: 250/5000 marked, >0.9
+    # Jaccard clusters among them)
+    n_dup = round(n * 0.05)
+    n_fam = max(1, n // 500)
+    dup_ids = r.choice(n, size=n_dup, replace=False)
+    base_words = []
+    for f in range(n_fam):
+        w = list(vocab[r.integers(0, len(vocab), int(r.integers(30, 90)))])
+        w.insert(int(r.integers(0, len(w))), "dup")
+        base_words.append(w)
+    for i in dup_ids:
+        w = list(base_words[int(r.integers(0, n_fam))])
+        n_mut = max(1, int(len(w) * 0.08))
+        for pos in r.integers(0, len(w), n_mut):
+            if w[pos] != "dup":
+                w[pos] = str(vocab[int(r.integers(0, len(vocab)))])
+        texts[i] = " ".join(w)
+
+    # exact duplicates: 0.32% of docs copy an earlier doc verbatim
+    # (sf0.1: 8 pairs / 5000 docs)
+    n_exact = round(n * 0.0032)
+    dup_set = set(dup_ids.tolist())
+    candidates = np.array([i for i in range(1, n) if i not in dup_set])
+    for i in r.choice(candidates, size=n_exact, replace=False):
+        src = int(r.integers(0, i))
+        texts[i] = texts[src]
+
+    write(out_dir, "documents", pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": texts,
+        "lang": pa.array(np.array(LANGS)[r.choice(5, size=n, p=LANG_P)]),
+        "source": pa.array([f"src{i % 20}" for i in range(n)]),
+        "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64)),
+    }))
+
+
+def gen_embeddings(out_dir: str, n: int) -> None:
+    r = rng_for("embeddings")
+    v = r.standard_normal((n, 64)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    write(out_dir, "embeddings", pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(v.reshape(-1)), 64
+        ).cast(pa.list_(pa.float32())),
+        "label": pa.array(r.integers(0, 10, n).astype(np.int32)),
+    }))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=1.0)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    sf = args.sf
+    out_dir = args.out or f".scale/sf{sf:g}"
+    os.makedirs(out_dir, exist_ok=True)
+    counts = {
+        "customer": round(150_000 * sf),
+        "supplier": round(10_000 * sf),
+        "part": round(200_000 * sf),
+        "orders": round(1_500_000 * sf),
+        "lineitem": round(6_000_000 * sf),
+        "events": round(1_000_000 * sf),
+        "documents": round(50_000 * sf),
+        "embeddings": round(20_000 * sf),
+        "users": round(15_000 * sf),
+    }
+    print(f"generating sf={sf} fixture at {out_dir}")
+    gen_region_nation(out_dir)
+    gen_customer(out_dir, counts["customer"])
+    gen_supplier(out_dir, counts["supplier"])
+    gen_part(out_dir, counts["part"])
+    gen_orders(out_dir, counts["orders"], counts["customer"])
+    gen_lineitem(
+        out_dir, counts["lineitem"], counts["orders"], counts["part"],
+        counts["supplier"],
+    )
+    gen_events(out_dir, counts["events"], counts["users"])
+    gen_documents(out_dir, counts["documents"])
+    gen_embeddings(out_dir, counts["embeddings"])
+    with open(os.path.join(out_dir, "MANIFEST.json"), "w") as fh:
+        json.dump({"sf": sf, "seed": 42, "counts": counts}, fh, indent=2)
+    print("done")
+
+
+if __name__ == "__main__":
+    main()
