@@ -45,6 +45,7 @@ def main() -> None:
     # rounds (VERDICT r03), making regression calls ambiguous. The minimum is
     # the stable estimator for wall-clock work (noise is strictly additive).
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    ncpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     def gc_millis() -> int:
         # Total stop-the-world GC time of the single local JVM, so a slow
@@ -111,7 +112,18 @@ def main() -> None:
         session = sum(c for pid, (_, c) in procs.items() if pid in mine)
         fields = open("/proc/stat").readline().split()[1:]
         busy = sum(int(v) for i, v in enumerate(fields) if i not in (3, 4))
-        return session, busy / clk
+        # iowait (field 4) and steal (field 7): the two machine-level WAIT
+        # classes a slow-but-idle run can hide in. VERDICT r08 observed
+        # driver-host runs at 4-6x the committed same-HEAD record with flat
+        # session CPU and contended=false — i.e. the run was *waiting*, not
+        # computing, and neither GC nor foreign CPU named the mechanism.
+        # Splitting the wall-clock wait into iowait (page-cache miss /
+        # disk), steal (hypervisor preemption), and residual idle-wait
+        # (in-process stage-scheduling gaps) lets each anomalous run label
+        # its own cause in the artifact.
+        iowait = int(fields[4]) / clk
+        steal = int(fields[7]) / clk if len(fields) > 7 else 0.0
+        return session, busy / clk, iowait, steal
 
     # Index-construction wall-clock accumulates in this counter (inside
     # build_dedup_index/update_dedup_index); snapshotting it around each
@@ -124,22 +136,25 @@ def main() -> None:
     all_runs: dict[str, list[float]] = {}
     all_gc: dict[str, list[int]] = {}
     all_cpu: dict[str, list[list[float]]] = {}
+    all_wait: dict[str, list[list[float]]] = {}
     all_build: dict[str, list[float]] = {}
     for name, fn in all_queries().items():
         runs: list[float] = []
         gcs: list[int] = []
         cpus: list[list[float]] = []
+        waits: list[list[float]] = []
         builds: list[float] = []
         for _ in range(n_runs):
             g0 = gc_millis()
-            s0, m0 = cpu_clock_s()
+            s0, m0, io0, st0 = cpu_clock_s()
             b0 = INDEX_BUILD_SECONDS[0]
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
             builds.append(INDEX_BUILD_SECONDS[0] - b0)
-            s1, m1 = cpu_clock_s()
+            s1, m1, io1, st1 = cpu_clock_s()
             cpus.append([round(s1 - s0, 1), round(m1 - m0 - (s1 - s0), 1)])
+            waits.append([round(io1 - io0, 1), round(st1 - st0, 1)])
             gcs.append(gc_millis() - g0)
             # Isolate queries from each other: some operators persist()
             # intermediates (LSH signature/candidate tables) that are only
@@ -149,6 +164,7 @@ def main() -> None:
         all_runs[name] = [round(r, 4) for r in runs]
         all_gc[name] = gcs
         all_cpu[name] = cpus
+        all_wait[name] = waits
         if any(b > 0 for b in builds):
             all_build[name] = [round(b, 4) for b in builds]
         timings[name] = round(min(runs), 2)
@@ -173,6 +189,73 @@ def main() -> None:
         for name, runs in all_runs.items()
         if max(runs) / max(min(runs), 1e-9) > 3.0
     )
+    # median alongside min (VERDICT r08 #7): min-of-N is the plan-cost
+    # estimator; the median exposes the run-to-run anomaly class that
+    # min-of-N deliberately absorbs. A query whose median exceeds 2x its
+    # min had HALF its runs anomalous — flag it here so the artifact
+    # names the repeat offenders itself.
+    import statistics
+
+    query_median = {
+        name: round(statistics.median(runs), 4)
+        for name, runs in all_runs.items()
+    }
+    median_outliers = sorted(
+        name
+        for name, runs in all_runs.items()
+        if query_median[name] / max(min(runs), 1e-9) > 2.0
+        and query_median[name] - min(runs) > 0.5
+    )
+    # Per-run wait attribution (VERDICT r08 #2): classify every run that
+    # took >2x the query's min (and >0.5 s over it) by where the EXCESS
+    # wall time went. Mechanisms, in evidence order: stop-the-world GC
+    # (per-JVM collector ms), foreign-cpu (another process ran — the
+    # mechanism behind the r06 contended sweep), extra-compute (the run
+    # itself burned proportionally more session CPU: JIT deopt/recompile
+    # or a genuinely different plan), iowait (machine-wide disk/page-cache
+    # wait — cold file cache on first touch of a parquet footer), steal
+    # (hypervisor preempted the vCPU), and idle-wait (none of the above:
+    # the process tree was runnable-but-idle, i.e. stage-scheduling gaps /
+    # executor-thread handoff — the class r08's q86/q87/q88 driver-host
+    # re-runs fell into, where session CPU stayed flat while wall grew
+    # 4-6x). See docs/BENCH_NOTES.md "Wall >> CPU runs".
+    anomalous_runs: dict[str, list] = {}
+    for name, runs in all_runs.items():
+        mn = min(runs)
+        best = runs.index(mn)
+        for i, r in enumerate(runs):
+            if not (r > 2 * mn and r - mn > 0.5):
+                continue
+            excess = r - mn
+            gc_s = (all_gc[name][i] - all_gc[name][best]) / 1000.0
+            sess, other = all_cpu[name][i]
+            io_s, steal_s = all_wait[name][i]
+            extra_cpu = (sess - all_cpu[name][best][0]) / ncpus
+            if gc_s > 0.4 * excess:
+                cause = "gc-pause"
+            elif other > 0.4 * excess * ncpus:
+                cause = "foreign-cpu"
+            elif extra_cpu > 0.4 * excess:
+                cause = "extra-compute"
+            elif io_s > 0.4 * excess:
+                cause = "iowait"
+            elif steal_s > 0.4 * excess:
+                cause = "steal"
+            else:
+                cause = "idle-wait"
+            anomalous_runs.setdefault(name, []).append(
+                {
+                    "run": i,
+                    "wall_s": round(r, 2),
+                    "excess_s": round(excess, 2),
+                    "cause": cause,
+                    "gc_s": round(gc_s, 2),
+                    "other_cpu_s": round(other, 1),
+                    "extra_session_cpu_s": round(sess - all_cpu[name][best][0], 1),
+                    "iowait_s": round(io_s, 1),
+                    "steal_s": round(steal_s, 1),
+                }
+            )
     # Whole-sweep CPU attribution, summarized TOP-LEVEL so a contended run
     # self-labels in the artifact (VERDICT r06 #2: the per-query query_cpu_s
     # lists proved the r06 driver host was contended — ~900 foreign CPU-s vs
@@ -209,6 +292,11 @@ def main() -> None:
         "other_cpu_total": other_cpu_total,
         "contended": bool(other_cpu_total > 0.1 * max(session_cpu_total, 1e-9)),
         "index_build_split": index_build_split,
+        # repeat-anomaly tripwires (full per-run detail in BENCH_local.json)
+        "median_outliers": median_outliers,
+        "anomalous_run_causes": sorted(
+            {e["cause"] for es in anomalous_runs.values() for e in es}
+        ),
     }
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
@@ -217,11 +305,16 @@ def main() -> None:
         json.dump(
             {
                 **result,
+                "query_median": query_median,
                 "query_runs": all_runs,
                 "query_gc_ms": all_gc,
                 # per run: [session_cpu_s, other_process_cpu_s] — see
                 # cpu_clock_s for how this attributes outlier runs
                 "query_cpu_s": all_cpu,
+                # per run: [iowait_s, steal_s] machine-wide deltas — the
+                # wait classes the anomaly classifier consults
+                "query_wait_s": all_wait,
+                "anomalous_runs": anomalous_runs,
             },
             fh,
             indent=1,

@@ -1678,3 +1678,121 @@ def q141_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
         F.col("valid_to").cast("timestamp_ntz").alias("valid_to"),
     )
+
+
+@register(
+    "q146_interval_join_outer_stream",
+    oracle="""
+SELECT a.event_id AS l_event_id, b.event_id AS r_event_id, a.user_id
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id AND b.ts <= a.ts
+ AND b.ts >= a.ts - INTERVAL 1 HOUR
+""",
+)
+def q146_interval_join_outer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-evicted stream-stream LEFT OUTER interval join — the
+    NINTH streaming pattern (VERDICT r08 #4): the production
+    CDC-enrichment case q102's inner join can't express, where a click
+    with NO same-user purchase in the preceding hour must still emit,
+    null-padded. An outer non-match is only decidable once the watermark
+    proves no matching right row can still arrive, so the null-padded
+    emission IS the state-eviction event — which this query pins across
+    micro-batch boundaries: events stream as three ts-ranged waves
+    (q141's tercile staging), so clicks from wave k are evicted-and-
+    emitted by the watermark that wave k+1 (or the sentinel tail)
+    carries, never inside their own batch.
+
+    Both legs derive from the SAME staged stream (one copy), filtered by
+    event_type AFTER the stream source, and each leg gets its own
+    watermark: the global watermark is the min across legs, so the
+    sentinel frames must advance BOTH — each sentinel stage therefore
+    carries a click-typed AND a purchase-typed far-future row under
+    reserved negative ids/user_ids (distinct per leg so sentinels can
+    never match each other), where q99-q101's single-leg patterns need
+    only one row. Sentinel clicks do emit (null-padded, nothing
+    matches a negative user) and are dropped by the reserved-id filter;
+    real rows flush because the second sentinel's batch carries the
+    first's timestamp as watermark — the same double-tail contract as
+    q99.
+
+    Watermark safety at the staging's wave boundaries: waves are
+    ts-ordered, so a matching purchase is always staged in the same or an
+    earlier wave than its click; right-side state is needed while
+    rts >= click.ts - lookback and the 2 h delay keeps every such row
+    alive past its wave (eviction threshold trails the newest wave by
+    delay + lookback). Batch twin: q49's bin-bucketed range join with the
+    same LEFT JOIN predicate — the oracle states it directly.
+
+    Scale posture: one shuffle per leg on the join key; per-key state
+    bounded by (watermark + lookback) of rows; outer results trail the
+    stream by the watermark delay — the inherent latency price of
+    proving a negative, stated rather than hidden."""
+    from binwatch_spark.streaming.analytics import interval_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    agg = ev.agg(
+        F.max("ts").alias("m"),
+        F.percentile(F.col("ts").cast("double"), F.lit(1.0 / 3)).alias("c1"),
+        F.percentile(F.col("ts").cast("double"), F.lit(2.0 / 3)).alias("c2"),
+    ).first()
+    max_ts, c1, c2 = agg["m"], agg["c1"], agg["c2"]
+    tsd = F.col("ts").cast("double")
+
+    import datetime as _dt
+
+    def sentinel(i: int, hours: int) -> DataFrame:
+        t = max_ts + _dt.timedelta(hours=hours)
+        rows = [(-i, -1, t, "click"), (-i - 10, -2, t, "purchase")]
+        frames = [
+            spark.range(1).select(
+                *[
+                    F.lit(v).cast(f.dataType).alias(f.name)
+                    for f, v in zip(ev.schema.fields, vals)
+                ]
+            )
+            for vals in rows
+        ]
+        return frames[0].unionByName(frames[1])
+
+    stages = [
+        ("b0", ev.filter(tsd <= c1)),
+        ("b1", ev.filter((tsd > c1) & (tsd <= c2))),
+        ("b2", ev.filter(tsd > c2)),
+        ("sentinel1", sentinel(1, 1000)),
+        ("sentinel2", sentinel(2, 2000)),
+    ]
+
+    def build(s):
+        clicks = s.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        buys = s.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("r_event_id"),
+            "user_id",
+            F.col("ts").alias("rts"),
+        )
+        return interval_join(
+            clicks, buys, "user_id", "ts", "rts",
+            lookback="1 hour", watermark="2 hours", how="left_outer",
+        ).select(
+            F.col("event_id").alias("l_event_id"),
+            F.col("r_event_id"),
+            "user_id",
+        )
+
+    out = _run_bounded_stream(spark, "q146_stream_", stages, build)
+    # The reserved-id filter runs on the BATCH read-back, never inside the
+    # streaming query: placed post-join in the stream, Catalyst pushes the
+    # null-preserving l_event_id >= 0 predicate through the outer join
+    # down the left leg, BELOW the watermark node — the sentinel clicks
+    # then never advance the left watermark and the last real wave's
+    # unmatched rows stay in state forever (observed: the final ~2 h of
+    # clicks silently missing). Same placement rule as q99's sentinel
+    # drop.
+    return out.filter(F.col("l_event_id") >= 0)

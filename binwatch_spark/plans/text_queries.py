@@ -1221,3 +1221,130 @@ def q135_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(BPE_TOPK)
     )
+
+
+BPE_MERGES = 8
+
+
+def _bpe_train_sql(k: int) -> str:
+    """Oracle CTE builder for the k-merge BPE training loop (the
+    loop-with-oracle-CTE-builder pattern q122 established): round r's
+    CTEs are s{r-1} -> p{r} (pairs) -> t{r} (winning pair) -> s{r}
+    (re-symbolized vocabulary, sentinel chr(r)), and the final select
+    expands sentinels DESCENDING (chr(k) first) so each inserted raw
+    pair's own earlier-round sentinels are expanded by the later
+    replaces — byte-identical to the Spark side's expansion.
+
+    Every loop CTE is AS MATERIALIZED: DuckDB inlines plain CTEs, and
+    with s{r} referencing both s{r-1} and t{r} (itself built on s{r-1}),
+    inlining re-evaluates the chain EXPONENTIALLY in k — the 8-round
+    oracle never finished without it; materialized, each round runs
+    once (linear, like the Spark loop)."""
+    parts = [_WORD_FREQ_SQL.strip(), "s0 AS (SELECT word AS sym, freq FROM f)"]
+    for r in range(1, k + 1):
+        prev = f"s{r - 1}"
+        parts.append(f"p{r} AS MATERIALIZED ({_sym_pairs_sql(prev, 'sym')})")
+        parts.append(
+            f"t{r} AS MATERIALIZED ("
+            f"SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt"
+            f" FROM p{r} GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        if r < k:
+            parts.append(
+                f"s{r} AS MATERIALIZED ("
+                f"SELECT replace(sym, (SELECT pair FROM t{r}),"
+                f" chr({r})) AS sym, freq FROM {prev})"
+            )
+
+    def expand(col: str) -> str:
+        e = col
+        for j in range(k, 0, -1):
+            e = (
+                f"replace({e}, chr({j}),"
+                f" '<' || (SELECT pair FROM t{j}) || '>')"
+            )
+        return e
+
+    selects = [
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank,"
+        f" {expand('pair')} AS pair, cnt FROM t{r}"
+        for r in range(1, k + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY merge_rank"
+    )
+
+
+@register("q145_bpe_train", oracle=_bpe_train_sql(BPE_MERGES))
+def q145_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING — the full k-merge loop (k={BPE_MERGES}),
+    completing the q133 (iteration zero) / q135 (one merge round)
+    progression into the real workload an LLM-data platform runs
+    (VERDICT r08 #3): each round counts corpus-weighted adjacent symbol
+    pairs over the current vocabulary, picks the most frequent pair
+    (total-order tiebreak: count desc, pair asc), merges it into a
+    single sentinel symbol chr(round) across the vocabulary, and
+    recounts. Output is the merge TABLE — rank, the winning pair in
+    readable form (earlier merged symbols expanded as <...>), and its
+    count at merge time — i.e. exactly the artifact a trained tokenizer
+    ships. Shares _word_freq/_sym_pairs with q133/q135 on BOTH engines,
+    so no round can drift from the proven single-iteration semantics.
+
+    Loop mechanics, and why the driver participates: the per-round
+    winner is ONE row — argmax of the pair counts — and the next
+    round's re-symbolization needs it as a literal. Keeping it
+    distributed (q135's broadcast-crossJoin form) would embed round
+    r-1's whole aggregation inside round r's plan TWICE (once via the
+    vocabulary, once via the winner), doubling plan size per round —
+    2^k growth. Collecting the single winner row per round (the q98
+    kmeans pattern: k driver-resident centroids, here 1 driver-resident
+    pair) keeps every round's plan linear: the persisted vocabulary
+    frame + r literal-projection re-symbolizations + one wordcount-shaped
+    aggregate. At 100 TB the vocabulary is millions of rows (cacheable —
+    the corpus scan happens ONCE, in _word_freq) while raw tokens are
+    trillions; every round rides the small frame, and the driver traffic
+    is k rows total.
+
+    The merge table itself is driver-sized by definition (a production
+    tokenizer ships 32k-256k merges — list-file scale), so the result is
+    assembled driver-side from the k collected winners, with sentinel
+    expansion applied in descending round order exactly as the oracle
+    spells it."""
+    docs = load(spark, sf_dir, "documents")
+    freq = _word_freq(docs).persist()
+    try:
+        cur = freq.select(F.col("word").alias("sym"), "freq")
+        merges: list[tuple[int, str, int]] = []
+        for r in range(1, BPE_MERGES + 1):
+            win = (
+                _sym_pairs(cur, "sym")
+                .groupBy("pair")
+                .agg(F.sum("freq").cast("bigint").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "pair")
+                .limit(1)
+                .first()
+            )
+            merges.append((r, win["pair"], int(win["cnt"])))
+            cur = cur.select(
+                F.replace(
+                    F.col("sym"), F.lit(win["pair"]), F.lit(chr(r))
+                ).alias("sym"),
+                "freq",
+            )
+        rows = []
+        for r, pair, cnt in merges:
+            readable = pair
+            for j in range(BPE_MERGES, 0, -1):
+                readable = readable.replace(
+                    chr(j), "<" + merges[j - 1][1] + ">"
+                )
+            rows.append((r, readable, cnt))
+        return spark.createDataFrame(
+            rows, "merge_rank bigint, pair string, cnt bigint"
+        )
+    finally:
+        freq.unpersist()

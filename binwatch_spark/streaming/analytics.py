@@ -79,8 +79,9 @@ def interval_join(
     right_ts: str,
     lookback: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join on a key within a time interval: each left
+    """Stream-stream join on a key within a time interval: each left
     row matches right rows with ``right_ts ∈ [left_ts - lookback, left_ts]``
     — the enrichment join (event ↔ recent order) that completes the
     streaming-analytics family.
@@ -91,23 +92,39 @@ def interval_join(
     per-side join state is bounded by (watermark + lookback) of data per
     key instead of growing forever. One shuffle per side on the key; the
     range predicate rides the same exchange. ``left_ts``/``right_ts`` must
-    be distinct column names (both survive into the joined row)."""
+    be distinct column names (both survive into the joined row).
+
+    ``how='left_outer'`` is the production CDC-enrichment form: a left row
+    with NO match emits null-padded — but only once the watermark passes
+    its time range, because until then a matching right row could still
+    arrive; the emission is literally the state-eviction event, so outer
+    results trail the data by the watermark delay and a bounded run needs
+    a far-future tail to flush the last rows (q146 stages one). Inner
+    joins emit matches immediately and need no tail."""
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must be distinct column names")
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported interval join type {how!r}")
     l, r = left, right
     if l.isStreaming:
         l = l.withWatermark(left_ts, watermark)
     if r.isStreaming:
         r = r.withWatermark(right_ts, watermark)
-    # side-qualified refs (l[...]/r[...]): unqualified F.col would be
-    # AMBIGUOUS_REFERENCE whenever the opposite side also carries a column
-    # with that name (most event schemas have a 'ts')
+    # The right key is RENAMED before the join rather than side-qualified
+    # and dropped after: drop(r[key]) can silently keep the right-side
+    # column when the join re-aliases attributes, which an inner join
+    # never exposes (both sides' key values are equal) but a left-outer
+    # join does — unmatched rows then carry a NULL key. Renaming makes the
+    # post-join drop name-unique, so the surviving key column is always
+    # the left's (non-null on every emitted row).
+    rk = f"__interval_join_r_{key}"
+    r = r.withColumnRenamed(key, rk)
     cond = (
-        (l[key] == r[key])
+        (l[key] == r[rk])
         & (r[right_ts] <= l[left_ts])
         & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {lookback}"))
     )
-    return l.join(r, cond, "inner").drop(r[key])
+    return l.join(r, cond, how).drop(rk)
 
 
 BUDGET_OUTPUT_SCHEMA = (

@@ -205,3 +205,103 @@ def test_q141_scd2_versions_close_across_microbatches(spark):
     assert crossers, "no version spans a batch boundary"
     for r in rows:
         assert r["valid_from"] < r["valid_to"]
+
+
+def test_interval_join_outer_evicts_across_batches(spark):
+    """LEFT OUTER stream-stream interval join (q146's operator form): an
+    unmatched click emits null-padded only when a LATER batch's watermark
+    evicts it — including clicks from the final real wave, whose eviction
+    watermark arrives only with the sentinel batches. Also pins the
+    filter-placement hazard: the reserved-id filter must run on the batch
+    read-back, because inside the streaming query Catalyst pushes the
+    null-preserving predicate below the left watermark node and the
+    sentinels stop advancing it (the final wave's non-matches then never
+    emit — observed before the fix)."""
+    import datetime as dt
+
+    from binwatch_spark.plans.pipeline_queries import _run_bounded_stream
+    from binwatch_spark.streaming.analytics import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (eid, u, t0 + dt.timedelta(minutes=m), t)
+                for eid, u, m, t in rows
+            ],
+            "event_id long, user_id long, ts timestamp, event_type string",
+        )
+
+    stages = [
+        # wave 0: unmatched click (user 1), purchase for user 2
+        ("b0", mk([(1, 1, 0, "click"), (2, 2, 55, "purchase")])),
+        # wave 1: click matching wave-0's purchase (cross-batch MATCH),
+        # plus another unmatched user-1 click
+        ("b1", mk([(3, 2, 60, "click"), (4, 1, 90, "click")])),
+        # wave 2 (final real wave): unmatched click whose eviction
+        # watermark can only come from the sentinel tail
+        ("b2", mk([(5, 3, 300, "click")])),
+        # each sentinel carries BOTH leg types (distinct reserved
+        # users, so they never match each other): the global watermark
+        # is the min across the two legs' watermark nodes
+        ("sentinel1", mk([(-1, -1, 60000, "click"),
+                          (-11, -2, 60000, "purchase")])),
+        ("sentinel2", mk([(-2, -1, 120000, "click"),
+                          (-12, -2, 120000, "purchase")])),
+    ]
+
+    def build(s):
+        clicks = s.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        buys = s.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("r_event_id"),
+            "user_id",
+            F.col("ts").alias("rts"),
+        )
+        return interval_join(
+            clicks, buys, "user_id", "ts", "rts",
+            lookback="1 hour", watermark="2 hours", how="left_outer",
+        ).select(
+            F.col("event_id").alias("l_event_id"), "r_event_id", "user_id"
+        )
+
+    out = _run_bounded_stream(spark, "t_oj_", stages, build)
+    got = sorted(
+        (r["l_event_id"], r["r_event_id"])
+        for r in out.filter(F.col("l_event_id") >= 0).collect()
+    )
+    # click 3 matched cross-batch; clicks 1, 4, 5 null-padded — 5 is the
+    # final-wave row that only the sentinel watermark can flush
+    assert got == [(1, None), (3, 2), (4, None), (5, None)]
+    # every left row's own key survives the outer join non-null (the
+    # drop-right-key regression: unmatched rows carried NULL user_id)
+    assert out.filter(F.col("user_id").isNull()).count() == 0
+
+
+def test_interval_join_outer_batch_twin(spark):
+    """how='left_outer' on batch inputs equals the plain left join —
+    the q49-shaped LEFT JOIN the q146 oracle states."""
+    from binwatch_spark.streaming.analytics import interval_join
+
+    ev = batch_df(spark)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("r_event_id"),
+        "user_id",
+        F.col("ts").alias("rts"),
+    )
+    got = sorted(
+        (r["event_id"], r["r_event_id"])
+        for r in interval_join(
+            clicks, views, "user_id", "ts", "rts",
+            lookback="1 hour", how="left_outer",
+        ).collect()
+    )
+    # click 4 (11:40, user 7) sees view 2 (10:20)? no — 80 min gap > 1h;
+    # clicks 1 (10:05) precedes view 2 → unmatched; duplicate click 3
+    # rows both unmatched (user 8 has no views)
+    assert got == [(1, None), (3, None), (3, None), (4, None)]

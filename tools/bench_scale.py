@@ -1,0 +1,142 @@
+"""Scale-decade benchmark: time a query subset at one sf and capture the
+FINAL adaptive physical plan of each query at that sf.
+
+Usage:
+    python tools/bench_scale.py --sf-dir /root/testdata/sf0.1 \
+        --out /tmp/scale_sf0.1.json q23_minhash_lsh_dedup ...
+
+Exists for VERDICT r08 #1: the 100 TB posture rested on sf0.1 plans alone;
+this produces the measured evidence that the heavy families scale a full
+decade (sf0.1 -> sf1.0, tools/gen_scale_fixture.py) without an unexpected
+AQE plan flip. Run once per sf dir in a FRESH process so both scale points
+get the identical warmup protocol (table scan + UDF-worker spawn) and
+neither inherits the other's JIT state; combine the two outputs into
+BENCH_sf1.json.
+
+Plan capture detail: `.write(noop)` wraps the DataFrame in a NEW
+QueryExecution, so the DataFrame's own AdaptiveSparkPlan would stay
+isFinalPlan=false; the plan run therefore executes via `.collect()` (every
+query in the subset returns a bounded result — dedup pairs / audit rows /
+k-row summaries) and then reads `explain('formatted')`, which after
+execution prints the final adaptive plan with AQE's actual join-strategy
+decisions. The signature extracted for the sf-to-sf diff is the multiset
+of physical join/exchange/scan-bucket operators — the things AQE can flip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import io
+import json
+import os
+import re
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from binwatch_spark.plans import all_queries  # noqa: E402
+from binwatch_spark.session import get_spark  # noqa: E402
+
+# formatted-mode node headers look like "(12) Exchange" with the
+# partitioning spelled on a following "Arguments:" line, so node kinds are
+# counted from the header lines and bucket pruning from the scan details
+SIGNATURE_OPS = re.compile(
+    r"\(\d+\) ("
+    r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin"
+    r"|CartesianProduct|Exchange|AQEShuffleRead"
+    r")\b"
+)
+BUCKETS = re.compile(r"SelectedBucketsCount: (\d+ out of \d+)")
+
+
+def plan_signature(plan: str) -> dict[str, int | list[str]]:
+    sig: dict[str, int] = {}
+    for m in SIGNATURE_OPS.finditer(plan):
+        sig[m.group(1)] = sig.get(m.group(1), 0) + 1
+    out: dict[str, int | list[str]] = dict(sorted(sig.items()))
+    buckets = BUCKETS.findall(plan)
+    if buckets:
+        out["SelectedBucketsCount"] = buckets
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="+")
+    ap.add_argument("-n", type=int, default=3)
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--plans-out", default=None,
+                    help="also dump the full formatted plans here")
+    args = ap.parse_args()
+
+    spark = get_spark("binwatch-spark-bench-scale")
+    from pyspark.sql import functions as F
+
+    from binwatch_spark.tables import TABLE_NAMES, load
+
+    for name in TABLE_NAMES:
+        load(spark, args.sf_dir, name).write.format("noop").mode("overwrite").save()
+    _warm = F.pandas_udf(lambda x: x, "long")
+    spark.range(
+        1000, numPartitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ).select(_warm(F.col("id"))).write.format("noop").mode("overwrite").save()
+
+    registry = all_queries()
+    out: dict[str, dict] = {}
+    plans_full: dict[str, str] = {}
+    for qname in args.queries:
+        fn = registry[qname]
+        runs = []
+        for _ in range(args.n):
+            t0 = time.perf_counter()
+            fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 4))
+            spark.catalog.clearCache()
+        # plan run: execute a count-wrapped DataFrame so AQE finalizes
+        # with bounded driver memory at ANY sf (collect would pull q23's
+        # ~3M/sf0.1 pair rows — ~30M at sf1.0), then read the final plan.
+        # The count agg adds one SinglePartition exchange + HashAggregate
+        # on top of the query body; identical at both scale points, so it
+        # cancels in the sf-to-sf signature diff.
+        df = fn(spark, args.sf_dir)
+        cdf = df.select(F.count(F.lit(1)).alias("n"))
+        nrows = cdf.first()["n"]
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            cdf.explain("formatted")
+        plan = buf.getvalue()
+        spark.catalog.clearCache()
+        out[qname] = {
+            "min": min(runs),
+            "median": round(statistics.median(runs), 4),
+            "max": max(runs),
+            "runs": runs,
+            "result_rows": nrows,
+            "final_plan": "isFinalPlan=true" in plan,
+            "plan_signature": plan_signature(plan),
+        }
+        plans_full[qname] = plan
+        print(
+            f"{qname}: min={out[qname]['min']} rows={nrows} "
+            f"sig={out[qname]['plan_signature']}",
+            file=sys.stderr,
+        )
+    payload = {
+        "sf_dir": args.sf_dir,
+        "runs_per_query": args.n,
+        "queries": out,
+    }
+    with open(args.out, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    if args.plans_out:
+        with open(args.plans_out, "w") as fh:
+            json.dump(plans_full, fh, indent=1)
+    print(json.dumps({q: v["min"] for q, v in out.items()}))
+
+
+if __name__ == "__main__":
+    main()
