@@ -48,6 +48,14 @@ from binwatch_spark.tables import spread
 # A/B profiling of the fill cost itself (tools/bench_subset.py).
 _EAGER = os.environ.get("SPARK_GRAFT_DEDUP_EAGER", "1") != "0"
 
+# Index-probe hot-bucket cap: band keys with more than this many member
+# docs in the band table are excluded from candidate generation (the
+# standard production LSH guard against degenerate buckets; see the
+# incremental_dedup_with_index docstring for the measured r10 motivation).
+# Spelled identically in the q107/q122 oracles (HAVING count(*) <= cap),
+# so the rule is hash-checked end-to-end.
+BAND_KEY_CAP = 100
+
 
 def eager_enabled() -> bool:
     """Whether persist()ed intermediates are filled EAGERLY (a count() right
@@ -283,6 +291,7 @@ def _band_candidate_pairs(
     id_col: str,
     persist: bool = True,
     other: DataFrame | None = None,
+    key_cap: int | None = None,
 ) -> DataFrame:
     """Candidate (i, j) pairs from a band-keyed frame (id + bk0..bk{N-1}).
 
@@ -305,12 +314,41 @@ def _band_candidate_pairs(
     ``other``: cross-frame form (incremental dedup, q107) — candidates are
     (i FROM keyed, j FROM other) instead of a self-join; the two id spaces
     are assumed DISJOINT, so the i < j order filter is dropped and
-    first-collision uniqueness alone guarantees one emission per pair."""
+    first-collision uniqueness alone guarantees one emission per pair.
+
+    ``key_cap``: hot-bucket guard for the cross-frame form (see
+    BAND_KEY_CAP / the incremental_dedup_with_index docstring for the
+    measured r10 motivation): band keys held by more than ``key_cap``
+    docs on the ``other`` (corpus) side are excluded from candidate
+    generation — the same stated rule the q107/q122 oracles spell. Under
+    the cap, first-collision uniqueness is no longer sound (a pair's
+    FIRST collision may sit in an excluded hot band while a later cold
+    band still qualifies it), so the capped path deduplicates pairs with
+    a plain distinct — affordable exactly because the cap removed the
+    degenerate candidate mass a distinct used to be too expensive for."""
 
     a_side = _band_exploded(keyed, id_col, "i", "ak")
     b_side = _band_exploded(
         other if other is not None else keyed, id_col, "j", "jk"
     )
+    if key_cap is not None and other is not None:
+        a_slim = a_side.select("i", "band_idx", "band_key")
+        b_slim = b_side.select("j", "band_idx", "band_key")
+        hot = (
+            b_slim.groupBy("band_idx", "band_key")
+            .count()
+            .filter(F.col("count") > key_cap)
+            .select("band_idx", "band_key")
+        )
+        cold_b = b_slim.join(
+            F.broadcast(hot), ["band_idx", "band_key"], "left_anti"
+        )
+        out = (
+            a_slim.join(cold_b, ["band_idx", "band_key"])
+            .select("i", "j")
+            .dropDuplicates(["i", "j"])
+        )
+        return out.persist() if persist else out
     first_collision = _first_collision_cond()
     cond = first_collision if other is not None else (
         (F.col("i") < F.col("j")) & first_collision
@@ -1383,17 +1421,43 @@ def incremental_dedup_with_index(
         F.col(id_col),
         *[F.col("_bks")[b].alias(f"bk{b}") for b in range(N_BANDS)],
     )
-    new_exploded = _band_exploded(new_keyed, id_col, "i", "ak")
+    new_exploded = _band_exploded(new_keyed, id_col, "i", "ak").select(
+        "i", "band_idx", "band_key"
+    )
     index_bands = spark.table(f"{prefix}_bands").select(
-        F.col("doc_id").alias("j"),
-        *[F.col(f"bk{b}").alias(f"jk{b}") for b in range(N_BANDS)],
-        "band_idx",
-        "band_key",
+        F.col("doc_id").alias("j"), "band_idx", "band_key"
+    )
+    # HOT-BUCKET CAP (the standard production LSH guard, r10 scale
+    # finding): a band key shared by B index docs contributes O(B) rows
+    # per colliding probe doc while adding almost no precision — at the
+    # fixture's 31-token vocabulary the decade run measured 640k band
+    # rows collapsing onto 78k distinct keys (hottest: 15k docs), so the
+    # uncapped candidate join produced 356M rows for a 5k-doc probe
+    # (215 s); keys with <=BAND_KEY_CAP members carry only 0.11% of that
+    # pair mass. Keys above the cap are excluded from candidate
+    # generation BY A STATED RULE — the oracle spells the identical
+    # HAVING count(*) <= cap predicate, so the (tiny, measured) recall
+    # effect is hash-checked, not hidden. The hot set is provably small
+    # (<= table_rows / cap keys), so it broadcasts for an anti-join; the
+    # count runs against the CURRENT band table, so index appends
+    # (update_dedup_index) move keys across the cap exactly as the
+    # oracle's recomputed view does. With hot keys gone the candidate
+    # volume is small enough that a plain per-pair distinct replaces the
+    # first-collision trick (whose earlier-band predicate would need
+    # per-band hotness to stay correct under the cap).
+    hot = (
+        index_bands.groupBy("band_idx", "band_key")
+        .count()
+        .filter(F.col("count") > BAND_KEY_CAP)
+        .select("band_idx", "band_key")
+    )
+    cold_index = index_bands.join(
+        F.broadcast(hot), ["band_idx", "band_key"], "left_anti"
     )
     cands = (
-        new_exploded.join(index_bands, ["band_idx", "band_key"])
-        .filter(_first_collision_cond())
+        new_exploded.join(cold_index, ["band_idx", "band_key"])
         .select("i", "j")
+        .dropDuplicates(["i", "j"])
     )
     # SAME tokenizer as the band keys (operators.text.distinct_tokens):
     # verifying against a hand-spelled token expression could silently

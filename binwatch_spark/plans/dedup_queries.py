@@ -880,9 +880,15 @@ sig_c{sfx} AS (SELECT doc_id, {sig_cols} FROM th_c{sfx}),
 sig_i{sfx} AS (SELECT doc_id, {sig_cols} FROM th_i{sfx}),
 bands_c{sfx} AS ({bands('c')}),
 bands_i{sfx} AS ({bands('i')}),
+coldk{sfx} AS (
+  SELECT band_idx, band_key FROM bands_c{sfx}
+  GROUP BY band_idx, band_key HAVING count(*) <= {dedup.BAND_KEY_CAP}),
 cand{sfx} AS (
   SELECT DISTINCT bi.doc_id AS i, bc.doc_id AS j
-  FROM bands_i{sfx} bi JOIN bands_c{sfx} bc
+  FROM bands_i{sfx} bi
+  JOIN coldk{sfx} k
+    ON bi.band_idx = k.band_idx AND bi.band_key = k.band_key
+  JOIN bands_c{sfx} bc
     ON bi.band_idx = bc.band_idx AND bi.band_key = bc.band_key),
 near{sfx} AS (
   SELECT i AS doc_id, min(j) AS m FROM (
@@ -951,13 +957,15 @@ def q107_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.col("_bks")[b].alias(f"bk{b}") for b in range(N_BANDS)],
         )
 
-    # Cross-frame band join with q23's first-collision uniqueness: a pair
-    # is emitted only from the FIRST band where it collides (codegen
-    # conjunction), so there is no distinct() stage — on dup-heavy corpora
-    # near-identical docs collide in nearly all bands and a distinct would
-    # shuffle ~N_BANDS× the candidate count.
+    # Cross-frame band join under the hot-bucket cap (BAND_KEY_CAP — the
+    # r10 scale finding: the fixture's 31-token vocabulary collapses band
+    # keys onto a few thousand hot values whose candidate mass grows
+    # quadratically with corpus size; keys above the cap are excluded BY
+    # THE SAME STATED RULE the oracle's coldk CTE spells, so the probe
+    # cost is bounded by cap × probe bands instead of O(n²)).
     cands = dedup._band_candidate_pairs(
-        band_keyed(incoming), "doc_id", persist=False, other=band_keyed(corpus)
+        band_keyed(incoming), "doc_id", persist=False,
+        other=band_keyed(corpus), key_cap=dedup.BAND_KEY_CAP,
     )
     # Verify: q23's two-tier rule. Under a ≤63-word global vocabulary the
     # token sets collapse to int64 bitmasks and the Jaccard is popcount —

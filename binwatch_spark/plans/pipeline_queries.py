@@ -3,6 +3,8 @@ q72 sequence packing, q73 train/val/test split, q74 overlapping chunking."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -573,12 +575,20 @@ def _bounded_stream_core(spark, prefix, stages, start) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(f"{src}/*")
         )
+        # 300 s covers every query at the driver's sf0.01/sf0.1 with 10x
+        # headroom; scale runs (tools/bench_scale.py at sf1.0+) raise it
+        # via env rather than masking a hang at the normal sizes. NOTE
+        # (r10): when this fires, Spark's stop() interrupt can surface as
+        # a secondary java.lang.StackOverflowError from the stream
+        # thread's exception-classification regex — the timeout below is
+        # the primary failure, not that stack trace.
+        timeout_s = int(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", "300"))
         with _stream_shuffle_partitions(spark):
             q = start(stream, sink, ckpt)
-            if not q.awaitTermination(300):
+            if not q.awaitTermination(timeout_s):
                 q.stop()
                 raise RuntimeError(
-                    "bounded stream run did not finish within 300s"
+                    f"bounded stream run did not finish within {timeout_s}s"
                 )
     finally:
         shutil.rmtree(src, ignore_errors=True)

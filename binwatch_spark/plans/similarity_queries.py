@@ -624,74 +624,130 @@ def _semi_hard_tail(pairs: DataFrame) -> DataFrame:
 
 # Semi-hard band sits at ~69-81° where per-plane disagreement is ~0.42, so
 # expected hamming distance between an anchor and an in-band candidate is
-# ~3.4 of 8 planes. Measured recall-vs-cost curve vs the q116 exact panel
-# (sf0.001 / sf0.01, pinned in tests/test_similarity.py):
-#   radius 1:   9 probes ( 3.5% of bucket space) -> recall ~0.09
-#   radius 2:  37 probes (14.5%)                 -> recall 0.27-0.28
-#   radius 3:  93 probes (36.3%)                 -> recall 0.64      <- knee
-#   radius 4: 163 probes (63.7%)                 -> recall 0.83-0.86
-# Radius 4 probes MORE than half the bucket space — blocking stops paying.
-# Radius 3 is the knee: recall clears 0.5 while candidate work stays ~36%
-# of the corpus per anchor (vs 100% for the q116 exact cross join).
+# ~3.4 of 8 planes. Measured recall-vs-cost grid vs the q116 exact panel
+# (sf0.001 / sf0.01, pinned in tests/test_similarity.py) over BOTH levers
+# — probe radius r and independent table count L (q120's OR-of-tables
+# rule applied to the mining path, VERDICT r08 #5). Cost = measured
+# fraction of (anchor, candidate) pairs passing the block:
+#   L=1 r=1:  recall ~0.09        cost  3.5%
+#   L=1 r=2:  recall 0.27-0.28    cost 15.5%
+#   L=1 r=3:  recall 0.64         cost 37%    <- single-table knee (r07)
+#   L=2 r=2:  recall 0.50-0.51    cost 28%
+#   L=3 r=2:  recall 0.62-0.69    cost 38%
+#   L=2 r=3:  recall 0.86-0.88    cost 59-61% <- the >=0.8 knee (CHOSEN)
+#   L=3 r=3:  recall 0.93-0.96    cost 73-74%
+# The measurements track the independence model 1-(1-p_r)^L almost
+# exactly (band pairs disagree per plane w.p. ~0.42 vs 0.5 for random
+# pairs, so the LSH gap is inherently narrow at this band — ANY blocking
+# scheme paying >=0.8 recall here costs >~55%; the production lever for
+# a cheaper 0.8 is more planes per table with a tighter band, not more
+# tables). L=2 r=3 is the chosen knee: recall clears 0.8 while candidate
+# work stays ~60% of the exact cross join's.
 NEG_PROBE_RADIUS = 3
+Q117_TABLES = 2
 
 
-@register(
-    "q117_hard_negatives_ann",
-    oracle=f"""
+def _q117_oracle() -> str:
+    buckets = ", ".join(
+        f"{lsh_bucket_sql('embedding', t)} AS b{t}"
+        for t in range(Q117_TABLES)
+    )
+    any_table = " OR ".join(
+        f"bit_count(xor(q.b{t}, c.b{t})) <= {NEG_PROBE_RADIUS}"
+        for t in range(Q117_TABLES)
+    )
+    return f"""
 WITH q AS (
-  SELECT vec_id AS query_id, embedding AS q_emb,
-         {{bucket}} AS bucket
+  SELECT vec_id AS query_id, embedding AS q_emb, {buckets}
   FROM embeddings WHERE vec_id < 20 AND embedding IS NOT NULL),
 c AS (
-  SELECT vec_id AS cand_id, embedding AS c_emb,
-         {{bucket}} AS bucket
+  SELECT vec_id AS cand_id, embedding AS c_emb, {buckets}
   FROM embeddings WHERE vec_id >= 20 AND embedding IS NOT NULL),
 p AS (
-  SELECT query_id, cand_id, {{cos}} AS sim
-  FROM q JOIN c ON bit_count(xor(q.bucket, c.bucket)) <= {NEG_PROBE_RADIUS})
+  SELECT query_id, cand_id, {_COS} AS sim
+  FROM q JOIN c ON ({any_table}))
 SELECT query_id, cand_id, sim, CAST(rn AS INTEGER) AS rank FROM (
   SELECT query_id, cand_id, sim,
     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
   FROM p WHERE sim >= {NEG_LO} AND sim < {NEG_HI})
 WHERE rn <= {NEG_K}
-""".format(cos=_COS, bucket=lsh_bucket_sql("embedding")),
-)
+"""
+
+
+@register("q117_hard_negatives_ann", oracle=_q117_oracle())
 def q117_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-hard negative mining, SCALE rung — q116's band + per-anchor
-    top-{NEG_K} over multi-probe LSH bucket candidates instead of the
-    O(|anchors|×|corpus|) cross join: anchors probe every bucket within
-    hamming distance {NEG_PROBE_RADIUS} of their own (q70's probe rule at
-    radius 3 — the knee of the measured recall-vs-cost curve above
-    NEG_PROBE_RADIUS: 93 probes = 36% of bucket space buys 0.64 top-k
-    recall vs the q116 exact panel at sf0.001 AND sf0.01, pinned in
-    tests/test_similarity.py; radius 2 only reached 0.27 because the
-    semi-hard band [{NEG_LO}, {NEG_HI}) sits at ~69-81° where expected
-    hamming is ~3.4/8). Approximate BY A STATED RULE: the
-    oracle spells the identical hamming<={NEG_PROBE_RADIUS} predicate, so
-    the driver hash-checks the blocked semantics end-to-end.
+    top-{NEG_K} over MULTI-TABLE multi-probe LSH candidates instead of
+    the O(|anchors|×|corpus|) cross join: {Q117_TABLES} independent
+    hyperplane tables (q120's OR-of-tables rule applied to the mining
+    path — VERDICT r08 #5), each probed at hamming radius
+    {NEG_PROBE_RADIUS}. Measured vs the q116 exact panel: recall
+    0.86-0.88 at 59-61% candidate cost (the full (L, radius) grid above
+    NEG_PROBE_RADIUS; single-table radius 3 was 0.64 at 37% — the extra
+    table buys the >=0.8 target the r07/r08 curve couldn't reach,
+    floor-pinned at 0.8 in tests/test_similarity.py). Approximate BY A
+    STATED RULE: the oracle spells the identical OR-of-tables
+    hamming<={NEG_PROBE_RADIUS} predicate, so the driver hash-checks the
+    blocked semantics end-to-end.
 
-    Scale shape: probe explosion rides the small broadcast anchor side
-    (93 16-byte rows per anchor); the corpus keeps ONE bucket per row and
-    the join is an equi-join on bucket id — never a cross join
-    (test_plans pins no CartesianProduct / no NestedLoop). Each
-    qualifying pair matches on exactly ONE probe (mask == bucket xor), so
-    no distinct stage. Band filter runs BEFORE the rank window, so
-    WindowGroupLimit sees only in-band pairs."""
-    from binwatch_spark.functions.texthash import N_PLANES
+    Scale shape: per table, probe explosion rides the small broadcast
+    anchor side (93 16-byte rows per anchor per table); the corpus keeps
+    ONE bucket per row per table and each table's candidate join is an
+    equi-join on bucket id — never a cross join (test_plans pins no
+    CartesianProduct / no NestedLoop). Within a table every qualifying
+    pair matches exactly ONE probe (mask == bucket xor); across tables,
+    first-TABLE-collision uniqueness (table t>0 requires every earlier
+    table to have missed — a codegen conjunction on the 8 B bucket ids
+    both sides already carry) replaces the distinct stage the cross-table
+    union would otherwise need, exactly q120's mechanics. Band filter
+    runs BEFORE the rank window, so WindowGroupLimit sees only in-band
+    pairs."""
+    from binwatch_spark.functions.texthash import N_PLANES, lsh_bucket
     from binwatch_spark.operators.similarity import _prep, probe_masks
 
     queries, cands = _anchor_corpus_split(spark, sf_dir)
-    q = _prep(queries, "q_emb", with_bucket=True)
-    probes = F.array(
-        *[
-            F.col("_bucket").bitwiseXOR(F.lit(m)).cast("bigint")
-            for m in probe_masks(NEG_PROBE_RADIUS, N_PLANES)
-        ]
-    )
-    q = q.withColumn("_bucket", F.explode(probes))
-    c = _prep(cands, "c_emb", with_bucket=True)
-    return _semi_hard_tail(c.join(F.broadcast(q), on="_bucket"))
+    q = _prep(queries, "q_emb")
+    c = _prep(cands, "c_emb")
+    for t in range(Q117_TABLES):
+        q = q.withColumn(f"_b{t}", lsh_bucket(F.col("q_emb"), t))
+        c = c.withColumn(f"_b{t}", lsh_bucket(F.col("c_emb"), t))
+    masks = probe_masks(NEG_PROBE_RADIUS, N_PLANES)
+    out = None
+    for t in range(Q117_TABLES):
+        probes = F.array(
+            *[
+                F.col(f"_b{t}").bitwiseXOR(F.lit(m)).cast("bigint")
+                for m in masks
+            ]
+        )
+        qt = q.select(
+            "query_id",
+            "q_emb",
+            "_norm_q_emb",
+            *[F.col(f"_b{s}").alias(f"_qb{s}") for s in range(t)],
+            F.explode(probes).alias("_bk"),
+        )
+        ct = c.select(
+            "cand_id",
+            "c_emb",
+            "_norm_c_emb",
+            *[F.col(f"_b{s}").alias(f"_cb{s}") for s in range(t)],
+            F.col(f"_b{t}").cast("bigint").alias("_bk"),
+        )
+        pt = ct.join(F.broadcast(qt), on="_bk")
+        for s in range(t):
+            pt = pt.filter(
+                F.bit_count(
+                    F.col(f"_qb{s}").bitwiseXOR(F.col(f"_cb{s}"))
+                )
+                > NEG_PROBE_RADIUS
+            )
+        pt = pt.select(
+            "query_id", "cand_id", "q_emb", "c_emb",
+            "_norm_q_emb", "_norm_c_emb",
+        )
+        out = pt if out is None else out.unionByName(pt)
+    return _semi_hard_tail(out)
 
 
 # Hybrid retrieval: candidate-pool sizes, the RRF smoothing constant

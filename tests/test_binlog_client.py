@@ -1338,3 +1338,202 @@ def test_json_typed_column_not_binary(fake_pymysqlreplication, monkeypatch):
     # BLOB type code 252 + NULL charset: still unconditional base64
     assert row["blob"] == base64.b64encode(b"looks like text").decode()
     assert row["n"] == "7"
+
+
+# VERDICT r08 #6 (first scenario): binlog_row_image=MINIMAL — UPDATE
+# before-images carry only the PK, after-images only PK + changed columns,
+# and DELETE images only the PK. Contract: the wire row is the delivered
+# map VERBATIM (blreaderwork.go:261-263 takes rows as the parser hands
+# them — the reference never re-inflates a sparse image, because it
+# cannot know the missing values); sparseness is then the ARITY GATE's
+# problem downstream, which drops-and-counts events whose row size
+# disagrees with the probed column count instead of padding NULLs
+# (schema_probe.arity_gate, blreaderwork.go:255-273).
+RECORDED_MINIMAL_IMAGE = [
+    (
+        "mysql-bin.000034",
+        100,
+        _UpdateRowsEvent(
+            "shop",
+            "orders",
+            [
+                {
+                    # MINIMAL: before = PK only; after = PK + changed cols
+                    "before_values": {"oid": 7},
+                    "after_values": {"oid": 7, "qty": 5},
+                }
+            ],
+        ),
+    ),
+    (
+        "mysql-bin.000034",
+        200,
+        _DeleteRowsEvent("shop", "orders", [{"values": {"oid": 7}}]),
+    ),
+]
+
+
+def test_minimal_row_image_sparse_images_flow_verbatim(
+    fake_pymysqlreplication, monkeypatch
+):
+    monkeypatch.setitem(globals(), "RECORDED", RECORDED_MINIMAL_IMAGE)
+    got = list(
+        _client().read_range(
+            BinlogLocation("mysql-bin.000034", 4),
+            BinlogLocation("mysql-bin.000034", 200),
+        )
+    )
+    assert [r["operation"] for r in got] == ["UPDATE", "DELETE"]
+    # sparse after-image delivered verbatim: PK + the one changed column,
+    # nothing fabricated for the columns MINIMAL omitted
+    assert got[0]["rows"] == [{"oid": "7", "qty": "5"}]
+    # DELETE under MINIMAL carries only the PK
+    assert got[1]["rows"] == [{"oid": "7"}]
+
+
+def test_minimal_row_image_sparse_rows_hit_arity_gate(spark):
+    """The downstream half of the MINIMAL contract: a sparse 2-value row
+    against a 3-column probed map is a counted DROP of the whole event
+    (never NULL padding) — the reference's len-mismatch skip
+    (blreaderwork.go:255-273)."""
+    from pyspark.sql import Observation
+
+    from binwatch_spark.sources.schema_probe import arity_gate
+
+    df = spark.createDataFrame(
+        [
+            ("shop", "orders", [{"oid": "7", "qty": "5"}]),  # sparse: 2/3
+            ("shop", "orders", [{"oid": "8", "qty": "1", "note": "x"}]),
+        ],
+        "database string, table string, rows array<map<string,string>>",
+    )
+    obs = Observation("minimal_gate")
+    out = arity_gate(
+        df, {"shop.orders": ["oid", "qty", "note"]}, observation=obs
+    ).collect()
+    assert [r["rows"][0]["oid"] for r in out] == ["8"]
+    assert obs.get["arity_mismatch_events"] == 1
+
+
+# VERDICT r08 #6 (second scenario): mid-stream ALTER TABLE ... ADD COLUMN
+# under binlog_row_metadata=FULL — events after the ALTER carry the new
+# column in their write-time names. Contract mirrors the rename soak:
+# event-time names are authoritative and flow verbatim (the startup probe
+# map is only for positional sources), so the post-ALTER 3-value rows
+# deliver with the new column present; a 2-column probe map would then
+# drop them at the arity gate as counted schema drift — surfaced, never
+# silently NULL-padded.
+RECORDED_ALTER_ADD_COLUMN = [
+    (
+        "mysql-bin.000035",
+        100,
+        _WriteRowsEvent(
+            "shop", "users", [{"values": {"id": 1, "name": "ada"}}]
+        ),
+    ),
+    # ALTER TABLE users ADD COLUMN email lands here
+    (
+        "mysql-bin.000035",
+        200,
+        _WriteRowsEvent(
+            "shop",
+            "users",
+            [{"values": {"id": 2, "name": "grace", "email": "g@x"}}],
+        ),
+    ),
+    (
+        "mysql-bin.000035",
+        300,
+        _UpdateRowsEvent(
+            "shop",
+            "users",
+            [
+                {
+                    "before_values": {"id": 1, "name": "ada", "email": None},
+                    "after_values": {"id": 1, "name": "ada", "email": "a@x"},
+                }
+            ],
+        ),
+    ),
+]
+
+
+def test_mid_stream_alter_add_column_full_metadata(
+    fake_pymysqlreplication, monkeypatch
+):
+    monkeypatch.setitem(globals(), "RECORDED", RECORDED_ALTER_ADD_COLUMN)
+    got = list(
+        _client().read_range(
+            BinlogLocation("mysql-bin.000035", 4),
+            BinlogLocation("mysql-bin.000035", 300),
+        )
+    )
+    assert [sorted(r["rows"][0]) for r in got] == [
+        ["id", "name"],
+        ["email", "id", "name"],
+        ["email", "id", "name"],
+    ]
+    # the post-ALTER after-image flows with the new column populated
+    assert got[2]["rows"][0]["email"] == "a@x"
+
+
+# VERDICT r08 #6 (third scenario): MySQL 8.x partial-JSON updates
+# (binlog_row_value_options=PARTIAL_JSON). What reaches the client
+# depends on the parser generation: a parser that reconstructs the
+# document delivers a dict; one that cannot delivers the full document as
+# raw bytes; a column the update did not touch can arrive as SQL NULL in
+# the sparse MINIMAL image. Contract: all three shapes normalize
+# deterministically — dict and raw-bytes forms canonicalize to the SAME
+# compact sorted text (ADVICE r09 wiring, q-replay/redelivery compare
+# depends on it), NULL stays a null map value.
+RECORDED_PARTIAL_JSON = [
+    (
+        "mysql-bin.000036",
+        100,
+        _UpdateRowsEvent(
+            "shop",
+            "profiles",
+            [
+                {
+                    "before_values": {"id": 1},
+                    # new parser: reconstructed document, parsed
+                    "after_values": {"id": 1, "prefs": {"b": 2, "a": 1}},
+                },
+                {
+                    "before_values": {"id": 2},
+                    # old parser: full document as raw bytes (JSON-typed
+                    # column per table map), key order differing
+                    "after_values": {"id": 2, "prefs": b'{"b": 2, "a": 1}'},
+                },
+                {
+                    "before_values": {"id": 3},
+                    # untouched JSON column in the sparse image: SQL NULL
+                    "after_values": {"id": 3, "prefs": None},
+                },
+            ],
+        ),
+    ),
+]
+
+
+def test_partial_json_update_canonicalizes_across_parsers(
+    fake_pymysqlreplication, monkeypatch
+):
+    ev = RECORDED_PARTIAL_JSON[0][2]
+    ev.columns = [
+        types.SimpleNamespace(name="id", character_set_name=None, type=3),
+        types.SimpleNamespace(name="prefs", character_set_name=None, type=245),
+    ]
+    monkeypatch.setitem(globals(), "RECORDED", RECORDED_PARTIAL_JSON)
+    got = list(
+        _client().read_range(
+            BinlogLocation("mysql-bin.000036", 4),
+            BinlogLocation("mysql-bin.000036", 100),
+        )
+    )
+    rows = got[0]["rows"]
+    # dict delivery and raw-bytes delivery produce the SAME wire text
+    assert rows[0]["prefs"] == '{"a":1,"b":2}'
+    assert rows[1]["prefs"] == rows[0]["prefs"]
+    # NULL stays null — distinguishable from the string "None"
+    assert rows[2]["prefs"] is None

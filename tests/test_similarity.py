@@ -97,28 +97,29 @@ def test_q117_ann_hard_negatives_recall_floor_vs_exact(spark):
     """q117's blocked semi-hard mining vs the q116 exact panel: every ANN
     pair must be a genuine in-band pair (subset of the band universe is
     guaranteed by the shared filter; here we pin the top-k overlap), and
-    measured top-k recall clears 0.5 at the shipped radius (measured
-    recall-vs-cost curve at sf0.001/sf0.01 against the q116 exact panel:
-    radius 2 = 37 probes -> 0.27-0.28, radius 3 = 93 probes -> 0.64,
-    radius 4 = 163 probes -> 0.83-0.86; shipped NEG_PROBE_RADIUS=3 is the
-    knee — radius 4 probes >half the bucket space, so blocking stops
-    paying). Floor 0.5 with slack below the measured 0.64 guards the
-    candidate generator, not the geometry."""
+    measured top-k recall clears 0.8 at the shipped configuration
+    (VERDICT r08 #5: the full (L, radius) grid at sf0.001/sf0.01 against
+    the q116 exact panel — L=1 r=3 -> 0.64 @ 37% cost, L=2 r=2 -> 0.50 @
+    28%, L=2 r=3 -> 0.86-0.88 @ 59-61%, L=3 r=3 -> 0.93-0.96 @ 73-74%;
+    shipped Q117_TABLES=2, NEG_PROBE_RADIUS=3 is the >=0.8 knee). Floor
+    0.8 with slack below the measured 0.86 guards the candidate
+    generator, not the geometry."""
     from binwatch_spark.plans.similarity_queries import (
         NEG_PROBE_RADIUS,
+        Q117_TABLES,
         q116_hard_negatives,
         q117_hard_negatives_ann,
     )
     from tests.conftest import SF_SMALL
 
-    assert NEG_PROBE_RADIUS == 3  # the documented knee; curve above
+    assert NEG_PROBE_RADIUS == 3 and Q117_TABLES == 2  # the measured knee
     exact = {
         (r["query_id"], r["cand_id"])
         for r in q116_hard_negatives(spark, SF_SMALL).collect()
     }
     ann_rows = q117_hard_negatives_ann(spark, SF_SMALL).collect()
     ann = {(r["query_id"], r["cand_id"]) for r in ann_rows}
-    assert len(exact & ann) >= 0.5 * len(exact)
+    assert len(exact & ann) >= 0.8 * len(exact)
     # every ANN hit sits in the semi-hard band (sim bounds shared with q116)
     from binwatch_spark.plans.similarity_queries import NEG_HI, NEG_LO
 

@@ -90,41 +90,11 @@ def main() -> None:
     plans_full: dict[str, str] = {}
     for qname in args.queries:
         fn = registry[qname]
-        runs = []
-        for _ in range(args.n):
-            t0 = time.perf_counter()
-            fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(round(time.perf_counter() - t0, 4))
-            spark.catalog.clearCache()
-        # plan run: execute a count-wrapped DataFrame so AQE finalizes
-        # with bounded driver memory at ANY sf (collect would pull q23's
-        # ~3M/sf0.1 pair rows — ~30M at sf1.0), then read the final plan.
-        # The count agg adds one SinglePartition exchange + HashAggregate
-        # on top of the query body; identical at both scale points, so it
-        # cancels in the sf-to-sf signature diff.
-        df = fn(spark, args.sf_dir)
-        cdf = df.select(F.count(F.lit(1)).alias("n"))
-        nrows = cdf.first()["n"]
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            cdf.explain("formatted")
-        plan = buf.getvalue()
-        spark.catalog.clearCache()
-        out[qname] = {
-            "min": min(runs),
-            "median": round(statistics.median(runs), 4),
-            "max": max(runs),
-            "runs": runs,
-            "result_rows": nrows,
-            "final_plan": "isFinalPlan=true" in plan,
-            "plan_signature": plan_signature(plan),
-        }
-        plans_full[qname] = plan
-        print(
-            f"{qname}: min={out[qname]['min']} rows={nrows} "
-            f"sig={out[qname]['plan_signature']}",
-            file=sys.stderr,
-        )
+        try:
+            _bench_one(spark, fn, qname, args, out, plans_full)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            out[qname] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+            print(f"{qname}: ERROR {exc}", file=sys.stderr)
     payload = {
         "sf_dir": args.sf_dir,
         "runs_per_query": args.n,
@@ -135,7 +105,47 @@ def main() -> None:
     if args.plans_out:
         with open(args.plans_out, "w") as fh:
             json.dump(plans_full, fh, indent=1)
-    print(json.dumps({q: v["min"] for q, v in out.items()}))
+    print(json.dumps({q: v.get("min", v.get("error")) for q, v in out.items()}))
+
+
+def _bench_one(spark, fn, qname, args, out, plans_full) -> None:
+    from pyspark.sql import functions as F
+
+    runs = []
+    for _ in range(args.n):
+        t0 = time.perf_counter()
+        fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+        runs.append(round(time.perf_counter() - t0, 4))
+        spark.catalog.clearCache()
+    # plan run: execute a count-wrapped DataFrame so AQE finalizes
+    # with bounded driver memory at ANY sf (collect would pull q23's
+    # ~3M/sf0.1 pair rows — ~30M at sf1.0), then read the final plan.
+    # The count agg adds one SinglePartition exchange + HashAggregate
+    # on top of the query body; identical at both scale points, so it
+    # cancels in the sf-to-sf signature diff.
+    df = fn(spark, args.sf_dir)
+    cdf = df.select(F.count(F.lit(1)).alias("n"))
+    nrows = cdf.first()["n"]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cdf.explain("formatted")
+    plan = buf.getvalue()
+    spark.catalog.clearCache()
+    out[qname] = {
+        "min": min(runs),
+        "median": round(statistics.median(runs), 4),
+        "max": max(runs),
+        "runs": runs,
+        "result_rows": nrows,
+        "final_plan": "isFinalPlan=true" in plan,
+        "plan_signature": plan_signature(plan),
+    }
+    plans_full[qname] = plan
+    print(
+        f"{qname}: min={out[qname]['min']} rows={nrows} "
+        f"sig={out[qname]['plan_signature']}",
+        file=sys.stderr,
+    )
 
 
 if __name__ == "__main__":
