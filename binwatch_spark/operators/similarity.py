@@ -417,6 +417,20 @@ def neardup_pairs_lsh(
     cands = left.join(right, "_bucket").filter(F.col("i") < F.col("j")).select(
         "i", "j"
     )
+    # Explicit repartition between candidate generation and verify (r10
+    # scale finding): the bucket join EXPANDS — its input is slim
+    # (id, bucket) rows but its output is the candidate pair set, orders
+    # of magnitude larger at wide radii. AQE coalesces the pre-join
+    # exchange on INPUT bytes (~30 MB at sf1.0 → 2 partitions) and the
+    # verify's embedding joins broadcast, so without this the entire
+    # candidate expansion AND the Arrow dot kernel ran in those 2 tasks
+    # (measured: 2-task straggler stages dominating q104's 325 s at
+    # sf1.0). A user-specified partition count is exempt from AQE
+    # coalescing; the pair rows are 16 B so the extra shuffle is cheap
+    # relative to the unlocked parallelism.
+    cands = cands.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "i", "j"
+    )
     ei = base.select(
         F.col("_id").alias("i"), F.col("_emb").alias("_ei"), F.col("_norm").alias("_ni")
     )
@@ -510,6 +524,12 @@ def neardup_pairs_lsh_multitable(
             )
         pairs_t = pairs_t.select("i", "j")
         cands = pairs_t if cands is None else cands.unionByName(pairs_t)
+    # same expansion-vs-AQE-coalescing guard as neardup_pairs_lsh: spread
+    # the candidate pairs before the broadcast-verify joins so the Arrow
+    # dot kernel runs at full parallelism
+    cands = cands.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "i", "j"
+    )
     ei = base.select(
         F.col("_id").alias("i"), F.col("_emb").alias("_ei"), F.col("_norm").alias("_ni")
     )

@@ -935,10 +935,15 @@ def q107_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     band table ((band_idx, int64 key) rows, q23's fused map-side kernel);
     in production both are bucketed storage (operators/storage.py) and the
     incoming batch joins them WITHOUT a corpus scan. Candidates come from
-    the cross-frame band equi-join (never all-pairs); only candidates pay
+    the cross-frame band equi-join (never all-pairs) under the
+    HOT-BUCKET CAP (dedup.BAND_KEY_CAP, r10 scale-decade finding: hot
+    band keys made the uncapped join O(n²) on this vocabulary — 356M
+    candidate rows / 215 s per probe at sf1.0, vs 5.2 s capped; the
+    oracle's coldk CTE spells the identical rule, and the measured
+    recall cost is 3/71 near verdicts at sf0.01); only candidates pay
     the exact-Jaccard verify; all joins are keyed. The oracle recomputes
     the identical two-sided band index in SQL, so the whole incremental
-    path is hash-checked."""
+    path — cap included — is hash-checked."""
     from binwatch_spark.functions.texthash import make_minhash_band_udf
     from binwatch_spark.operators.text import distinct_tokens
     from binwatch_spark.tables import spread

@@ -232,3 +232,61 @@ def test_index_update_loop_drops_against_appended_keepers(spark):
         25: ("drop_near", 10),
         35: ("keep", None),
     }
+
+
+def test_hot_bucket_cap_suppresses_degenerate_candidates(spark, monkeypatch):
+    """BAND_KEY_CAP (r10 scale finding): a band key held by more than cap
+    corpus docs is excluded from candidate generation — the stated rule
+    the q107/q122 oracles spell. Pins all three contracts: (a) a probe
+    doc whose ONLY collisions sit in hot keys gets no near candidate
+    ('keep' even though its true Jaccard clears the threshold — the
+    documented, measured recall price); (b) cold keys still generate
+    candidates ('drop_near' unaffected); (c) the digest path is
+    band-free, so an exact duplicate of the hot-key text still drops
+    'drop_exact'."""
+    from binwatch_spark.operators import dedup as ddp
+    from binwatch_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_with_index,
+    )
+
+    monkeypatch.setattr(ddp, "BAND_KEY_CAP", 2)
+    schema = "doc_id bigint, text string"
+    hot_text = "alpha beta gamma delta epsilon"
+    corpus = spark.createDataFrame(
+        [
+            # three identical docs: every band key they produce has 3 > 2
+            # members -> hot, excluded
+            (1, hot_text),
+            (2, hot_text),
+            (3, hot_text),
+            # lone doc: its keys have 1 member -> cold
+            (4, "zeta eta theta iota kappa"),
+        ],
+        schema,
+    )
+    incoming = spark.createDataFrame(
+        [
+            # near-dup of the hot text (jaccard 4/5 = 0.8, NOT exact):
+            # all its collisions are hot -> keep under the cap
+            (10, "alpha beta gamma delta"),
+            # near-dup of the cold doc: jaccard 4/5 = 0.8 -> drop_near
+            (20, "zeta eta theta iota"),
+            # exact dup of the hot text: digest path ignores bands
+            (30, hot_text),
+        ],
+        schema,
+    )
+    prefix = "t_idx_hotcap"
+    build_dedup_index(corpus, "text", "doc_id", prefix=prefix, num_buckets=4)
+    verd = {
+        r["doc_id"]: (r["verdict"], r["match_doc_id"])
+        for r in incremental_dedup_with_index(
+            incoming, corpus, spark, "text", "doc_id", 0.8, prefix=prefix
+        ).collect()
+    }
+    assert verd == {
+        10: ("keep", None),
+        20: ("drop_near", 4),
+        30: ("drop_exact", 1),
+    }
