@@ -71,45 +71,80 @@ def main() -> None:
 
     clk = os.sysconf("SC_CLK_TCK")
 
+    # Session CPU is tracked by a 1 Hz sampler thread that remembers the
+    # LAST-SEEN cpu of every session pid and banks it when the pid
+    # disappears. This replaced the cutime approach (r10): pyspark's
+    # worker daemon installs SIGCHLD=SIG_IGN, so dead workers are
+    # kernel-auto-reaped and their CPU never rolls into anyone's cutime —
+    # every worker exit silently moved its burn from "session" to
+    # "other", and a worker-churny sweep self-labeled contended on an
+    # idle box (measured: 619 "foreign" cpu-s whose live sampling showed
+    # every hot pid inside the bench's own tree). Residual undercount is
+    # only the final sub-second tick of each dead worker.
+    import threading
+
+    class _SessionCpu(threading.Thread):
+        def __init__(self) -> None:
+            super().__init__(daemon=True)
+            self._lock = threading.Lock()
+            self._last: dict[int, float] = {}
+            self._dead_banked = 0.0
+            self._root = os.getpid()
+
+        def _scan(self) -> dict[int, tuple[int, float]]:
+            procs: dict[int, tuple[int, float]] = {}
+            for path in glob.glob("/proc/[0-9]*/stat"):
+                try:
+                    raw = open(path).read()
+                except OSError:
+                    continue
+                rest = raw.rsplit(") ", 1)[-1].split()
+                pid = int(raw.split()[0])
+                ppid = int(rest[1])
+                cpu = (int(rest[11]) + int(rest[12])) / clk
+                procs[pid] = (ppid, cpu)
+            return procs
+
+        def sample(self) -> float:
+            """Refresh synchronously; return total session CPU = banked
+            dead pids + live last-seen."""
+            procs = self._scan()
+            mine = {self._root}
+            grew = True
+            while grew:
+                grew = False
+                for pid, (ppid, _) in procs.items():
+                    if ppid in mine and pid not in mine:
+                        mine.add(pid)
+                        grew = True
+            with self._lock:
+                for pid, cpu in list(self._last.items()):
+                    if pid not in procs:
+                        self._dead_banked += cpu
+                        del self._last[pid]
+                for pid in mine:
+                    if pid in procs:
+                        self._last[pid] = procs[pid][1]
+                return self._dead_banked + sum(self._last.values())
+
+        def run(self) -> None:
+            while True:
+                time.sleep(1.0)
+                self.sample()
+
+    _session_cpu = _SessionCpu()
+    _session_cpu.start()
+
     def cpu_clock_s() -> tuple[float, float]:
         # (session_cpu_s, machine_busy_cpu_s): CPU seconds consumed by THIS
         # process tree (driver python + JVM + worker daemon + pyspark
-        # workers) vs by the whole machine. An outlier run whose
-        # machine-busy delta far exceeds its session delta was starved by
-        # ANOTHER process on the box — the mechanism behind r05's random
-        # 10-20 s stalls (not reproducible in isolation, no GC, no
-        # storage-memory growth, landing on arbitrary queries/runs):
+        # workers, incl. auto-reaped dead workers via the sampler above)
+        # vs by the whole machine. An outlier run whose machine-busy delta
+        # far exceeds its session delta was starved by ANOTHER process on
+        # the box — the mechanism behind r05's random 10-20 s stalls:
         # min-of-N is the estimator precisely so an external CPU surge
         # spanning one or two runs never pollutes the reported number.
-        procs: dict[int, tuple[int, float]] = {}
-        for path in glob.glob("/proc/[0-9]*/stat"):
-            try:
-                raw = open(path).read()
-            except OSError:
-                continue
-            rest = raw.rsplit(") ", 1)[-1].split()
-            pid = int(raw.split()[0])
-            ppid = int(rest[1])
-            # utime+stime (this process) PLUS cutime+cstime (its REAPED
-            # children): a pyspark worker that burns CPU and exits between
-            # samples rolls into its parent's cutime on reap, so the delta
-            # still lands in session_cpu instead of masquerading as
-            # "other process" load — the misattribution this metric
-            # exists to rule out. No double count at any single snapshot
-            # (cutime covers only dead children).
-            cpu = (
-                int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
-            ) / clk
-            procs[pid] = (ppid, cpu)
-        mine = {os.getpid()}
-        grew = True
-        while grew:
-            grew = False
-            for pid, (ppid, _) in procs.items():
-                if ppid in mine and pid not in mine:
-                    mine.add(pid)
-                    grew = True
-        session = sum(c for pid, (_, c) in procs.items() if pid in mine)
+        session = _session_cpu.sample()
         fields = open("/proc/stat").readline().split()[1:]
         busy = sum(int(v) for i, v in enumerate(fields) if i not in (3, 4))
         # iowait (field 4) and steal (field 7): the two machine-level WAIT

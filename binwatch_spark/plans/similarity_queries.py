@@ -950,3 +950,150 @@ def q126_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         polyhash(F.col("vec_id").cast("string")) % 1000000
         < F.col("keep_below")
     ).select("vec_id", "cell_id", "cluster_n")
+
+
+PCA_ROUNDS = 4
+
+
+def _pca_power_sql(k: int) -> str:
+    """Oracle CTE builder for q148's power iteration (the q145/q147
+    materialized-chain pattern): v0 is the first basis vector; round r
+    computes u = sum over rows of (x·v) x with DECIMAL(28,10)-accumulated
+    per-dimension sums (order-free, the registry convention), then
+    normalizes driver-style in scalar SQL — the 64-term norm
+    sum-of-squares is spelled in ascending dimension order, matching the
+    Spark side's python loop, so every double stays bit-identical."""
+    from binwatch_spark.functions.texthash import EMBED_DIM
+
+    d = EMBED_DIM
+    parts = [
+        "emb AS MATERIALIZED (SELECT embedding AS x FROM embeddings"
+        " WHERE embedding IS NOT NULL)",
+        "v0 AS (SELECT "
+        + ", ".join(
+            f"{'1.0' if i == 0 else '0.0'} AS v{i}" for i in range(d)
+        )
+        + ")",
+    ]
+    for r in range(1, k + 1):
+        prev = f"v{r - 1}"
+        dot = " + ".join(
+            f"CAST(e.x[{i + 1}] AS DOUBLE) * w.v{i}" for i in range(d)
+        )
+        sums = ", ".join(
+            f"sum(CAST(({dot}) * CAST(e.x[{i + 1}] AS DOUBLE)"
+            f" AS DECIMAL(28,10))) AS u{i}"
+            for i in range(d)
+        )
+        parts.append(
+            f"g{r} AS MATERIALIZED (SELECT {sums}"
+            f" FROM emb e CROSS JOIN {prev} w)"
+        )
+        norm = " + ".join(
+            f"CAST(g.u{i} AS DOUBLE) * CAST(g.u{i} AS DOUBLE)"
+            for i in range(d)
+        )
+        parts.append(
+            f"n{r} AS MATERIALIZED (SELECT sqrt({norm}) AS nrm"
+            f" FROM g{r} g)"
+        )
+        comps = ", ".join(
+            f"CAST(g.u{i} AS DOUBLE) / n.nrm AS v{i}" for i in range(d)
+        )
+        parts.append(
+            f"v{r} AS MATERIALIZED (SELECT {comps}"
+            f" FROM g{r} g CROSS JOIN n{r} n)"
+        )
+    selects = [
+        f"SELECT CAST({r} AS BIGINT) AS round,"
+        f" round(n.nrm, 6) AS lambda_n,"
+        f" round(v.v0, 8) AS c0, round(v.v1, 8) AS c1,"
+        f" round(v.v2, 8) AS c2, round(v.v3, 8) AS c3"
+        f" FROM v{r} v CROSS JOIN n{r} n"
+        for r in range(1, k + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY round"
+    )
+
+
+@register("q148_embedding_pca_power", oracle=_pca_power_sql(PCA_ROUNDS))
+def q148_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by POWER ITERATION
+    — the dimensionality-reduction rung an embedding pipeline runs
+    before whitening/compression (PCA-projected vectors make both the
+    ANN index and semantic dedup cheaper per dimension). Each round is
+    ONE map-side-combined aggregation: per row the scalar projection
+    s = x·v against the driver-resident direction (a literal — the
+    q98/q145/q147 loop pattern, driver state O(dim), never O(data)),
+    then per-dimension sums of s·x_d accumulate the un-normalized next
+    direction u = Xᵀ(Xv); the driver normalizes. No shuffle ever carries
+    more than the 64 decimal partials per partition — at 100 TB each
+    round is a single pass, the standard distributed power-iteration
+    shape (and the Gram matrix is never materialized).
+
+    Cross-engine float determinism, same contract as q147: per-row
+    expressions are IEEE-identical (the 64-term dot spelled in ascending
+    dimension order on both engines, float32 loads cast to double —
+    exact), per-dimension sums go through DECIMAL(28,10), and the
+    normalization's sum-of-squares + sqrt + divides are spelled in the
+    same order driver-side and in the oracle's scalar CTEs. Output per
+    round: the Rayleigh-style norm estimate and the 4 leading
+    components, rounded past ulp-drift range."""
+    from binwatch_spark.functions.texthash import EMBED_DIM
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(F.col("embedding").alias("x"))
+        .persist()
+    )
+    try:
+        d = EMBED_DIM
+        v = [1.0] + [0.0] * (d - 1)
+        rows = []
+        for r in range(1, PCA_ROUNDS + 1):
+            dot = None
+            for i in range(d):
+                term = F.element_at(F.col("x"), i + 1).cast("double") * F.lit(
+                    v[i]
+                )
+                dot = term if dot is None else dot + term
+            sums = emb.agg(
+                *[
+                    F.sum(
+                        (
+                            dot
+                            * F.element_at(F.col("x"), i + 1).cast("double")
+                        ).cast("decimal(28,10)")
+                    ).alias(f"u{i}")
+                    for i in range(d)
+                ]
+            ).first()
+            u = [float(sums[f"u{i}"]) for i in range(d)]
+            nrm_sq = 0.0
+            for i in range(d):
+                nrm_sq = nrm_sq + u[i] * u[i]
+            import math
+
+            nrm = math.sqrt(nrm_sq)
+            v = [u[i] / nrm for i in range(d)]
+            rows.append((r, nrm, v[0], v[1], v[2], v[3]))
+        return spark.createDataFrame(
+            rows,
+            "round bigint, lambda_n double, c0 double, c1 double,"
+            " c2 double, c3 double",
+        ).select(
+            "round",
+            F.round("lambda_n", 6).alias("lambda_n"),
+            F.round("c0", 8).alias("c0"),
+            F.round("c1", 8).alias("c1"),
+            F.round("c2", 8).alias("c2"),
+            F.round("c3", 8).alias("c3"),
+        )
+    finally:
+        emb.unpersist()

@@ -1348,3 +1348,136 @@ def q145_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         freq.unpersist()
+
+
+GD_ROUNDS = 8
+GD_LR = 0.01
+
+
+def _gd_train_sql(k: int) -> str:
+    """Oracle CTE builder for the q147 gradient-descent training loop —
+    the q145 materialized-chain pattern applied to model fitting: round
+    r's CTEs are g{r} (the three DECIMAL(28,10)-accumulated gradient
+    sums under the round-(r-1) weights) and w{r} (the scalar weight
+    update), every arithmetic step spelled in the same order as the
+    Spark driver loop so doubles stay bit-identical; the final select
+    re-emits each round's weights rounded to 8 decimals (masking
+    nothing real — amplification over {GD_ROUNDS} rounds of a last-ulp
+    divergence is ~1e-15, far below the rounding grain)."""
+    feats = """
+feat AS MATERIALIZED (
+  SELECT CAST(n_chars AS DOUBLE) / 100.0 AS x2,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0 AS x3,
+         CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+           / 10.0 AS y
+  FROM documents),
+n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM feat),
+w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    parts = [feats.strip()]
+    for r in range(1, k + 1):
+        prev = f"w{r - 1}"
+        err = f"(w.w1 + w.w2 * f.x2 + w.w3 * f.x3 - f.y)"
+        parts.append(
+            f"""g{r} AS MATERIALIZED (
+  SELECT
+    sum(CAST({err} AS DECIMAL(28,10))) AS s1,
+    sum(CAST({err} * f.x2 AS DECIMAL(28,10))) AS s2,
+    sum(CAST({err} * f.x3 AS DECIMAL(28,10))) AS s3
+  FROM feat f CROSS JOIN {prev} w)"""
+        )
+        parts.append(
+            f"""w{r} AS MATERIALIZED (
+  SELECT
+    w.w1 - {GD_LR} * (2.0 * CAST(g.s1 AS DOUBLE) / n.n) AS w1,
+    w.w2 - {GD_LR} * (2.0 * CAST(g.s2 AS DOUBLE) / n.n) AS w2,
+    w.w3 - {GD_LR} * (2.0 * CAST(g.s3 AS DOUBLE) / n.n) AS w3
+  FROM {prev} w CROSS JOIN g{r} g CROSS JOIN n)"""
+        )
+    selects = [
+        f"SELECT CAST({r} AS BIGINT) AS round, round(w1, 8) AS w1,"
+        f" round(w2, 8) AS w2, round(w3, 8) AS w3 FROM w{r}"
+        for r in range(1, k + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY round"
+    )
+
+
+@register("q147_quality_regression_gd", oracle=_gd_train_sql(GD_ROUNDS))
+def q147_quality_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed MODEL TRAINING by batch gradient descent — the
+    capability family beyond q98's k-means: fit a linear model
+    predicting a document's distinct-token count from its length
+    features (a quality-classifier building block: the residual IS a
+    redundancy signal), {GD_ROUNDS} full-batch least-squares GD rounds.
+    Completes the driver-resident-loop trio: q98 carries k centroids,
+    q145 carries the winning merge pair, this carries the weight vector
+    — in every case the driver state is O(model), never O(data), and
+    each round is ONE map-side-combined aggregation over the feature
+    frame (no shuffle growth with rounds; at 100 TB each round is a
+    single pass with a 3-number result, the textbook distributed-GD
+    shape, and the feature frame is computed once and cached).
+
+    Cross-engine float determinism: the per-row gradient terms are
+    IEEE-identical expressions; their SUM is order-sensitive in double,
+    so both engines accumulate DECIMAL(28,10) (exact, order-free — the
+    registry-wide convention) and cast the total back to double; the
+    scalar update arithmetic is spelled in the same operation order on
+    both sides, and the emitted weights round to 8 decimals (ulp-drift
+    amplification over {GD_ROUNDS} rounds is ~1e-15, seven orders below
+    the grain). Oracle states the identical loop as a materialized CTE
+    chain (the q145 pattern)."""
+    docs = load(spark, sf_dir, "documents")
+    feat = docs.select(
+        (F.col("n_chars").cast("double") / 100.0).alias("x2"),
+        (F.size(F.split(F.col("text"), " ")).cast("double") / 10.0).alias(
+            "x3"
+        ),
+        (
+            F.size(
+                F.array_distinct(F.split(F.lower(F.col("text")), " "))
+            ).cast("double")
+            / 10.0
+        ).alias("y"),
+    ).persist()
+    try:
+        n = float(feat.count())
+        w1 = w2 = w3 = 0.0
+        rows = []
+        for r in range(1, GD_ROUNDS + 1):
+            err = (
+                F.lit(w1)
+                + F.lit(w2) * F.col("x2")
+                + F.lit(w3) * F.col("x3")
+                - F.col("y")
+            )
+            sums = feat.agg(
+                F.sum(err.cast("decimal(28,10)")).alias("s1"),
+                F.sum((err * F.col("x2")).cast("decimal(28,10)")).alias(
+                    "s2"
+                ),
+                F.sum((err * F.col("x3")).cast("decimal(28,10)")).alias(
+                    "s3"
+                ),
+            ).first()
+            w1 = w1 - GD_LR * (2.0 * float(sums["s1"]) / n)
+            w2 = w2 - GD_LR * (2.0 * float(sums["s2"]) / n)
+            w3 = w3 - GD_LR * (2.0 * float(sums["s3"]) / n)
+            rows.append((r, w1, w2, w3))
+        # rounding runs through F.round (BigDecimal HALF_UP — away from
+        # zero on ties, same as DuckDB's round), NOT python's round
+        # (banker's half-even): the two disagree exactly on tie digits
+        return spark.createDataFrame(
+            rows, "round bigint, w1 double, w2 double, w3 double"
+        ).select(
+            "round",
+            F.round("w1", 8).alias("w1"),
+            F.round("w2", 8).alias("w2"),
+            F.round("w3", 8).alias("w3"),
+        )
+    finally:
+        feat.unpersist()
