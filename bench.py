@@ -45,7 +45,11 @@ def main() -> None:
     # rounds (VERDICT r03), making regression calls ambiguous. The minimum is
     # the stable estimator for wall-clock work (noise is strictly additive).
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    ncpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # SPARK_GRAFT_CPUS sizes Spark's parallelism; the anomaly classifier's
+    # machine-capacity math uses the ACTUAL core count (ADVICE r10: a
+    # 32-default on a differently-sized host mis-scales the foreign-cpu
+    # threshold).
+    ncpus = os.cpu_count() or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     def gc_millis() -> int:
         # Total stop-the-world GC time of the single local JVM, so a slow
@@ -265,17 +269,31 @@ def main() -> None:
             gc_s = (all_gc[name][i] - all_gc[name][best]) / 1000.0
             sess, other = all_cpu[name][i]
             io_s, steal_s = all_wait[name][i]
-            extra_cpu = (sess - all_cpu[name][best][0]) / ncpus
+            # Session-CPU delta compared against the excess wall DIRECTLY
+            # (ADVICE r10): dividing by ncpus assumed the extra compute ran
+            # fully parallel, so a single-threaded anomaly (driver-side
+            # loop, one straggler task re-JITting) — whose extra CPU ≈
+            # excess wall — covered only 1/ncpus of the bar and fell
+            # through to idle-wait. A genuinely idle/iowait run burns ~no
+            # extra session CPU, so the direct compare can't over-claim.
+            extra_cpu = sess - all_cpu[name][best][0]
+            # steal/iowait are checked BEFORE extra-compute: a
+            # hypervisor-starved run also burns somewhat more session CPU
+            # (task retries, scheduler spin), and that secondary effect
+            # crossing the direct-compare bar must not mask the primary
+            # cause (observed r11: steal_s ~745 runs labeling
+            # extra-compute). A genuine single-threaded anomaly has
+            # steal ≈ io ≈ 0, so the ADVICE r10 case still classifies.
             if gc_s > 0.4 * excess:
                 cause = "gc-pause"
             elif other > 0.4 * excess * ncpus:
                 cause = "foreign-cpu"
-            elif extra_cpu > 0.4 * excess:
-                cause = "extra-compute"
-            elif io_s > 0.4 * excess:
-                cause = "iowait"
             elif steal_s > 0.4 * excess:
                 cause = "steal"
+            elif io_s > 0.4 * excess:
+                cause = "iowait"
+            elif extra_cpu > 0.4 * excess:
+                cause = "extra-compute"
             else:
                 cause = "idle-wait"
             anomalous_runs.setdefault(name, []).append(
@@ -301,6 +319,17 @@ def main() -> None:
     # them.
     session_cpu_total = round(sum(c[0] for cs in all_cpu.values() for c in cs), 1)
     other_cpu_total = round(sum(c[1] for cs in all_cpu.values() for c in cs), 1)
+    # other includes hypervisor steal (machine-busy counts /proc/stat
+    # field 7): a stolen host contends exactly like a foreign process.
+    # Broken out so the artifact names the mechanism (r11: a noisy
+    # neighbor burst put steal at ~60% of "other" and made the wall
+    # record untrustworthy — the flag said so, these totals say why).
+    steal_cpu_total = round(
+        sum(w[1] for ws in all_wait.values() for w in ws), 1
+    )
+    iowait_cpu_total = round(
+        sum(w[0] for ws in all_wait.values() for w in ws), 1
+    )
     # build/probe split for queries that construct a persisted index
     # in-query (q118/q122): build_s is the one-time construction cost,
     # probe_s the recurring cost. Both components come from the SAME run —
@@ -325,6 +354,8 @@ def main() -> None:
         "variance_outliers": variance_outliers,
         "session_cpu_total": session_cpu_total,
         "other_cpu_total": other_cpu_total,
+        "steal_cpu_total": steal_cpu_total,
+        "iowait_cpu_total": iowait_cpu_total,
         "contended": bool(other_cpu_total > 0.1 * max(session_cpu_total, 1e-9)),
         "index_build_split": index_build_split,
         # repeat-anomaly tripwires (full per-run detail in BENCH_local.json)

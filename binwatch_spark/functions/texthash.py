@@ -408,6 +408,48 @@ def minhash_sql(hashes_expr: str, i: int) -> str:
     )
 
 
+def hyperplanes_for(
+    n_planes: int, dim: int = EMBED_DIM, table: int = 0
+) -> list[list[float]]:
+    """First ``n_planes`` rows of the table's seeded gaussian stream —
+    PREFIX-STABLE: randn fills row-major from one sequential stream, so
+    hyperplanes_for(8) == HYPERPLANE_TABLES[table] exactly and growing the
+    plane count (the 100 TB lever: planes ∝ log n keeps expected bucket
+    occupancy constant) only APPENDS planes; every bucket id's low 8 bits
+    stay the historical bucket. Same 6-dp rounding as the module
+    constants so SQL-embedded literals are the doubles Spark uses."""
+    rows = np.random.RandomState(42 + table).randn(n_planes, dim)
+    return [[round(float(v), 6) for v in row] for row in rows]
+
+
+def make_lsh_bucket_udf(planes: list[list[float]]):
+    """Arrow-vectorized sign-bit bucketer for an ARBITRARY plane matrix —
+    the parameterized twin of lsh_bucket for plane counts past the fixed
+    8 (per-plane zip_with folds are CodegenFallback, interpreted per row
+    per plane — fine at 8, not at the log(n)-grown counts the production
+    dedup rung uses). Accumulates each dot SEQUENTIALLY over dimensions
+    (one vectorized multiply-add per dim, the _pair_dot_udf pattern), so
+    every sign decision is bit-identical to the fold/list_dot_product
+    chain — a BLAS matmul's pairwise accumulation could flip a
+    near-zero sign."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    P = np.array(planes, dtype=np.float64)
+    weights = (1 << np.arange(len(planes), dtype=np.int64))
+
+    @pandas_udf(LongType())
+    def bucket(es: pd.Series) -> pd.Series:
+        E = np.stack(es.to_numpy()).astype(np.float64)
+        acc = np.zeros((E.shape[0], P.shape[0]), dtype=np.float64)
+        for d in range(E.shape[1]):
+            acc += E[:, d : d + 1] * P[:, d][None, :]
+        return pd.Series((acc >= 0).astype(np.int64) @ weights)
+
+    return bucket
+
+
 def _plane_lit(j: int, table: int = 0) -> Column:
     return F.array(*[F.lit(v) for v in HYPERPLANE_TABLES[table][j]])
 
@@ -431,12 +473,19 @@ def lsh_bucket(embedding: Column, table: int = 0) -> Column:
     return bucket
 
 
-def lsh_bucket_sql(emb_expr: str, table: int = 0) -> str:
+def lsh_bucket_sql(
+    emb_expr: str, table: int = 0, n_planes: int | None = None
+) -> str:
+    planes = (
+        HYPERPLANE_TABLES[table]
+        if n_planes is None
+        else hyperplanes_for(n_planes, table=table)
+    )
     parts = []
-    for j in range(N_PLANES):
+    for j, plane_row in enumerate(planes):
         plane = (
             "CAST(["
-            + ", ".join(repr(v) for v in HYPERPLANE_TABLES[table][j])
+            + ", ".join(repr(v) for v in plane_row)
             + "] AS DOUBLE[])"
         )
         parts.append(

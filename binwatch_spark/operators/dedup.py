@@ -54,6 +54,22 @@ _EAGER = os.environ.get("SPARK_GRAFT_DEDUP_EAGER", "1") != "0"
 # incremental_dedup_with_index docstring for the measured r10 motivation).
 # Spelled identically in the q107/q122 oracles (HAVING count(*) <= cap),
 # so the rule is hash-checked end-to-end.
+#
+# Interaction with _band_fold's int64 folding (ADVICE r10): the fold's
+# collision argument is precision-only — a collision that merges two
+# DISTINCT string band keys adds candidates that exact-Jaccard
+# verification later removes. The cap changes that failure mode: a merged
+# key's member count is the SUM of two real buckets, so a collision could
+# push a key over the cap and silently exclude TRUE candidates —
+# verification cannot repair recall. Both engines count membership on the
+# SAME folded representation (the oracle's HAVING runs on the identical
+# fold), so the engines can never diverge; the exposure is purely
+# statistical recall vs an unfolded ideal, with probability bounded by the
+# birthday term n_keys²/2⁶⁴ per band (~1e-10 at 1e4 distinct band keys per
+# band, ~1e-4 at 1e7) — and a collision only matters at all when the
+# merged count straddles the cap. Accepted; revisit the fold width only if
+# per-band distinct keys approach 1e8 (at 100 TB the band count, not the
+# key width, is the lever).
 BAND_KEY_CAP = 100
 
 

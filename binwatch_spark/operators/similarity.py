@@ -23,10 +23,27 @@ hyperplane — the recall lever at 100 TB.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from binwatch_spark.functions.texthash import EMBED_DIM, lsh_bucket
+
+# Dimension cutover for the deterministic numeric kernels (q98 centroid
+# update, q148 power iteration): below this, per-dimension expressions are
+# unrolled — O(dim) codegen nodes, zero row expansion, fastest at the
+# fixture's dim 64; at/above it, the LONG-FORM rung takes over (posexplode
+# to (pos, value) rows + ONE hash aggregate grouped by pos) so expression
+# count stays O(1) regardless of dim. Production embedding dims (768–4096)
+# would otherwise build 10⁵–10⁷ codegen nodes and blow Janino's 64 KB
+# method limit / the constant pool. The two rungs are BIT-IDENTICAL, not
+# approximately equal: per-row terms are the same IEEE doubles and the
+# per-dimension accumulations run in DECIMAL(28,10) (exact, order-free) or
+# under the contract's round(6) quantization — tests/test_wide_dim.py pins
+# equality at dim 64 and oracle-exactness at dim 512/2048. Same gating
+# idiom as the LSH and driver-CC cutovers.
+WIDE_DIM_CUTOVER = int(os.environ.get("BINWATCH_WIDE_DIM_CUTOVER", "256"))
 
 
 def _dot(x: Column, y: Column) -> Column:
@@ -362,6 +379,7 @@ def neardup_pairs(
 def neardup_pairs_lsh(
     df: DataFrame, id_col: str, emb_col: str, threshold: float,
     radius: int = 1,
+    n_planes: int | None = None,
 ) -> DataFrame:
     """Blocked embedding near-dup pairs — the SCALE rung for the same
     cosine >= threshold predicate ``neardup_pairs`` (q26/q85's exact
@@ -395,12 +413,34 @@ def neardup_pairs_lsh(
     * per-bucket candidate work is (n/2^N_PLANES)² expected — at 100 TB
       grow N_PLANES with log(n) (more sign bits = more, smaller buckets)
       exactly as IVF grows its cell count by the √n rule.
-    Output: (i, j, sim) with i < j, sim the verified exact cosine."""
+    Output: (i, j, sim) with i < j, sim the verified exact cosine.
+
+    ``n_planes`` (default: the fixed 8, via the JVM-side fold bucketer)
+    grows the sign-bit count — THE production lever: planes ∝ log(n)
+    keeps expected bucket occupancy (and so per-bucket candidate work)
+    constant as the corpus grows. Past 8 planes the bucket comes from
+    texthash.make_lsh_bucket_udf over texthash.hyperplanes_for (Arrow
+    kernel, prefix-stable plane family — the low 8 bits ARE the
+    historical bucket); tools/bench_semdedup_prod.py measures this rung's
+    recall-vs-cost against planted ground truth (VERDICT r10 #3)."""
     from binwatch_spark.functions.texthash import N_PLANES
 
-    base = _prep(
-        df.filter(F.col(emb_col).isNotNull()), emb_col, with_bucket=True
-    ).select(
+    if n_planes is None or n_planes == N_PLANES:
+        n_planes = N_PLANES
+        base = _prep(
+            df.filter(F.col(emb_col).isNotNull()), emb_col, with_bucket=True
+        )
+    else:
+        from binwatch_spark.functions.texthash import (
+            hyperplanes_for,
+            make_lsh_bucket_udf,
+        )
+
+        bucket_udf = make_lsh_bucket_udf(hyperplanes_for(n_planes))
+        base = _prep(
+            df.filter(F.col(emb_col).isNotNull()), emb_col
+        ).withColumn("_bucket", bucket_udf(F.col(emb_col)))
+    base = base.select(
         F.col(id_col).alias("_id"),
         F.col(emb_col).alias("_emb"),
         F.col(f"_norm_{emb_col}").alias("_norm"),
@@ -409,7 +449,7 @@ def neardup_pairs_lsh(
     probes = F.array(
         *[
             F.col("_bucket").bitwiseXOR(F.lit(m)).cast("bigint")
-            for m in probe_masks(int(radius), N_PLANES)
+            for m in probe_masks(int(radius), n_planes)
         ]
     )
     left = base.select(F.col("_id").alias("i"), F.explode(probes).alias("_bucket"))
@@ -671,26 +711,143 @@ def kmeans_lloyd_rounds(
         assigned = assign_with(cent_rows)
         if rnd == rounds - 1:
             break
-        cent_rows = sorted(
-            (r[0], r[1])
-            for r in assigned.groupBy(
-                F.col("_a.cell_id").alias("_cid")
+        if dim >= WIDE_DIM_CUTOVER:
+            # Long-form rung: the unrolled update builds dim avg aggregates
+            # (2·dim-field buffer — past Janino limits at production dims);
+            # here ONE hash aggregate on (cell, pos) collects k·dim long
+            # rows — the same driver state the centroid matrix already is.
+            # round(avg, 6) is the identical contract quantization, so the
+            # different partial-summation grouping is absorbed exactly as
+            # the unrolled rung's is (test_wide_dim pins rung equality).
+            long_rows = (
+                assigned.select(
+                    F.col("_a.cell_id").alias("_cid"),
+                    F.posexplode(F.col("_e")).alias("_pos", "_xv"),
+                )
+                .groupBy("_cid", "_pos")
+                .agg(F.round(F.avg("_xv"), 6).alias("_c"))
+                .collect()
             )
-            .agg(
-                F.array(
-                    *[
-                        F.round(F.avg(F.element_at(F.col("_e"), i + 1)), 6)
-                        for i in range(dim)
-                    ]
-                ).alias("_c")
+            by_cid: dict = {}
+            for lr in long_rows:
+                by_cid.setdefault(lr["_cid"], {})[lr["_pos"]] = lr["_c"]
+            cent_rows = sorted(
+                (cid, [m[i] for i in range(dim)])
+                for cid, m in by_cid.items()
             )
-            .collect()
-        )
+        else:
+            cent_rows = sorted(
+                (r[0], r[1])
+                for r in assigned.groupBy(
+                    F.col("_a.cell_id").alias("_cid")
+                )
+                .agg(
+                    F.array(
+                        *[
+                            F.round(F.avg(F.element_at(F.col("_e"), i + 1)), 6)
+                            for i in range(dim)
+                        ]
+                    ).alias("_c")
+                )
+                .collect()
+            )
     return assigned.select(
         F.col(id_col),
         F.col("_a.cell_id").alias("cell_id"),
         F.round(F.col("_a.dist2"), 6).alias("dist2"),
     )
+
+
+def power_iteration_rounds(
+    emb: DataFrame,
+    vec_col: str,
+    rounds: int,
+    dim: int = EMBED_DIM,
+    wide: bool | None = None,
+) -> list[tuple]:
+    """Distributed power iteration for the top principal direction — the
+    q148 kernel, factored so the per-round aggregation has TWO bit-identical
+    rungs gated by dim (see WIDE_DIM_CUTOVER):
+
+    - narrow (dim < cutover): the per-row projection s = x·v is built ONCE
+      as a projected column (O(dim) codegen nodes — NOT re-inlined into
+      every per-dimension sum, which was O(dim²)), then dim decimal sums
+      ``sum(cast(s·x_d as decimal(28,10)))`` in one aggregate.
+    - wide (dim ≥ cutover): s via a zip_with/aggregate fold (HOFs are
+      CodegenFallback — runtime loop, O(1) codegen regardless of dim;
+      the 0.0-seeded left fold is the same IEEE chain as the unrolled
+      ascending sum — ``0.0 + t0 == t0`` except for a -0.0 whose sign dies
+      in the decimal cast), then posexplode to (pos, x_d) and ONE hash
+      aggregate grouped by pos — O(1) aggregate expressions at any dim,
+      shuffle carries dim partial rows per task.
+
+    Both rungs produce the same DECIMAL(28,10) per-dimension totals
+    (decimal addition is exact and order-free), so the emitted rounds are
+    bit-identical across rungs and against the DuckDB oracle. Driver state
+    is O(dim) — the direction vector; each round is one map-side-combined
+    pass (the standard distributed power-iteration shape; the Gram matrix
+    is never materialized). Returns [(round, norm, c0, c1, c2, c3)].
+    """
+    if wide is None:
+        wide = dim >= WIDE_DIM_CUTOVER
+    import math
+
+    v = [1.0] + [0.0] * (dim - 1)
+    rows: list[tuple] = []
+    for r in range(1, rounds + 1):
+        if wide:
+            varr = F.array(*[F.lit(float(c)) for c in v])
+            s = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), varr, lambda p, q: p.cast("double") * q
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            long_rows = (
+                emb.select(
+                    s.alias("_s"),
+                    F.posexplode(F.col(vec_col)).alias("_pos", "_xv"),
+                )
+                .groupBy("_pos")
+                .agg(
+                    F.sum(
+                        (F.col("_s") * F.col("_xv").cast("double")).cast(
+                            "decimal(28,10)"
+                        )
+                    ).alias("_u")
+                )
+                .collect()
+            )
+            by_pos = {lr["_pos"]: lr["_u"] for lr in long_rows}
+            u = [float(by_pos[i]) for i in range(dim)]
+        else:
+            dot = None
+            for i in range(dim):
+                term = F.element_at(F.col(vec_col), i + 1).cast(
+                    "double"
+                ) * F.lit(v[i])
+                dot = term if dot is None else dot + term
+            proj = emb.select(dot.alias("_s"), F.col(vec_col).alias("_x"))
+            sums = proj.agg(
+                *[
+                    F.sum(
+                        (
+                            F.col("_s")
+                            * F.element_at(F.col("_x"), i + 1).cast("double")
+                        ).cast("decimal(28,10)")
+                    ).alias(f"u{i}")
+                    for i in range(dim)
+                ]
+            ).first()
+            u = [float(sums[f"u{i}"]) for i in range(dim)]
+        nrm_sq = 0.0
+        for i in range(dim):
+            nrm_sq = nrm_sq + u[i] * u[i]
+        nrm = math.sqrt(nrm_sq)
+        v = [u[i] / nrm for i in range(dim)]
+        rows.append((r, nrm, v[0], v[1], v[2], v[3]))
+    return rows
 
 
 def embedding_dim_stats(emb: DataFrame, vec_col: str) -> DataFrame:

@@ -412,15 +412,22 @@ def q93_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dim_stats(emb, "embedding")
 
 
-def _kmeans_sql() -> str:
+def _kmeans_sql(dim: int | None = None, stride: int | None = None) -> str:
     # Two unrolled Lloyd rounds mirroring kmeans_lloyd_rounds' determinism
     # contract: list_dot_product distances (sequential fold = the Spark
     # kernel's index-order accumulation), argmin ties on cent_id, round-1
-    # centroids rounded to 6 dp before round 2.
+    # centroids rounded to 6 dp before round 2. dim/stride parameterized so
+    # tests/test_wide_dim.py can pin the dim-512 long-form rung against the
+    # same oracle shape (the centroid list is O(dim) SQL terms — fine).
     from binwatch_spark.functions.texthash import EMBED_DIM
 
+    if dim is None:
+        dim = EMBED_DIM
+    if stride is None:
+        stride = IVF_STRIDE
+
     cent_avg = ", ".join(
-        f"round(avg(emb[{i + 1}]), 6)" for i in range(EMBED_DIM)
+        f"round(avg(emb[{i + 1}]), 6)" for i in range(dim)
     )
     d2 = (
         "e2 - 2 * list_dot_product(emb, cent) + c2"
@@ -434,7 +441,7 @@ WITH e AS (
   WHERE embedding IS NOT NULL
 ), c0 AS (
   SELECT vec_id AS cid, emb AS cent, e2 AS c2 FROM e
-  WHERE vec_id % {IVF_STRIDE} = 0
+  WHERE vec_id % {stride} = 0
 ), p1 AS (
   SELECT e.vec_id, e.emb, c0.cid, {d2} AS d2 FROM e CROSS JOIN c0
 ), a1 AS (
@@ -735,6 +742,13 @@ def q117_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"_b{t}").cast("bigint").alias("_bk"),
         )
         pt = ct.join(F.broadcast(qt), on="_bk")
+        # First-table-collision exclusivity: table t keeps only pairs NOT
+        # already matched by tables <t, via per-pair bit_count conjunctions
+        # that grow linearly in t — fine at Q117_TABLES=2 (ADVICE r10); if
+        # L grows past ~4, switch to a single union + dropDuplicates on
+        # (query_id, cand_id) and compare cost — same output either way
+        # (the oracle's OR admits each pair once regardless of which table
+        # found it).
         for s in range(t):
             pt = pt.filter(
                 F.bit_count(
@@ -955,6 +969,66 @@ def q126_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 PCA_ROUNDS = 4
 
 
+def _pca_power_sql_long(k: int, dim: int) -> str:
+    """Long-form twin of _pca_power_sql for ARBITRARY dim — the oracle the
+    dim≥512 rung is pinned against (tests/test_wide_dim.py). The unrolled
+    builder's SQL text is O(k·dim²) (each of dim sums re-spells the
+    dim-term dot), which at dim 512 is a ~30 MB statement; this twin stays
+    O(dim) by using DuckDB's sequential-fold primitives, every one already
+    parity-pinned elsewhere in the registry: list_dot_product for the
+    projection s = x·v AND the norm (0.0-seeded ascending fold — the same
+    IEEE chain as the Spark wide rung's zip_with/aggregate and the driver
+    loop's ascending += ), unnest(range) + GROUP BY pos for the
+    per-dimension DECIMAL(28,10) sums (exact, order-free), and
+    list(… ORDER BY pos) to rebuild the direction between rounds."""
+    v0 = "[" + ", ".join(
+        "1.0" if i == 0 else "0.0" for i in range(dim)
+    ) + "]"
+    parts = [
+        "emb AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS x"
+        " FROM embeddings WHERE embedding IS NOT NULL)",
+        f"pos AS (SELECT unnest(range(1, {dim + 1})) AS d)",
+        f"w0 AS (SELECT {v0}::DOUBLE[] AS v)",
+    ]
+    for r in range(1, k + 1):
+        prev = f"w{r - 1}"
+        parts.append(
+            f"""g{r} AS MATERIALIZED (
+  SELECT p.d AS pos,
+         sum(CAST(list_dot_product(e.x, w.v) * e.x[p.d]
+                  AS DECIMAL(28,10))) AS us
+  FROM emb e CROSS JOIN {prev} w CROSS JOIN pos p
+  GROUP BY p.d)"""
+        )
+        parts.append(
+            f"u{r} AS (SELECT list(CAST(us AS DOUBLE) ORDER BY pos) AS u"
+            f" FROM g{r})"
+        )
+        parts.append(
+            f"n{r} AS (SELECT sqrt(list_dot_product(u, u)) AS nrm"
+            f" FROM u{r})"
+        )
+        parts.append(
+            f"w{r} AS (SELECT list_transform(u.u, z -> z / n.nrm) AS v"
+            f" FROM u{r} u CROSS JOIN n{r} n)"
+        )
+    selects = [
+        f"SELECT CAST({r} AS BIGINT) AS round,"
+        f" round(n.nrm, 6) AS lambda_n,"
+        f" round(w.v[1], 8) AS c0, round(w.v[2], 8) AS c1,"
+        f" round(w.v[3], 8) AS c2, round(w.v[4], 8) AS c3"
+        f" FROM w{r} w CROSS JOIN n{r} n"
+        for r in range(1, k + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY round"
+    )
+
+
 def _pca_power_sql(k: int) -> str:
     """Oracle CTE builder for q148's power iteration (the q145/q147
     materialized-chain pattern): v0 is the first basis vector; round r
@@ -1043,8 +1117,15 @@ def q148_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization's sum-of-squares + sqrt + divides are spelled in the
     same order driver-side and in the oracle's scalar CTEs. Output per
     round: the Rayleigh-style norm estimate and the 4 leading
-    components, rounded past ulp-drift range."""
+    components, rounded past ulp-drift range.
+
+    Body: operators/similarity.power_iteration_rounds — dim-gated
+    (WIDE_DIM_CUTOVER) between the unrolled-expression rung used at the
+    fixture's dim 64 and the long-form posexplode rung that keeps codegen
+    O(1) at production dims (768–4096); the rungs are bit-identical
+    (tests/test_wide_dim.py)."""
     from binwatch_spark.functions.texthash import EMBED_DIM
+    from binwatch_spark.operators.similarity import power_iteration_rounds
 
     emb = (
         load(spark, sf_dir, "embeddings")
@@ -1053,36 +1134,7 @@ def q148_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     try:
-        d = EMBED_DIM
-        v = [1.0] + [0.0] * (d - 1)
-        rows = []
-        for r in range(1, PCA_ROUNDS + 1):
-            dot = None
-            for i in range(d):
-                term = F.element_at(F.col("x"), i + 1).cast("double") * F.lit(
-                    v[i]
-                )
-                dot = term if dot is None else dot + term
-            sums = emb.agg(
-                *[
-                    F.sum(
-                        (
-                            dot
-                            * F.element_at(F.col("x"), i + 1).cast("double")
-                        ).cast("decimal(28,10)")
-                    ).alias(f"u{i}")
-                    for i in range(d)
-                ]
-            ).first()
-            u = [float(sums[f"u{i}"]) for i in range(d)]
-            nrm_sq = 0.0
-            for i in range(d):
-                nrm_sq = nrm_sq + u[i] * u[i]
-            import math
-
-            nrm = math.sqrt(nrm_sq)
-            v = [u[i] / nrm for i in range(d)]
-            rows.append((r, nrm, v[0], v[1], v[2], v[3]))
+        rows = power_iteration_rounds(emb, "x", PCA_ROUNDS, dim=EMBED_DIM)
         return spark.createDataFrame(
             rows,
             "round bigint, lambda_n double, c0 double, c1 double,"
@@ -1097,3 +1149,115 @@ def q148_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         emb.unpersist()
+
+
+# Production-blocking audit: plane count grown past the fixed 8 (the
+# planes-∝-log(n) lever), probe radii summarized to this hamming depth.
+Q149_PLANES = 12
+Q149_MAX_D = 4
+
+
+def _blocking_audit_sql() -> str:
+    bucket = lsh_bucket_sql("embedding", n_planes=Q149_PLANES)
+    return f"""
+WITH e AS (
+  SELECT {bucket} AS b FROM embeddings WHERE embedding IS NOT NULL
+), h AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY b
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn FROM h
+), same AS (
+  SELECT CAST(0 AS BIGINT) AS hamming_d,
+         CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_pairs
+  FROM h
+), diff AS (
+  SELECT CAST(bit_count(xor(a.b, c.b)) AS BIGINT) AS hamming_d,
+         CAST(sum(a.n * c.n) AS BIGINT) AS n_pairs
+  FROM h a JOIN h c ON a.b < c.b
+  GROUP BY 1
+), u AS (
+  SELECT * FROM same UNION ALL SELECT * FROM diff
+)
+SELECT hamming_d, n_pairs,
+       round(CAST(n_pairs AS DOUBLE)
+             / (CAST(nn AS DOUBLE) * (nn - 1) / 2), 8) AS frac_of_all
+FROM u CROSS JOIN tot
+WHERE hamming_d <= {Q149_MAX_D} AND n_pairs > 0
+ORDER BY hamming_d
+"""
+
+
+@register("q149_blocking_cost_audit", oracle=_blocking_audit_sql())
+def q149_blocking_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-cost audit of the PRODUCTION LSH blocking config — plane
+    count grown past the fixed 8 to Q149_PLANES=12 (texthash.
+    hyperplanes_for, the prefix-stable planes-∝-log(n) family the q104
+    docstring names as the 100 TB lever): for each hamming distance
+    d ≤ {Q149_MAX_D}, how many vector pairs a radius-d probe set would
+    admit, absolute and as a fraction of all n·(n-1)/2 pairs. This is the
+    measurement a production team runs BEFORE picking (planes, radius) —
+    q117's (L, radius) grid and tools/bench_semdedup_prod.py consume
+    exactly this curve.
+
+    The whole audit is O(n + B²) where B ≤ 2^planes is the BUCKET
+    HISTOGRAM size — never O(n²): per-pair counts come from the
+    convolution Σ n_u·n_v over bucket-value pairs at each distance, so the
+    only join is the histogram against itself (≤4096 rows — a constant of
+    the index config, broadcast; the one deliberate nested-loop in the
+    family, bounded by design, same argument as the k-row centroid
+    collects). Hash-exactness pins the ENTIRE 12-plane Arrow bucketer
+    (texthash.make_lsh_bucket_udf — sequential per-dim accumulation, so
+    every sign bit is bit-identical to the oracle's list_dot_product over
+    the same 6-dp plane literals) on every vector: one flipped sign
+    anywhere moves counts between distance rows."""
+    from binwatch_spark.functions.texthash import (
+        hyperplanes_for,
+        make_lsh_bucket_udf,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    bucket = make_lsh_bucket_udf(hyperplanes_for(Q149_PLANES))
+    h = (
+        emb.select(bucket(F.col("embedding")).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()
+    )
+    try:
+        nn = int(h.agg(F.sum("n")).first()[0] or 0)
+        same = h.select(
+            F.lit(0).cast("bigint").alias("hamming_d"),
+            F.expr("n * (n - 1) DIV 2").cast("bigint").alias("p"),
+        ).groupBy("hamming_d").agg(F.sum("p").cast("bigint").alias("n_pairs"))
+        a, c = h.alias("a"), h.alias("c")
+        diff = (
+            a.join(F.broadcast(c), F.col("a.b") < F.col("c.b"))
+            .select(
+                F.bit_count(F.col("a.b").bitwiseXOR(F.col("c.b")))
+                .cast("bigint")
+                .alias("hamming_d"),
+                (F.col("a.n") * F.col("c.n")).cast("bigint").alias("p"),
+            )
+            .groupBy("hamming_d")
+            .agg(F.sum("p").cast("bigint").alias("n_pairs"))
+        )
+        all_pairs = F.lit(float(nn)) * F.lit(nn - 1) / F.lit(2)
+        out = (
+            same.unionByName(diff)
+            .filter(F.col("hamming_d") <= Q149_MAX_D)
+            .filter(F.col("n_pairs") > 0)
+            .select(
+                "hamming_d",
+                "n_pairs",
+                F.round(
+                    F.col("n_pairs").cast("double") / all_pairs, 8
+                ).alias("frac_of_all"),
+            )
+            .orderBy("hamming_d")
+        )
+        out = out.localCheckpoint(eager=True)  # free h before return
+        return out
+    finally:
+        h.unpersist()

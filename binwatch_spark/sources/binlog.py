@@ -676,6 +676,21 @@ class MySQLBinlogClient:
         )
         return str(v).lower() in ("1", "true", "yes")
 
+    def _gtid_reconnect(self) -> bool:
+        """Opt-in failover-safe reconnect (``gtidReconnect: true``): a
+        mid-range reconnect re-handshakes with the DELIVERED GTID set
+        (start set + every transaction completed this range) instead of
+        the positional cursor. The positional default assumes the same
+        primary is still serving — after a failover the old primary's
+        (file, pos) is meaningless on the new one, which is the entire
+        reason GTID sets exist (read_range docstring, GTID paragraph)."""
+        v = (
+            self._options.get("gtidreconnect")
+            or self._options.get("gtidReconnect")
+            or ""
+        )
+        return str(v).lower() in ("1", "true", "yes")
+
     def _is_mariadb(self) -> bool:
         return (self._options.get("flavor") or "mysql").lower() == "mariadb"
 
@@ -743,14 +758,40 @@ class MySQLBinlogClient:
         resumes in the rotated file.
 
         GTID starts keep their set for the WHOLE call: after the first
-        yielded event the cursor degrades to plain file/pos (the only
-        resume form a mid-range reconnect can use), but transactions
-        already in the start set may sit PAST that cursor in a new
-        primary's binlog after failover — the master would re-serve them.
-        So when ``start.gtid_set`` is present the stream also subscribes
-        to GtidEvent and every row event whose transaction gtid is
-        contained in the start set is skipped, mirroring
-        ReplayBinlogClient.read_range's set-membership rule."""
+        yielded event the cursor degrades to plain file/pos (the default
+        resume form for a mid-range reconnect — same-primary assumption),
+        but transactions already in the start set may sit PAST that cursor
+        in a new primary's binlog after failover — the master would
+        re-serve them. So when ``start.gtid_set`` is present the stream
+        also subscribes to GtidEvent and every row event whose transaction
+        gtid is contained in the start set is skipped, mirroring
+        ReplayBinlogClient.read_range's set-membership rule.
+
+        ``gtidReconnect: true`` upgrades the reconnect itself to the
+        failover-safe form: the client tracks the DELIVERED set (start set
+        + every transaction whose events were fully yielded — a
+        transaction is complete when the NEXT GtidEvent arrives) and
+        re-handshakes with it, so a new primary serves exactly the
+        missing transactions regardless of file namespace. The one
+        transaction interrupted MID-event-stream is re-served from its
+        start (GTID sets are transaction-granular); the client skips the
+        exact number of its row events already yielded (binlog replay is
+        deterministic and ordered), keeping the range exactly-once even
+        across the failover. If a different gtid arrives first after the
+        reconnect (the interrupted transaction vanished in failover —
+        un-acked writes on the dead primary), the skip counter resets and
+        nothing is dropped.
+
+        MySQL 8.0.20+ ``binlog_transaction_compression=ON`` wraps each
+        transaction's events in a Transaction_payload event. Library
+        generations differ on the surface (the r10 partial-JSON pattern):
+        some unwrap internally and yield inner row events as usual; some
+        yield the TransactionPayloadEvent itself carrying the decompressed
+        inner events in ``.events`` — for those the client subscribes to
+        the wrapper type and unwraps here, translating inner row events
+        through the identical op/row/location rules (all inner events
+        carry the payload event's end position — one transaction, one
+        offset, same at-least-once contract)."""
         from pymysqlreplication.row_event import (
             DeleteRowsEvent,
             UpdateRowsEvent,
@@ -773,6 +814,13 @@ class MySQLBinlogClient:
                     gtid_event_cls = GtidEvent
             except ImportError:  # pragma: no cover - fixture environments
                 pass
+        payload_cls = None
+        try:  # only newer library generations define the wrapper
+            from pymysqlreplication.event import TransactionPayloadEvent
+
+            payload_cls = TransactionPayloadEvent
+        except ImportError:
+            pass
 
         op_of = {
             WriteRowsEvent: ("WriteRowsEventV2", "INSERT"),
@@ -794,22 +842,61 @@ class MySQLBinlogClient:
         cursor = start
         attempts = 0
         current_gtid: str | None = None
+        # Failover-safe reconnect state (gtidReconnect): the delivered set
+        # grows by each COMPLETED transaction (completion = the next
+        # GtidEvent arrived); the interrupted transaction's already-yielded
+        # row-event count becomes the replay skip after a re-handshake.
+        gtid_reconnect = self._gtid_reconnect() and start_gs is not None
+        delivered_gs = start_gs
+        txn_events_yielded = 0
+        interrupted_gtid: str | None = None
+        replay_skip = 0
         while True:
             subscribe = list(op_of)
             if gtid_event_cls is not None:
                 subscribe.append(gtid_event_cls)
+            if payload_cls is not None:
+                subscribe.append(payload_cls)
             stream = self._open_stream(cursor, subscribe)
             try:
-                for event in stream:
+                for outer in stream:
                     if gtid_event_cls is not None and isinstance(
-                        event, gtid_event_cls
+                        outer, gtid_event_cls
                     ):
                         # Transaction boundary marker: remember the gtid for
                         # the row events that follow; the cursor stays at
                         # the last YIELDED location (resume must not land
                         # on a GTID entry).
-                        current_gtid = str(event.gtid)
+                        if gtid_reconnect and current_gtid is not None:
+                            delivered_gs = delivered_gs.with_gtid(
+                                current_gtid
+                            )
+                        current_gtid = str(outer.gtid)
+                        txn_events_yielded = 0
+                        if (
+                            interrupted_gtid is not None
+                            and current_gtid != interrupted_gtid
+                        ):
+                            # The interrupted transaction is not being
+                            # re-served (it died with the old primary —
+                            # un-acked writes): nothing to skip.
+                            replay_skip = 0
+                            interrupted_gtid = None
                         continue
+                    if payload_cls is not None and isinstance(
+                        outer, payload_cls
+                    ):
+                        # Compressed transaction (binlog_transaction_
+                        # compression=ON) surfaced as the wrapper: unwrap
+                        # the decompressed inner events; non-row inner
+                        # events (BEGIN query, table map, xid) are not ours
+                        inner = [
+                            e
+                            for e in getattr(outer, "events", [])
+                            if isinstance(e, tuple(op_of))
+                        ]
+                    else:
+                        inner = [outer]
                     loc = BinlogLocation(stream.log_file, int(stream.log_pos))
                     if loc > end:
                         return
@@ -823,44 +910,58 @@ class MySQLBinlogClient:
                     if not cursor.gtid_set and loc <= cursor:
                         continue
                     if (
-                        start_gs is not None
+                        delivered_gs is not None
                         and current_gtid is not None
-                        and start_gs.contains(current_gtid)
+                        and delivered_gs.contains(current_gtid)
                     ):
                         # Already-delivered transaction re-served past the
                         # file/pos cursor (failover / mid-range reconnect):
                         # advance past it without re-yielding.
                         cursor = loc
                         continue
-                    etype, op = next(
-                        v for k, v in op_of.items() if isinstance(event, k)
-                    )
-                    rows = []
-                    bin_cols = _binary_columns(event)
-                    json_cols = _json_columns(event)
-                    for row in event.rows:
-                        values = (
-                            row.get("values") or row.get("after_values") or {}
+                    for event in inner:
+                        if (
+                            replay_skip > 0
+                            and current_gtid is not None
+                            and current_gtid == interrupted_gtid
+                        ):
+                            # Deterministic re-serve of the interrupted
+                            # transaction: skip exactly the row events
+                            # already yielded before the reconnect.
+                            replay_skip -= 1
+                            continue
+                        etype, op = next(
+                            v for k, v in op_of.items() if isinstance(event, k)
                         )
-                        rows.append(
-                            {
-                                str(k): _wire_value(
-                                    v,
-                                    str(k) in bin_cols,
-                                    str(k) in json_cols,
-                                )
-                                for k, v in values.items()
-                            }
-                        )
-                    yield {
-                        "event_type": etype,
-                        "binlog_file": loc.file,
-                        "binlog_position": loc.position,
-                        "database": event.schema,
-                        "table": event.table,
-                        "operation": op,
-                        "rows": rows,
-                    }
+                        rows = []
+                        bin_cols = _binary_columns(event)
+                        json_cols = _json_columns(event)
+                        for row in event.rows:
+                            values = (
+                                row.get("values")
+                                or row.get("after_values")
+                                or {}
+                            )
+                            rows.append(
+                                {
+                                    str(k): _wire_value(
+                                        v,
+                                        str(k) in bin_cols,
+                                        str(k) in json_cols,
+                                    )
+                                    for k, v in values.items()
+                                }
+                            )
+                        yield {
+                            "event_type": etype,
+                            "binlog_file": loc.file,
+                            "binlog_position": loc.position,
+                            "database": event.schema,
+                            "table": event.table,
+                            "operation": op,
+                            "rows": rows,
+                        }
+                        txn_events_yielded += 1
                     cursor = loc
                 return
             except retriable:
@@ -889,6 +990,22 @@ class MySQLBinlogClient:
                     # served at the tip (drop fresh transactions when the
                     # stale gtid is in the start set, re-yield re-served
                     # ones when it is not) until the next GtidEvent.
+                    current_gtid = None
+                elif gtid_reconnect:
+                    # Failover-safe resume: re-handshake with the
+                    # delivered set — the new primary serves exactly the
+                    # not-yet-completed transactions in its own file
+                    # namespace; the interrupted transaction re-serves
+                    # from its start and the replay skip drops the prefix
+                    # already yielded (exactly-once across the failover).
+                    cursor = BinlogLocation(
+                        cursor.file,
+                        cursor.position,
+                        gtid_set=delivered_gs.encode(),
+                    )
+                    interrupted_gtid = current_gtid
+                    replay_skip = txn_events_yielded
+                    txn_events_yielded = 0
                     current_gtid = None
             finally:
                 stream.close()

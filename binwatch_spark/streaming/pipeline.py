@@ -262,10 +262,15 @@ def _shard_filter(df: DataFrame, cfg: JobConfig) -> DataFrame:
     return df.filter(shard == F.lit(index))
 
 
-def make_batch_processor(cfg: JobConfig) -> Callable[[DataFrame, int], None]:
+def make_batch_processor(
+    cfg: JobConfig, routes: list[CompiledRoute] | None = None
+) -> Callable[[DataFrame, int], None]:
     """The R2→T1→K1 stage as a foreachBatch function: route fan-out, template
-    render, connector send, with senderWorkers parallelism."""
-    routes = compile_routes(cfg)
+    render, connector send, with senderWorkers parallelism. ``routes``
+    restricts the processor to a subset — the per-route-query topology
+    (run_routes_concurrent) passes exactly one."""
+    if routes is None:
+        routes = compile_routes(cfg)
     connector_cfgs = {c.name: c for c in cfg.connectors}
     workers = max(1, cfg.server.sender_workers)
 
@@ -332,6 +337,56 @@ def run_pipeline(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_routes_concurrent(
+    spark: SparkSession,
+    cfg: JobConfig,
+    available_now: bool = False,
+    route_names: list[str] | None = None,
+):
+    """R3 as N CONCURRENT streaming queries — one per route, each with its
+    own stream over the same source, its own checkpoint
+    (``checkpointDir/routes/<route>``) and its own lifecycle. This is the
+    topology a production deployment actually uses: one route's failure
+    (poison payload, connector outage) stops ONLY that route's query — the
+    others stream on — and the failed route restarts from ITS checkpoint,
+    redelivering only its own uncommitted batch (per-route at-least-once;
+    the shared-query form in ``run_pipeline`` instead aborts the whole
+    batch on the first route error, coupling route lifecycles exactly
+    like the reference's sender pool does, blsenderwork.go:151-219).
+
+    Trade stated: the source is consumed once PER ROUTE. Replay/file
+    sources are free to re-read; on a live master each query is its own
+    replica connection — give each route a distinct ``serverid`` (MySQL
+    rejects duplicate server ids on concurrent dumps) and budget one
+    binlog read per route, which is how real fan-out replicas are
+    deployed. Ordering within a route follows its own query's
+    senderWorkers=1 sort exactly as in the shared form.
+
+    ``route_names`` restarts a subset (e.g. just the failed route) against
+    the same per-route checkpoints. Returns {route_name: StreamingQuery}.
+    """
+    routes = compile_routes(cfg)
+    if route_names is not None:
+        routes = [r for r in routes if r.name in route_names]
+    queries = {}
+    for route in routes:
+        stream = envelope_transform(source_stream(spark, cfg), cfg)
+        writer = (
+            stream.writeStream.foreachBatch(
+                make_batch_processor(cfg, routes=[route])
+            )
+            .option(
+                "checkpointLocation",
+                f"{cfg.server.checkpoint_dir}/routes/{route.name}",
+            )
+            .queryName(f"{cfg.server.id}-{route.name}")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        queries[route.name] = writer.start()
+    return queries
 
 
 def run_supervised(

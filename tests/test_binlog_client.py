@@ -1537,3 +1537,363 @@ def test_partial_json_update_canonicalizes_across_parsers(
     assert rows[1]["prefs"] == rows[0]["prefs"]
     # NULL stays null — distinguishable from the string "None"
     assert rows[2]["prefs"] is None
+
+
+# ---------------------------------------------------------------------------
+# Round-11 recorded soaks (VERDICT r10 #5): binlog_transaction_compression,
+# checksum transition mid-stream, and GTID-resume reconnect mid-transaction
+# (the failover case GTID sets exist for).
+# ---------------------------------------------------------------------------
+
+
+class _TransactionPayloadEvent:
+    """MySQL 8.0.20+ Transaction_payload wrapper as the library generations
+    that DON'T auto-unwrap surface it: one event object carrying the
+    decompressed inner events in ``.events`` (the generations that DO
+    unwrap yield plain row events and need nothing from the client)."""
+
+    def __init__(self, events: list):
+        self.events = events
+
+
+class _QueryEvent:
+    def __init__(self, query: str):
+        self.query = query
+
+
+class _XidEvent:
+    pass
+
+
+RECORDED_COMPRESSED = [
+    (
+        "mysql-bin.000040",
+        200,
+        _WriteRowsEvent("shop", "users", [{"values": {"id": 1}}]),
+    ),
+    (
+        "mysql-bin.000040",
+        700,
+        _TransactionPayloadEvent(
+            [
+                _QueryEvent("BEGIN"),
+                _WriteRowsEvent("shop", "users", [{"values": {"id": 2}}]),
+                _UpdateRowsEvent(
+                    "shop",
+                    "users",
+                    [
+                        {
+                            "before_values": {"id": 2, "name": "x"},
+                            "after_values": {"id": 2, "name": "y"},
+                        }
+                    ],
+                ),
+                _XidEvent(),
+            ]
+        ),
+    ),
+    (
+        "mysql-bin.000040",
+        900,
+        _DeleteRowsEvent("shop", "users", [{"values": {"id": 1}}]),
+    ),
+]
+
+
+class _CompressedReader(_FakeBinLogStreamReader):
+    def __init__(self, **kwargs):
+        type(self).last_kwargs = kwargs
+        type(self).last_instance = self
+        self.log_file = kwargs.get("log_file") or "mysql-bin.000040"
+        self.log_pos = kwargs.get("log_pos") or 4
+        self.closed = False
+        self._only = kwargs.get("only_events") or []
+
+    def __iter__(self):
+        for f, p, e in RECORDED_COMPRESSED:
+            if (f, p) <= (self.log_file, self.log_pos):
+                continue
+            self.log_file = f
+            self.log_pos = p
+            if not any(isinstance(e, cls) for cls in self._only):
+                continue
+            yield e
+
+    def close(self):
+        self.closed = True
+
+
+@pytest.fixture
+def compressed_session(fake_pymysqlreplication, monkeypatch):
+    fake_pymysqlreplication.BinLogStreamReader = _CompressedReader
+    event_mod = types.ModuleType("pymysqlreplication.event")
+    event_mod.TransactionPayloadEvent = _TransactionPayloadEvent
+    fake_pymysqlreplication.event = event_mod
+    monkeypatch.setitem(sys.modules, "pymysqlreplication.event", event_mod)
+    yield fake_pymysqlreplication
+
+
+def test_transaction_payload_unwraps_inner_row_events(compressed_session):
+    """binlog_transaction_compression=ON: the wrapper's decompressed inner
+    row events flow through the same op/row translation, all stamped with
+    the payload event's end position (one transaction, one offset); inner
+    non-row events (BEGIN query, xid) are not ours and are dropped;
+    surrounding uncompressed events are untouched."""
+    got = list(
+        _client().read_range(
+            BinlogLocation("mysql-bin.000040", 4),
+            BinlogLocation("mysql-bin.000040", 900),
+        )
+    )
+    assert [
+        (r["binlog_position"], r["operation"], r["rows"]) for r in got
+    ] == [
+        (200, "INSERT", [{"id": "1"}]),
+        (700, "INSERT", [{"id": "2"}]),
+        (700, "UPDATE", [{"id": "2", "name": "y"}]),
+        (900, "DELETE", [{"id": "1"}]),
+    ]
+    # the client SUBSCRIBED to the wrapper type — without it, library
+    # generations that surface the wrapper filter compressed transactions
+    # out entirely (silent loss of every compressed row)
+    assert any(
+        cls is _TransactionPayloadEvent
+        for cls in _CompressedReader.last_kwargs["only_events"]
+    )
+
+
+def test_transaction_payload_respects_range_end(compressed_session):
+    """A payload whose end position is past the range end terminates the
+    range BEFORE unwrapping — no partial-transaction leakage past end."""
+    got = list(
+        _client().read_range(
+            BinlogLocation("mysql-bin.000040", 4),
+            BinlogLocation("mysql-bin.000040", 400),
+        )
+    )
+    assert [(r["binlog_position"], r["operation"]) for r in got] == [
+        (200, "INSERT")
+    ]
+
+
+class _ChecksumFlipReader(_FakeBinLogStreamReader):
+    """Serves RECORDED (rotate 000007→000008 included) while flipping the
+    reader's advertised checksum algorithm at the rotate — how a
+    binlog_checksum=CRC32→NONE server transition surfaces (each file's
+    FormatDescription re-declares the algorithm; the LIBRARY re-sizes
+    event trailers per file). Records the algorithm seen per yielded
+    event so the test can pin the transition actually happened."""
+
+    seen: list[tuple[int, str]] = []
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        self.checksum_algorithm = "CRC32"
+
+    def __iter__(self):
+        for f, p, e in self._events:
+            if f != self.log_file:
+                self.checksum_algorithm = "NONE"  # new file, new FDE
+            self.log_file = f
+            self.log_pos = p
+            type(self).seen.append((p, self.checksum_algorithm))
+            yield e
+
+
+def test_checksum_transition_mid_stream_is_transparent(
+    fake_pymysqlreplication,
+):
+    """CRC32↔NONE transition at a rotate: positions stay exact and every
+    event flows — the client is checksum-transparent by construction (the
+    trailer is sliced off below the event API), and this pins that no
+    client-side logic accidentally keys on the algorithm."""
+    _ChecksumFlipReader.seen = []
+    fake_pymysqlreplication.BinLogStreamReader = _ChecksumFlipReader
+    got = list(
+        _client().read_range(
+            BinlogLocation("mysql-bin.000007", 4),
+            BinlogLocation("mysql-bin.000008", 150),
+        )
+    )
+    assert [(r["binlog_file"], r["binlog_position"]) for r in got] == [
+        ("mysql-bin.000007", 220),
+        ("mysql-bin.000007", 500),
+        ("mysql-bin.000008", 4),
+        ("mysql-bin.000008", 150),
+    ]
+    algos = dict(_ChecksumFlipReader.seen)
+    assert algos[500] == "CRC32" and algos[4] == "NONE"  # transition real
+
+
+_GR_UUID = "cccccccc-dddd-eeee-ffff-000000000001"
+
+# Old primary: txn :31 completes, txn :32 is interrupted after its first
+# row event was yielded (rows 2 delivered, row 3 never arrives).
+RECORDED_GR_OLD = [
+    ("mysql-bin.000030", 120, _GtidEvent(f"{_GR_UUID}:31")),
+    (
+        "mysql-bin.000030",
+        180,
+        _WriteRowsEvent("shop", "t", [{"values": {"id": 1}}]),
+    ),
+    ("mysql-bin.000030", 240, _GtidEvent(f"{_GR_UUID}:32")),
+    (
+        "mysql-bin.000030",
+        300,
+        _WriteRowsEvent("shop", "t", [{"values": {"id": 2}}]),
+    ),
+    (
+        "mysql-bin.000030",
+        360,
+        _WriteRowsEvent("shop", "t", [{"values": {"id": 3}}]),
+    ),
+]
+
+# New primary after failover: DIFFERENT file namespace; re-serves the
+# interrupted :32 IN FULL (GTID sets are transaction-granular), then :33.
+RECORDED_GR_NEW = [
+    ("binlog.000001", 120, _GtidEvent(f"{_GR_UUID}:32")),
+    (
+        "binlog.000001",
+        180,
+        _WriteRowsEvent("shop", "t", [{"values": {"id": 2}}]),
+    ),
+    (
+        "binlog.000001",
+        240,
+        _WriteRowsEvent("shop", "t", [{"values": {"id": 3}}]),
+    ),
+    ("binlog.000001", 300, _GtidEvent(f"{_GR_UUID}:33")),
+    (
+        "binlog.000001",
+        360,
+        _WriteRowsEvent("shop", "t", [{"values": {"id": 4}}]),
+    ),
+]
+
+# Variant: the interrupted :32 DIED with the old primary (its writes were
+# never acked/replicated) — the new primary serves :33 directly.
+RECORDED_GR_VANISHED = RECORDED_GR_NEW[3:]
+
+
+class _GtidReconnectReader(_FakeBinLogStreamReader):
+    connections: list["_GtidReconnectReader"] = []
+    new_primary = RECORDED_GR_NEW
+
+    def __init__(self, **kwargs):
+        type(self).last_kwargs = kwargs
+        type(self).last_instance = self
+        type(self).connections.append(self)
+        self._n = len(type(self).connections)
+        rec = RECORDED_GR_OLD if self._n == 1 else type(self).new_primary
+        self._rec = rec
+        self.log_file = rec[0][0]
+        self.log_pos = 4
+        self.closed = False
+        self._only = kwargs.get("only_events") or []
+
+    def __iter__(self):
+        for f, p, e in self._rec:
+            self.log_file = f
+            self.log_pos = p
+            if not any(isinstance(e, cls) for cls in self._only):
+                continue
+            if (
+                self._n == 1
+                and isinstance(e, _WriteRowsEvent)
+                and e.rows[0]["values"]["id"] == 3
+            ):
+                raise TimeoutError("old primary died mid-transaction")
+            yield e
+
+    def close(self):
+        self.closed = True
+
+
+@pytest.fixture
+def gtid_reconnect_session(fake_pymysqlreplication, monkeypatch):
+    _GtidReconnectReader.connections = []
+    _GtidReconnectReader.new_primary = RECORDED_GR_NEW
+    fake_pymysqlreplication.BinLogStreamReader = _GtidReconnectReader
+    event_mod = types.ModuleType("pymysqlreplication.event")
+    event_mod.GtidEvent = _GtidEvent
+    fake_pymysqlreplication.event = event_mod
+    monkeypatch.setitem(sys.modules, "pymysqlreplication.event", event_mod)
+    yield fake_pymysqlreplication
+
+
+def _gr_client():
+    from binwatch_spark.sources.binlog import MySQLBinlogClient
+
+    return MySQLBinlogClient(
+        {
+            "host": "127.0.0.1",
+            "port": "3306",
+            "user": "repl",
+            "password": "x",
+            "serverid": "42",
+            "gtidReconnect": "true",
+        }
+    )
+
+
+def _gr_range(client):
+    return list(
+        client.read_range(
+            BinlogLocation("", 0, gtid_set=f"{_GR_UUID}:1-30"),
+            BinlogLocation("mysql-bin.999999", 10**9),
+        )
+    )
+
+
+def test_gtid_reconnect_mid_transaction_exactly_once(gtid_reconnect_session):
+    """The failover case GTID sets exist for (VERDICT r10 #5): the old
+    primary dies MID-transaction (:32's first row yielded, second never
+    arrives); with gtidReconnect the client re-handshakes with the
+    DELIVERED set (start + completed :31) and the new primary — a
+    different file namespace, so positional resume would be meaningless —
+    re-serves :32 in full. The replay skip drops exactly the one row
+    already yielded: every row arrives exactly once across the failover."""
+    got = _gr_range(_gr_client())
+    assert [(r["binlog_file"], r["rows"][0]["id"]) for r in got] == [
+        ("mysql-bin.000030", "1"),
+        ("mysql-bin.000030", "2"),
+        ("binlog.000001", "3"),  # :32 resumed, prefix row 2 NOT re-yielded
+        ("binlog.000001", "4"),
+    ]
+    conns = _GtidReconnectReader.connections
+    assert len(conns) == 2 and all(c.closed for c in conns)
+    kw = _GtidReconnectReader.last_kwargs
+    # re-handshake carries the DELIVERED set: :31 completed this range,
+    # :32 deliberately absent (interrupted — must be re-served)
+    assert kw["auto_position"] == f"{_GR_UUID}:1-31"
+    assert "log_file" not in kw or kw.get("log_file") is None
+
+
+def test_gtid_reconnect_vanished_transaction_resets_skip(
+    gtid_reconnect_session,
+):
+    """If the interrupted transaction never reached the new primary
+    (un-acked writes die with the old one), the replay skip must reset on
+    the first DIFFERENT gtid — otherwise it would silently swallow the
+    next transaction's rows."""
+    _GtidReconnectReader.new_primary = RECORDED_GR_VANISHED
+    got = _gr_range(_gr_client())
+    assert [(r["binlog_file"], r["rows"][0]["id"]) for r in got] == [
+        ("mysql-bin.000030", "1"),
+        ("mysql-bin.000030", "2"),  # :32's acked prefix stays delivered
+        ("binlog.000001", "4"),  # :33 intact — skip did not eat it
+    ]
+
+
+def test_gtid_reconnect_default_stays_positional(gtid_reconnect_session):
+    """Without the opt-in the reconnect path is unchanged: positional
+    resume against the same primary (the pre-r11 pinned contract)."""
+    got = None
+    try:
+        got = _gr_range(_client())
+    except TimeoutError:
+        pass
+    kw = _GtidReconnectReader.last_kwargs
+    assert "auto_position" not in kw
+    assert got is None or all(r["binlog_file"] != "binlog.000001" for r in got)

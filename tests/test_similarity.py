@@ -125,3 +125,66 @@ def test_q117_ann_hard_negatives_recall_floor_vs_exact(spark):
 
     for r in ann_rows:
         assert NEG_LO <= r["sim"] < NEG_HI
+
+
+def test_hyperplane_family_prefix_stable():
+    """hyperplanes_for(p) must EXTEND the historical 8-plane set: the low
+    8 bits of any grown bucket are the historical bucket (the production
+    planes-∝-log(n) lever can't invalidate existing bucket assignments)."""
+    from binwatch_spark.functions.texthash import (
+        HYPERPLANE_TABLES,
+        hyperplanes_for,
+    )
+
+    assert hyperplanes_for(8) == HYPERPLANE_TABLES[0]
+    assert hyperplanes_for(13)[:8] == HYPERPLANE_TABLES[0]
+    assert hyperplanes_for(8, table=1) == HYPERPLANE_TABLES[1]
+
+
+def test_arrow_bucket_udf_matches_fold_bucketer(spark):
+    """make_lsh_bucket_udf at 8 planes must reproduce lsh_bucket exactly —
+    the Arrow kernel's sequential per-dim accumulation is the same IEEE
+    chain as the zip_with fold, so sign decisions can't drift."""
+    from binwatch_spark.functions.texthash import (
+        hyperplanes_for,
+        lsh_bucket,
+        make_lsh_bucket_udf,
+    )
+    from binwatch_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    emb = load(spark, SF_SMALL, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    udf = make_lsh_bucket_udf(hyperplanes_for(8))
+    rows = emb.select(
+        lsh_bucket(F.col("embedding")).alias("jvm"),
+        udf(F.col("embedding")).alias("arrow"),
+    ).collect()
+    assert rows and all(r["jvm"] == r["arrow"] for r in rows)
+
+
+def test_grown_plane_count_blocks_subset(spark):
+    """At the same radius, MORE planes can only shrink the candidate set:
+    hamming over 12 bits <= r implies hamming over the low-8 subset <= r,
+    so verified pairs at n_planes=12 are a subset of n_planes=8 — and
+    both sides remain true cos>=threshold pairs."""
+    from binwatch_spark.operators.similarity import neardup_pairs_lsh
+    from binwatch_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    p8 = {
+        (r["i"], r["j"])
+        for r in neardup_pairs_lsh(
+            emb, "vec_id", "embedding", 0.4, radius=1
+        ).collect()
+    }
+    p12 = {
+        (r["i"], r["j"])
+        for r in neardup_pairs_lsh(
+            emb, "vec_id", "embedding", 0.4, radius=1, n_planes=12
+        ).collect()
+    }
+    assert p12 <= p8
+    assert len(p12) < len(p8)  # 16x more buckets genuinely prunes

@@ -1,16 +1,23 @@
-"""Assemble BENCH_sf1.json from the two bench_scale outputs.
+"""Assemble a scale-decade record (BENCH_sf1.json / BENCH_sf1_heaps.json)
+from two bench_scale outputs.
 
 Usage: python tools/assemble_scale_record.py /tmp/scale_sf0.1.json \
-    /tmp/scale_sf1.0.json > BENCH_sf1.json
+    /tmp/scale_sf1.0.json [--prod lo_prod.json hi_prod.json] > BENCH_sf1.json
 
 Emits, per query: min/median at both scale points, the wall-clock ratio
-(sf1.0 is 10x the rows of sf0.1), the count-wrapped final-plan signatures
-at both points, and whether the signature changed (the AQE plan-flip
-check VERDICT r08 #1 asked for). Result-row counts ride along because
-several dedup-family queries have output cardinality that scales
-super-linearly BY FIXTURE CONSTRUCTION (the 30-word vocabulary does not
-grow with the corpus, so candidate-pair density rises with n) — the fair
-throughput figure for those is time per output row, also emitted.
+(the hi point is 10x the rows of the lo point), the EXECUTED final-adaptive
+plan signatures at both points (bench_scale r11: collect() on the
+count-wrapped DataFrame's own QueryExecution — ADVICE r10 fixed the
+first()/limit(1) capture that printed never-executed plans), and whether
+the signature changed (the AQE plan-flip check VERDICT r08 #1 asked for).
+Result-row counts ride along because on the DRIVER-MATCHED fixture several
+dedup-family queries have output cardinality that scales super-linearly BY
+FIXTURE CONSTRUCTION (fixed 30-word vocabulary / loose-threshold pairs on
+noise embeddings) — time per output row is emitted for those; the
+Heaps-vocabulary record (gen_scale_fixture --vocab heaps) and the
+--prod section (bench_semdedup_prod on planted fixtures) exist so the
+text and semantic families also carry ratios that stand WITHOUT that
+normalization (VERDICT r10 #2/#3).
 """
 
 from __future__ import annotations
@@ -20,9 +27,19 @@ import sys
 
 
 def main() -> None:
-    with open(sys.argv[1]) as fh:
+    args = list(sys.argv[1:])
+    prod = None
+    if "--prod" in args:
+        k = args.index("--prod")
+        with open(args[k + 1]) as fh:
+            prod_lo = json.load(fh)
+        with open(args[k + 2]) as fh:
+            prod_hi = json.load(fh)
+        prod = {"lo": prod_lo, "hi": prod_hi}
+        del args[k : k + 3]
+    with open(args[0]) as fh:
         lo = json.load(fh)
-    with open(sys.argv[2]) as fh:
+    with open(args[1]) as fh:
         hi = json.load(fh)
     out = {
         "metric": "scale_decade_wall_sec",
@@ -65,6 +82,24 @@ def main() -> None:
                 a.get("final_plan") and b.get("final_plan")
             ),
         }
+    if prod:
+        sec = {"target_occupancy": prod["lo"].get("target_occupancy")}
+        for cfg_lo in prod["lo"]["configs"]:
+            name = cfg_lo["name"]
+            cfg_hi = next(
+                c for c in prod["hi"]["configs"] if c["name"] == name
+            )
+            sec[name] = {
+                "lo": cfg_lo,
+                "hi": cfg_hi,
+                "time_ratio": round(
+                    cfg_hi["wall_s_min"] / max(cfg_lo["wall_s_min"], 1e-9), 2
+                ),
+                "truth_ratio": round(
+                    cfg_hi["truth_pairs"] / max(cfg_lo["truth_pairs"], 1), 2
+                ),
+            }
+        out["semdedup_production"] = sec
     json.dump(out, sys.stdout, indent=1)
     sys.stdout.write("\n")
 

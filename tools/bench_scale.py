@@ -15,12 +15,17 @@ BENCH_sf1.json.
 
 Plan capture detail: `.write(noop)` wraps the DataFrame in a NEW
 QueryExecution, so the DataFrame's own AdaptiveSparkPlan would stay
-isFinalPlan=false; the plan run therefore executes via `.collect()` (every
-query in the subset returns a bounded result — dedup pairs / audit rows /
-k-row summaries) and then reads `explain('formatted')`, which after
-execution prints the final adaptive plan with AQE's actual join-strategy
-decisions. The signature extracted for the sf-to-sf diff is the multiset
-of physical join/exchange/scan-bucket operators — the things AQE can flip.
+isFinalPlan=false — and so does `.first()`, which wraps in limit(1)
+(ADVICE r10: 12/18 committed plans were pre-AQE because of exactly this).
+The plan run therefore wraps the query in ONE count aggregate and executes
+that DataFrame's OWN QueryExecution via `.collect()` (returns a single
+count row — bounded driver memory at any sf), then reads
+`explain('formatted')` from the SAME DataFrame, which after execution
+prints the final adaptive plan with AQE's actual join-strategy decisions.
+The count wrapper adds one SinglePartition exchange + HashAggregate on top
+of the query body — identical at both scale points, so it cancels in the
+sf-to-sf signature diff. The signature extracted is the multiset of
+physical join/exchange/scan-bucket operators — the things AQE can flip.
 """
 
 from __future__ import annotations
@@ -125,7 +130,14 @@ def _bench_one(spark, fn, qname, args, out, plans_full) -> None:
     # cancels in the sf-to-sf signature diff.
     df = fn(spark, args.sf_dir)
     cdf = df.select(F.count(F.lit(1)).alias("n"))
-    nrows = cdf.first()["n"]
+    # collect(), NOT first(): first() wraps the plan in limit(1), which
+    # builds a NEW QueryExecution — explain() on cdf would then print a
+    # plan that never executed (isFinalPlan=false, pre-AQE), defeating the
+    # tool's whole purpose (ADVICE r10). collect() executes cdf's OWN
+    # QueryExecution and returns exactly one row (the count), so driver
+    # memory stays bounded at any sf and the subsequent explain prints the
+    # finalized adaptive plan with AQE's actual join-strategy decisions.
+    nrows = cdf.collect()[0]["n"]
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         cdf.explain("formatted")
