@@ -1226,20 +1226,10 @@ def q135_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 8
 
 
-def _bpe_train_sql(k: int) -> str:
-    """Oracle CTE builder for the k-merge BPE training loop (the
-    loop-with-oracle-CTE-builder pattern q122 established): round r's
-    CTEs are s{r-1} -> p{r} (pairs) -> t{r} (winning pair) -> s{r}
-    (re-symbolized vocabulary, sentinel chr(r)), and the final select
-    expands sentinels DESCENDING (chr(k) first) so each inserted raw
-    pair's own earlier-round sentinels are expanded by the later
-    replaces — byte-identical to the Spark side's expansion.
-
-    Every loop CTE is AS MATERIALIZED: DuckDB inlines plain CTEs, and
-    with s{r} referencing both s{r-1} and t{r} (itself built on s{r-1}),
-    inlining re-evaluates the chain EXPONENTIALLY in k — the 8-round
-    oracle never finished without it; materialized, each round runs
-    once (linear, like the Spark loop)."""
+def _bpe_train_parts(k: int) -> list[str]:
+    """The shared training-chain CTEs (f -> s0 -> p{r}/t{r}/s{r}) — used
+    by the q145 merge-table oracle and the q150 encode oracle, so the
+    applied tokenizer can never drift from the trained one."""
     parts = [_WORD_FREQ_SQL.strip(), "s0 AS (SELECT word AS sym, freq FROM f)"]
     for r in range(1, k + 1):
         prev = f"s{r - 1}"
@@ -1255,6 +1245,24 @@ def _bpe_train_sql(k: int) -> str:
                 f"SELECT replace(sym, (SELECT pair FROM t{r}),"
                 f" chr({r})) AS sym, freq FROM {prev})"
             )
+    return parts
+
+
+def _bpe_train_sql(k: int) -> str:
+    """Oracle CTE builder for the k-merge BPE training loop (the
+    loop-with-oracle-CTE-builder pattern q122 established): round r's
+    CTEs are s{r-1} -> p{r} (pairs) -> t{r} (winning pair) -> s{r}
+    (re-symbolized vocabulary, sentinel chr(r)), and the final select
+    expands sentinels DESCENDING (chr(k) first) so each inserted raw
+    pair's own earlier-round sentinels are expanded by the later
+    replaces — byte-identical to the Spark side's expansion.
+
+    Every loop CTE is AS MATERIALIZED: DuckDB inlines plain CTEs, and
+    with s{r} referencing both s{r-1} and t{r} (itself built on s{r-1}),
+    inlining re-evaluates the chain EXPONENTIALLY in k — the 8-round
+    oracle never finished without it; materialized, each round runs
+    once (linear, like the Spark loop)."""
+    parts = _bpe_train_parts(k)
 
     def expand(col: str) -> str:
         e = col
@@ -1277,6 +1285,34 @@ def _bpe_train_sql(k: int) -> str:
         + "\nUNION ALL\n".join(selects)
         + "\nORDER BY merge_rank"
     )
+
+
+def _bpe_train_merges(freq: DataFrame) -> list[tuple[int, str, int]]:
+    """The k-merge training loop over a persisted (word, freq) vocabulary
+    — ONE definition shared by q145 (emits the merge table) and q150
+    (applies it to the corpus). Returns [(rank, raw sentinel-coded pair,
+    count)]; the winner collect per round is the q98/q145 O(model)
+    driver pattern."""
+    cur = freq.select(F.col("word").alias("sym"), "freq")
+    merges: list[tuple[int, str, int]] = []
+    for r in range(1, BPE_MERGES + 1):
+        win = (
+            _sym_pairs(cur, "sym")
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pair")
+            .limit(1)
+            .first()
+        )
+        merges.append((r, win["pair"], int(win["cnt"])))
+        if r < BPE_MERGES:
+            cur = cur.select(
+                F.replace(
+                    F.col("sym"), F.lit(win["pair"]), F.lit(chr(r))
+                ).alias("sym"),
+                "freq",
+            )
+    return merges
 
 
 @register("q145_bpe_train", oracle=_bpe_train_sql(BPE_MERGES))
@@ -1317,24 +1353,7 @@ def q145_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     freq = _word_freq(docs).persist()
     try:
-        cur = freq.select(F.col("word").alias("sym"), "freq")
-        merges: list[tuple[int, str, int]] = []
-        for r in range(1, BPE_MERGES + 1):
-            win = (
-                _sym_pairs(cur, "sym")
-                .groupBy("pair")
-                .agg(F.sum("freq").cast("bigint").alias("cnt"))
-                .orderBy(F.col("cnt").desc(), "pair")
-                .limit(1)
-                .first()
-            )
-            merges.append((r, win["pair"], int(win["cnt"])))
-            cur = cur.select(
-                F.replace(
-                    F.col("sym"), F.lit(win["pair"]), F.lit(chr(r))
-                ).alias("sym"),
-                "freq",
-            )
+        merges = _bpe_train_merges(freq)
         rows = []
         for r, pair, cnt in merges:
             readable = pair
@@ -1354,16 +1373,10 @@ GD_ROUNDS = 8
 GD_LR = 0.01
 
 
-def _gd_train_sql(k: int) -> str:
-    """Oracle CTE builder for the q147 gradient-descent training loop —
-    the q145 materialized-chain pattern applied to model fitting: round
-    r's CTEs are g{r} (the three DECIMAL(28,10)-accumulated gradient
-    sums under the round-(r-1) weights) and w{r} (the scalar weight
-    update), every arithmetic step spelled in the same order as the
-    Spark driver loop so doubles stay bit-identical; the final select
-    re-emits each round's weights rounded to 8 decimals (masking
-    nothing real — amplification over {GD_ROUNDS} rounds of a last-ulp
-    divergence is ~1e-15, far below the rounding grain)."""
+def _gd_train_parts(k: int) -> list[str]:
+    """The shared GD training-chain CTEs (feat/n/w0 -> g{r}/w{r}) — used
+    by the q147 training oracle and the q151 residual-filter oracle, so
+    the applied model can never drift from the trained one."""
     feats = """
 feat AS MATERIALIZED (
   SELECT CAST(n_chars AS DOUBLE) / 100.0 AS x2,
@@ -1376,7 +1389,7 @@ w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
     parts = [feats.strip()]
     for r in range(1, k + 1):
         prev = f"w{r - 1}"
-        err = f"(w.w1 + w.w2 * f.x2 + w.w3 * f.x3 - f.y)"
+        err = "(w.w1 + w.w2 * f.x2 + w.w3 * f.x3 - f.y)"
         parts.append(
             f"""g{r} AS MATERIALIZED (
   SELECT
@@ -1393,6 +1406,20 @@ w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
     w.w3 - {GD_LR} * (2.0 * CAST(g.s3 AS DOUBLE) / n.n) AS w3
   FROM {prev} w CROSS JOIN g{r} g CROSS JOIN n)"""
         )
+    return parts
+
+
+def _gd_train_sql(k: int) -> str:
+    """Oracle CTE builder for the q147 gradient-descent training loop —
+    the q145 materialized-chain pattern applied to model fitting: round
+    r's CTEs are g{r} (the three DECIMAL(28,10)-accumulated gradient
+    sums under the round-(r-1) weights) and w{r} (the scalar weight
+    update), every arithmetic step spelled in the same order as the
+    Spark driver loop so doubles stay bit-identical; the final select
+    re-emits each round's weights rounded to 8 decimals (masking
+    nothing real — amplification over {GD_ROUNDS} rounds of a last-ulp
+    divergence is ~1e-15, far below the rounding grain)."""
+    parts = _gd_train_parts(k)
     selects = [
         f"SELECT CAST({r} AS BIGINT) AS round, round(w1, 8) AS w1,"
         f" round(w2, 8) AS w2, round(w3, 8) AS w3 FROM w{r}"
@@ -1405,6 +1432,56 @@ w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
         + "\nUNION ALL\n".join(selects)
         + "\nORDER BY round"
     )
+
+
+def _gd_features(docs: DataFrame, with_id: bool = False) -> DataFrame:
+    """The q147 feature frame — ONE definition shared by training (q147)
+    and application (q151): x2 = chars/100, x3 = whitespace tokens/10,
+    y = distinct lowercase tokens/10 (the redundancy target)."""
+    cols = [
+        (F.col("n_chars").cast("double") / 100.0).alias("x2"),
+        (F.size(F.split(F.col("text"), " ")).cast("double") / 10.0).alias(
+            "x3"
+        ),
+        (
+            F.size(
+                F.array_distinct(F.split(F.lower(F.col("text")), " "))
+            ).cast("double")
+            / 10.0
+        ).alias("y"),
+    ]
+    if with_id:
+        cols = [F.col("doc_id"), *cols]
+    return docs.select(*cols)
+
+
+def _gd_train_weights(feat: DataFrame) -> list[tuple[int, float, float, float]]:
+    """The GD_ROUNDS full-batch training loop over a persisted feature
+    frame — shared by q147 (emits the weight trajectory) and q151
+    (applies the final weights). Returns [(round, w1, w2, w3)] with the
+    weights UNROUNDED (bit-identical to the oracle's w{r} CTEs; rounding
+    is presentation, applied by the callers exactly where their oracles
+    round)."""
+    n = float(feat.count())
+    w1 = w2 = w3 = 0.0
+    rows: list[tuple[int, float, float, float]] = []
+    for r in range(1, GD_ROUNDS + 1):
+        err = (
+            F.lit(w1)
+            + F.lit(w2) * F.col("x2")
+            + F.lit(w3) * F.col("x3")
+            - F.col("y")
+        )
+        sums = feat.agg(
+            F.sum(err.cast("decimal(28,10)")).alias("s1"),
+            F.sum((err * F.col("x2")).cast("decimal(28,10)")).alias("s2"),
+            F.sum((err * F.col("x3")).cast("decimal(28,10)")).alias("s3"),
+        ).first()
+        w1 = w1 - GD_LR * (2.0 * float(sums["s1"]) / n)
+        w2 = w2 - GD_LR * (2.0 * float(sums["s2"]) / n)
+        w3 = w3 - GD_LR * (2.0 * float(sums["s3"]) / n)
+        rows.append((r, w1, w2, w3))
+    return rows
 
 
 @register("q147_quality_regression_gd", oracle=_gd_train_sql(GD_ROUNDS))
@@ -1432,42 +1509,9 @@ def q147_quality_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     the grain). Oracle states the identical loop as a materialized CTE
     chain (the q145 pattern)."""
     docs = load(spark, sf_dir, "documents")
-    feat = docs.select(
-        (F.col("n_chars").cast("double") / 100.0).alias("x2"),
-        (F.size(F.split(F.col("text"), " ")).cast("double") / 10.0).alias(
-            "x3"
-        ),
-        (
-            F.size(
-                F.array_distinct(F.split(F.lower(F.col("text")), " "))
-            ).cast("double")
-            / 10.0
-        ).alias("y"),
-    ).persist()
+    feat = _gd_features(docs).persist()
     try:
-        n = float(feat.count())
-        w1 = w2 = w3 = 0.0
-        rows = []
-        for r in range(1, GD_ROUNDS + 1):
-            err = (
-                F.lit(w1)
-                + F.lit(w2) * F.col("x2")
-                + F.lit(w3) * F.col("x3")
-                - F.col("y")
-            )
-            sums = feat.agg(
-                F.sum(err.cast("decimal(28,10)")).alias("s1"),
-                F.sum((err * F.col("x2")).cast("decimal(28,10)")).alias(
-                    "s2"
-                ),
-                F.sum((err * F.col("x3")).cast("decimal(28,10)")).alias(
-                    "s3"
-                ),
-            ).first()
-            w1 = w1 - GD_LR * (2.0 * float(sums["s1"]) / n)
-            w2 = w2 - GD_LR * (2.0 * float(sums["s2"]) / n)
-            w3 = w3 - GD_LR * (2.0 * float(sums["s3"]) / n)
-            rows.append((r, w1, w2, w3))
+        rows = _gd_train_weights(feat)
         # rounding runs through F.round (BigDecimal HALF_UP — away from
         # zero on ties, same as DuckDB's round), NOT python's round
         # (banker's half-even): the two disagree exactly on tie digits
@@ -1481,3 +1525,168 @@ def q147_quality_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         feat.unpersist()
+
+
+def _bpe_encode_sql(k: int) -> str:
+    """Oracle for q150: the q145 training chain verbatim
+    (_bpe_train_parts — the applied tokenizer cannot drift from the
+    trained one) plus the APPLY stage: every corpus word re-encoded by
+    the same ascending replace chain the training rounds used (merge r's
+    sentinel-coded pair replaced on the output of merges 1..r-1 — greedy
+    BPE application), then per-source token accounting."""
+    parts = _bpe_train_parts(k)
+    enc = "word"
+    for r in range(1, k + 1):
+        enc = f"replace({enc}, (SELECT pair FROM t{r}), chr({r}))"
+    parts.append(
+        """ws AS (
+  SELECT source, word FROM (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS word
+    FROM documents)
+  WHERE len(word) >= 2)"""
+    )
+    parts.append(f"enc AS MATERIALIZED (SELECT source, word, {enc} AS sym FROM ws)")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(word)) AS BIGINT) AS n_chars,
+       CAST(sum(len(sym)) AS BIGINT) AS n_tokens_bpe,
+       round(CAST(sum(len(word)) AS DOUBLE) / sum(len(sym)), 6)
+         AS compression
+FROM enc GROUP BY source ORDER BY source
+"""
+    )
+
+
+@register("q150_bpe_encode_corpus", oracle=_bpe_encode_sql(BPE_MERGES))
+def q150_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN-THEN-APPLY for the tokenizer family — the half q145 left
+    open: train the k-merge BPE table (the identical _bpe_train_merges
+    loop, so the applied tokenizer IS the trained one), then ENCODE the
+    whole corpus with it and account tokens per source: word
+    occurrences, raw characters, post-merge BPE tokens (each sentinel
+    counts 1), and the compression ratio — the number an LLM-data team
+    actually watches when sizing a tokenizer against a corpus mix.
+
+    Scale shape: training rides the persisted (word, freq) vocabulary
+    (one corpus scan, k single-row collects — q145's analysis); the
+    APPLY is a pure codegen projection of k chained replace literals
+    over the per-(source, word) frame — no UDF, no extra shuffle beyond
+    the wordcount-shaped groupBys, and at 100 TB the encode projection
+    pipelines inside the same stage as the source aggregation's partial.
+    Oracle spells the identical chain via _bpe_train_parts + the same
+    ascending replaces, so the driver hash-check covers train AND apply
+    end-to-end."""
+    docs = load(spark, sf_dir, "documents")
+    freq = _word_freq(docs).persist()
+    try:
+        merges = _bpe_train_merges(freq)
+    finally:
+        freq.unpersist()
+    ws = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    ).filter(F.length("word") >= 2)
+    enc = F.col("word")
+    for r, pair, _cnt in merges:
+        enc = F.replace(enc, F.lit(pair), F.lit(chr(r)))
+    return (
+        ws.select("source", "word", enc.alias("sym"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            F.sum(F.length("sym")).cast("bigint").alias("n_tokens_bpe"),
+            F.round(
+                F.sum(F.length("word")).cast("double")
+                / F.sum(F.length("sym")),
+                6,
+            ).alias("compression"),
+        )
+        .orderBy("source")
+    )
+
+
+def _gd_filter_sql(k: int) -> str:
+    """Oracle for q151: the q147 training chain verbatim
+    (_gd_train_parts) plus the APPLY stage — per-document absolute
+    residual under the final round's weights (the same expression order
+    as training's err term), rounded to 8 dp (both engines, past the
+    ~1e-15 ulp-drift range), flagged past the interpolated p95 bound
+    computed on the rounded values (the q114 percentile contract)."""
+    parts = _gd_train_parts(k)
+    parts.append(
+        """featd AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) / 100.0 AS x2,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0 AS x3,
+         CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+           / 10.0 AS y
+  FROM documents)"""
+    )
+    parts.append(
+        f"""r AS MATERIALIZED (
+  SELECT doc_id,
+         round(abs(w.w1 + w.w2 * f.x2 + w.w3 * f.x3 - f.y), 8) AS resid
+  FROM featd f CROSS JOIN w{k} w)"""
+    )
+    parts.append(
+        "b AS (SELECT round(quantile_cont(resid, 0.95), 8) AS b FROM r)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT doc_id, resid, resid > (SELECT b FROM b) AS is_outlier
+FROM r
+"""
+    )
+
+
+@register("q151_quality_residual_filter", oracle=_gd_filter_sql(GD_ROUNDS))
+def q151_quality_residual_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN-THEN-APPLY for the regression family — q147's model put to
+    its stated use as a quality classifier: train the redundancy
+    regression (identical _gd_train_weights loop), score every document
+    by |predicted − actual distinct-token ratio| under the FINAL
+    weights, and flag the top-5% residuals (documents whose vocabulary
+    diversity the length features cannot explain — the repetition/
+    boilerplate suspects a curation pipeline routes to review). The
+    q114 outlier shape (score, percentile bound, flag), so the whole
+    train→score→threshold pipeline is driver-hash-checked.
+
+    Determinism: the trained weights are bit-identical across engines
+    (q147's DECIMAL(28,10) contract — the helper returns them
+    UNROUNDED, matching the oracle's w{k} CTE exactly); the residual
+    expression is spelled in training's operand order; residuals round
+    to 8 dp before the interpolated-percentile bound and the comparison
+    (both engines compare the same rounded doubles). Scale: scoring is
+    a map-side projection with three weight literals; the bound is one
+    percentile aggregate broadcast into the flag projection — q88/q114's
+    pattern."""
+    docs = load(spark, sf_dir, "documents")
+    feat = _gd_features(docs).persist()
+    try:
+        rows = _gd_train_weights(feat)
+    finally:
+        feat.unpersist()
+    _, w1, w2, w3 = rows[-1]
+    scored = _gd_features(docs, with_id=True)
+    resid = F.round(
+        F.abs(
+            F.lit(w1)
+            + F.lit(w2) * F.col("x2")
+            + F.lit(w3) * F.col("x3")
+            - F.col("y")
+        ),
+        8,
+    )
+    r = scored.select("doc_id", resid.alias("resid"))
+    bound = r.agg(
+        F.round(F.percentile(F.col("resid"), F.lit(0.95)), 8).alias("b")
+    )
+    return r.crossJoin(F.broadcast(bound)).select(
+        "doc_id", "resid", (F.col("resid") > F.col("b")).alias("is_outlier")
+    )
