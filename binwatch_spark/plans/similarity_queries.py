@@ -1244,7 +1244,7 @@ def q149_blocking_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("p").cast("bigint").alias("n_pairs"))
         )
         all_pairs = F.lit(float(nn)) * F.lit(nn - 1) / F.lit(2)
-        out = (
+        rows = (
             same.unionByName(diff)
             .filter(F.col("hamming_d") <= Q149_MAX_D)
             .filter(F.col("n_pairs") > 0)
@@ -1256,8 +1256,10 @@ def q149_blocking_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("frac_of_all"),
             )
             .orderBy("hamming_d")
+            .collect()  # <= MAX_D+1 rows — the k-row driver pattern
         )
-        out = out.localCheckpoint(eager=True)  # free h before return
-        return out
+        return spark.createDataFrame(
+            rows, "hamming_d bigint, n_pairs bigint, frac_of_all double"
+        )
     finally:
         h.unpersist()

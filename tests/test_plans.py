@@ -360,3 +360,23 @@ def test_q126_sizes_broadcast_gate_map_side(spark):
     plan = plan_of(spark, "q126_cluster_balanced_sample", mode="simple")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q150_encode_is_codegen_projection_no_udf(spark):
+    """The BPE APPLY stage must be a pure expression projection (chained
+    replace literals) — no Python UDF in the corpus-wide encode path (the
+    training loop's k winner-collects are the only driver round trips)."""
+    plan = plan_of(spark, "q150_bpe_encode_corpus", mode="simple")
+    assert "replace(" in plan  # the merge chain reached the plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # map-side partial aggregation before the per-source exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q151_scoring_is_broadcast_bound_projection(spark):
+    """Scoring is a map-side projection under three weight literals; the
+    p95 bound joins back as a broadcast single row (q88/q114's shape) —
+    no second scan-sized shuffle."""
+    plan = plan_of(spark, "q151_quality_residual_filter")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
