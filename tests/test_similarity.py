@@ -188,3 +188,51 @@ def test_grown_plane_count_blocks_subset(spark):
     }
     assert p12 <= p8
     assert len(p12) < len(p8)  # 16x more buckets genuinely prunes
+
+
+def test_production_semdedup_recall_floor_on_planted_truth(spark, tmp_path):
+    """The production dedup config (radius 1, SemDeDup-grade threshold,
+    log-n planes) must keep recall >= 0.8 against exact planted ground
+    truth — the measured knee BENCH_sf1.json's semdedup_production section
+    records (0.85-0.91 at both scale points). Guards hyperplanes_for /
+    the n_planes rung of neardup_pairs_lsh: a plane-family or probe-set
+    regression shows up here as silent recall loss, which no oracle can
+    catch (the blocking rule itself is what changed)."""
+    import numpy as np
+
+    from binwatch_spark.operators.similarity import neardup_pairs_lsh
+
+    rng = np.random.RandomState(11)
+    n, dim, n_plant = 1200, 64, 60
+    v = rng.randn(n, dim)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    truth = []
+    for k in range(n_plant):
+        pid, base = n - n_plant + k, k  # plants at the tail, bases up front
+        target = 0.955 + 0.04 * rng.rand()
+        g = rng.randn(dim)
+        g /= np.linalg.norm(g)
+        w = v[base] + (1.0 / target**2 - 1.0) ** 0.5 * g
+        v[pid] = w / np.linalg.norm(w)
+        c = float(
+            v[pid] @ v[base]
+            / (np.linalg.norm(v[pid]) * np.linalg.norm(v[base]))
+        )
+        if c >= 0.9501:
+            truth.append((base, pid))
+    assert len(truth) >= 50  # the construction must actually plant pairs
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {
+        (r["i"], r["j"])
+        for r in neardup_pairs_lsh(
+            emb, "vec_id", "embedding", 0.95, radius=1, n_planes=10
+        ).collect()
+    }
+    recovered = sum(1 for p in truth if p in got)
+    assert recovered / len(truth) >= 0.8
+    # and the exact verify holds: every emitted pair is truly cos >= 0.95
+    for i, j in got:
+        assert float(v[i] @ v[j]) >= 0.95 - 1e-9
