@@ -1897,3 +1897,108 @@ def test_gtid_reconnect_default_stays_positional(gtid_reconnect_session):
     kw = _GtidReconnectReader.last_kwargs
     assert "auto_position" not in kw
     assert got is None or all(r["binlog_file"] != "binlog.000001" for r in got)
+
+
+# Interplay soak: a COMPRESSED transaction interrupted under gtidReconnect —
+# the replay skip must count INNER row events (the payload wrapper is a
+# transport envelope, not a delivery unit).
+RECORDED_GR_COMPRESSED_OLD = [
+    ("mysql-bin.000030", 120, _GtidEvent(f"{_GR_UUID}:31")),
+    (
+        "mysql-bin.000030",
+        300,
+        _TransactionPayloadEvent(
+            [
+                _QueryEvent("BEGIN"),
+                _WriteRowsEvent("shop", "t", [{"values": {"id": 1}}]),
+                _WriteRowsEvent("shop", "t", [{"values": {"id": 2}}]),
+                _XidEvent(),
+            ]
+        ),
+    ),
+    ("mysql-bin.000030", 360, _GtidEvent(f"{_GR_UUID}:32")),
+    (
+        "mysql-bin.000030",
+        420,
+        _WriteRowsEvent("shop", "t", [{"values": {"id": 3}}]),
+    ),
+]
+RECORDED_GR_COMPRESSED_NEW = [
+    ("binlog.000001", 120, _GtidEvent(f"{_GR_UUID}:32")),
+    (
+        "binlog.000001",
+        180,
+        _WriteRowsEvent("shop", "t", [{"values": {"id": 3}}]),
+    ),
+    (
+        "binlog.000001",
+        240,
+        _WriteRowsEvent("shop", "t", [{"values": {"id": 4}}]),
+    ),
+]
+
+
+class _GtidCompressedReader(_GtidReconnectReader):
+    """Old primary serves :31 as a compressed payload (both rows arrive
+    atomically inside one wrapper), then :32's first row, then dies.
+    New primary re-serves :32 in full."""
+
+    def __init__(self, **kwargs):
+        type(self).last_kwargs = kwargs
+        type(self).last_instance = self
+        type(self).connections.append(self)
+        self._n = len(type(self).connections)
+        rec = (
+            RECORDED_GR_COMPRESSED_OLD
+            if self._n == 1
+            else RECORDED_GR_COMPRESSED_NEW
+        )
+        self._rec = rec
+        self.log_file = rec[0][0]
+        self.log_pos = 4
+        self.closed = False
+        self._only = kwargs.get("only_events") or []
+
+    def __iter__(self):
+        yielded_after_payload = 0
+        for f, p, e in self._rec:
+            self.log_file = f
+            self.log_pos = p
+            if not any(isinstance(e, cls) for cls in self._only):
+                continue
+            if self._n == 1 and isinstance(e, _WriteRowsEvent):
+                # the plain :32 row yields, THEN the connection dies
+                yield e
+                raise TimeoutError("old primary died after :32's first row")
+            yield e
+
+
+@pytest.fixture
+def gtid_compressed_session(fake_pymysqlreplication, monkeypatch):
+    _GtidCompressedReader.connections = []
+    fake_pymysqlreplication.BinLogStreamReader = _GtidCompressedReader
+    event_mod = types.ModuleType("pymysqlreplication.event")
+    event_mod.GtidEvent = _GtidEvent
+    event_mod.TransactionPayloadEvent = _TransactionPayloadEvent
+    fake_pymysqlreplication.event = event_mod
+    monkeypatch.setitem(sys.modules, "pymysqlreplication.event", event_mod)
+    yield fake_pymysqlreplication
+
+
+def test_gtid_reconnect_counts_inner_payload_events(gtid_compressed_session):
+    """The interrupted transaction (:32, one row yielded) follows a
+    COMPLETED compressed transaction (:31, two rows inside one payload).
+    On reconnect the delivered set must contain :31 (its payload fully
+    yielded — completion is the NEXT GtidEvent, which arrived) and the
+    replay skip must equal ONE (the :32 row), not the payload's event
+    count — wrapper unwrapping and transaction accounting are independent
+    layers."""
+    got = _gr_range(_gr_client())
+    assert [(r["binlog_file"], r["rows"][0]["id"]) for r in got] == [
+        ("mysql-bin.000030", "1"),
+        ("mysql-bin.000030", "2"),  # :31's payload rows, once
+        ("mysql-bin.000030", "3"),  # :32's first row from the old primary
+        ("binlog.000001", "4"),  # :32 resumed — row 3 NOT re-yielded
+    ]
+    kw = _GtidCompressedReader.last_kwargs
+    assert kw["auto_position"] == f"{_GR_UUID}:1-31"
