@@ -124,6 +124,7 @@ def _rows(df):
         ("q99_sessionize_stream", 1, False),
         ("q99_sessionize_stream", 1, True),
         ("q138_stream_budget_fill", 1, False),
+        ("q138_stream_budget_fill", 2, True),
         ("q141_scd2_stream", 1, False),
         ("q141_scd2_stream", 2, True),
         ("q146_interval_join_outer_stream", 2, False),

@@ -116,11 +116,21 @@ def main() -> None:
 def _bench_one(spark, fn, qname, args, out, plans_full) -> None:
     from pyspark.sql import functions as F
 
+    def steal_ticks() -> int:
+        # /proc/stat field 8 (steal): a hypervisor burst inflates wall with
+        # no in-VM evidence — recorded per run so a polluted scale point
+        # self-labels (the r11 bench.py lesson, docs/BENCH_NOTES.md).
+        return int(open("/proc/stat").readline().split()[8])
+
+    clk = os.sysconf("SC_CLK_TCK")
     runs = []
+    steals = []
     for _ in range(args.n):
+        s0 = steal_ticks()
         t0 = time.perf_counter()
         fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
         runs.append(round(time.perf_counter() - t0, 4))
+        steals.append(round((steal_ticks() - s0) / clk, 1))
         spark.catalog.clearCache()
     # plan run: execute a count-wrapped DataFrame so AQE finalizes
     # with bounded driver memory at ANY sf (collect would pull q23's
@@ -148,6 +158,7 @@ def _bench_one(spark, fn, qname, args, out, plans_full) -> None:
         "median": round(statistics.median(runs), 4),
         "max": max(runs),
         "runs": runs,
+        "steal_s": steals,
         "result_rows": nrows,
         "final_plan": "isFinalPlan=true" in plan,
         "plan_signature": plan_signature(plan),
