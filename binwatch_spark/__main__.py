@@ -49,7 +49,30 @@ def _sync(args: argparse.Namespace) -> int:
     spark.streams.addListener(listener)
     httpd = serve_api(cfg, listener) if args.serve_api else None
     try:
-        run_supervised(spark, cfg, available_now=args.available_now)
+        if args.per_route:
+            # R3 as N independent queries (run_routes_concurrent): each
+            # route has its own checkpoint and lifecycle — one route's
+            # sink outage stops only that route. Failures surface after
+            # ALL routes are awaited, so a healthy route finishes its
+            # drain even when a sibling dies mid-run.
+            from binwatch_spark.streaming.pipeline import (
+                run_routes_concurrent,
+            )
+
+            queries = run_routes_concurrent(
+                spark, cfg, available_now=args.available_now
+            )
+            failed: list[str] = []
+            for name, q in queries.items():
+                try:
+                    q.awaitTermination()
+                except Exception as exc:
+                    print(f"route {name} failed: {exc}", file=sys.stderr)
+                    failed.append(name)
+            if failed:
+                return 1
+        else:
+            run_supervised(spark, cfg, available_now=args.available_now)
     except Exception as exc:  # stopInError: exit non-zero like the reference
         print(f"pipeline failed: {exc}", file=sys.stderr)
         return 1
@@ -136,6 +159,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="drain available input and exit (dev/test)",
     )
     sync.add_argument("--master", default=None, help="Spark master URL override")
+    sync.add_argument(
+        "--per-route",
+        action="store_true",
+        help="run each route as its own streaming query with an independent"
+        " checkpoint (one route's failure never stops the others; restart"
+        " redelivers only that route's uncommitted batch)",
+    )
     sync.add_argument(
         "--no-serve-api",
         dest="serve_api",

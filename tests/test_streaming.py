@@ -1250,3 +1250,39 @@ def test_concurrent_routes_independent_checkpoints_and_restart(
         assert len(read_lines(f"{tmp}/out/all.jsonl")) == 4
     finally:
         sink.shutdown()
+
+
+def test_cli_sync_per_route_end_to_end(tmp_path):
+    """--per-route drives run_routes_concurrent from the CLI: both routes
+    drain to completion under availableNow with independent checkpoints,
+    same delivered output as the shared-query form."""
+    import yaml as _yaml
+
+    from binwatch_spark.__main__ import main
+
+    tmp = str(tmp_path)
+    write_replay(f"{tmp}/replay", EVENTS)
+    doc = make_cfg(tmp)
+    cfg_path = f"{tmp}/config.yaml"
+    with open(cfg_path, "w", encoding="utf-8") as fh:
+        _yaml.safe_dump(doc, fh)
+    rc = main(
+        [
+            "sync",
+            "--config",
+            cfg_path,
+            "--available-now",
+            "--per-route",
+            "--no-serve-api",
+        ]
+    )
+    assert rc == 0
+    assert len(read_lines(f"{tmp}/out/inserts.jsonl")) == 2
+    assert len(read_lines(f"{tmp}/out/all.jsonl")) == 4
+    # per-route checkpoints actually materialized
+    import os as _os
+
+    assert sorted(_os.listdir(f"{tmp}/checkpoint/routes")) == [
+        "all-ops",
+        "inserts-only",
+    ]
