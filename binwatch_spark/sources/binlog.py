@@ -846,7 +846,16 @@ class MySQLBinlogClient:
         # grows by each COMPLETED transaction (completion = the next
         # GtidEvent arrived); the interrupted transaction's already-yielded
         # row-event count becomes the replay skip after a re-handshake.
-        gtid_reconnect = self._gtid_reconnect() and start_gs is not None
+        # gtidReconnect needs GtidEvent boundaries to grow the delivered
+        # set and arm the replay skip; without the event class (old
+        # library generations) a re-handshake with the stale START set
+        # would re-yield everything since the range start as duplicates —
+        # fall back to the positional reconnect path instead.
+        gtid_reconnect = (
+            self._gtid_reconnect()
+            and start_gs is not None
+            and gtid_event_cls is not None
+        )
         delivered_gs = start_gs
         txn_events_yielded = 0
         interrupted_gtid: str | None = None
@@ -872,16 +881,25 @@ class MySQLBinlogClient:
                                 current_gtid
                             )
                         current_gtid = str(outer.gtid)
-                        txn_events_yielded = 0
                         if (
                             interrupted_gtid is not None
-                            and current_gtid != interrupted_gtid
+                            and current_gtid == interrupted_gtid
                         ):
-                            # The interrupted transaction is not being
-                            # re-served (it died with the old primary —
-                            # un-acked writes): nothing to skip.
-                            replay_skip = 0
-                            interrupted_gtid = None
+                            # Re-serve of the interrupted transaction:
+                            # txn_events_yielded keeps the TOTAL delivered
+                            # across servings — a second disconnect during
+                            # the re-serve must skip the whole delivered
+                            # prefix again, not just the rows yielded
+                            # since the last reconnect.
+                            pass
+                        else:
+                            txn_events_yielded = 0
+                            if interrupted_gtid is not None:
+                                # The interrupted transaction is not being
+                                # re-served (it died with the old primary —
+                                # un-acked writes): nothing to skip.
+                                replay_skip = 0
+                                interrupted_gtid = None
                         continue
                     if payload_cls is not None and isinstance(
                         outer, payload_cls
@@ -1003,9 +1021,18 @@ class MySQLBinlogClient:
                         cursor.position,
                         gtid_set=delivered_gs.encode(),
                     )
-                    interrupted_gtid = current_gtid
+                    if current_gtid is not None:
+                        # current_gtid None means no transaction started
+                        # since the LAST reconnect (the disconnect hit
+                        # before any event) — keep the prior interrupted
+                        # state instead of wiping it, or the originally
+                        # delivered prefix would be re-yielded.
+                        interrupted_gtid = current_gtid
+                    # txn_events_yielded is the TOTAL delivered for the
+                    # interrupted transaction across all servings (it is
+                    # NOT reset at the re-serve GtidEvent), so a second
+                    # disconnect mid-re-serve still skips the full prefix.
                     replay_skip = txn_events_yielded
-                    txn_events_yielded = 0
                     current_gtid = None
             finally:
                 stream.close()

@@ -2002,3 +2002,222 @@ def test_gtid_reconnect_counts_inner_payload_events(gtid_compressed_session):
     ]
     kw = _GtidCompressedReader.last_kwargs
     assert kw["auto_position"] == f"{_GR_UUID}:1-31"
+
+
+# Double-failure soaks (ADVICE r11 #1): the replay skip must survive a
+# SECOND disconnect while the interrupted transaction is being re-served.
+# txn accounting rule under test: the per-transaction delivered counter is
+# the TOTAL across servings (not reset at the re-serve GtidEvent), and a
+# reconnect with no transaction started since the last one keeps the prior
+# interrupted state.
+
+_GR2_32_ROWS = [
+    (
+        "mysql-bin.000030",
+        300 + 60 * i,
+        _WriteRowsEvent("shop", "t", [{"values": {"id": str(i + 2)}}]),
+    )
+    for i in range(4)
+]
+
+# Old primary: :31 (row 1) completes; :32 has rows 2..5.
+RECORDED_GR2_OLD = [
+    ("mysql-bin.000030", 120, _GtidEvent(f"{_GR_UUID}:31")),
+    (
+        "mysql-bin.000030",
+        180,
+        _WriteRowsEvent("shop", "t", [{"values": {"id": "1"}}]),
+    ),
+    ("mysql-bin.000030", 240, _GtidEvent(f"{_GR_UUID}:32")),
+] + _GR2_32_ROWS
+
+
+def _gr2_reserve(file: str) -> list:
+    """A primary re-serving :32 in full, then :33 (row 6)."""
+    rec = [(file, 120, _GtidEvent(f"{_GR_UUID}:32"))]
+    rec += [
+        (
+            file,
+            180 + 60 * i,
+            _WriteRowsEvent("shop", "t", [{"values": {"id": str(i + 2)}}]),
+        )
+        for i in range(4)
+    ]
+    rec.append((file, 480, _GtidEvent(f"{_GR_UUID}:33")))
+    rec.append(
+        (
+            file,
+            540,
+            _WriteRowsEvent("shop", "t", [{"values": {"id": "6"}}]),
+        )
+    )
+    return rec
+
+
+class _GtidDoubleFailReader(_FakeBinLogStreamReader):
+    """Scripted multi-failover reader: ``script[n]`` is (recording,
+    die_rule) for the n-th connection; die_rule None = serve to the end,
+    "immediate" = raise before any event, or a row id = raise AFTER
+    yielding that row."""
+
+    script: list = []
+    connections: list = []
+
+    def __init__(self, **kwargs):
+        type(self).last_kwargs = kwargs
+        type(self).connections.append(self)
+        self._n = len(type(self).connections)
+        rec, die = type(self).script[self._n - 1]
+        self._rec, self._die = rec, die
+        self.log_file = rec[0][0] if rec else "x"
+        self.log_pos = 4
+        self.closed = False
+        self._only = kwargs.get("only_events") or []
+
+    def __iter__(self):
+        if self._die == "immediate":
+            raise TimeoutError("primary unreachable")
+        for f, p, e in self._rec:
+            self.log_file = f
+            self.log_pos = p
+            if not any(isinstance(e, cls) for cls in self._only):
+                continue
+            yield e
+            if (
+                isinstance(e, _WriteRowsEvent)
+                and self._die is not None
+                and e.rows[0]["values"]["id"] == self._die
+            ):
+                raise TimeoutError(f"primary died after row {self._die}")
+
+    def close(self):
+        self.closed = True
+
+
+@pytest.fixture
+def gtid_doublefail_session(fake_pymysqlreplication, monkeypatch):
+    _GtidDoubleFailReader.connections = []
+    fake_pymysqlreplication.BinLogStreamReader = _GtidDoubleFailReader
+    event_mod = types.ModuleType("pymysqlreplication.event")
+    event_mod.GtidEvent = _GtidEvent
+    fake_pymysqlreplication.event = event_mod
+    monkeypatch.setitem(sys.modules, "pymysqlreplication.event", event_mod)
+    yield fake_pymysqlreplication
+
+
+def _gr2_ids(got):
+    return [(r["binlog_file"], r["rows"][0]["id"]) for r in got]
+
+
+def test_gtid_reconnect_double_failure_after_skip_exhausted(
+    gtid_doublefail_session,
+):
+    """Conn 1 dies after :32 delivered rows 2,3; conn 2 re-serves, skips
+    the 2-row prefix, yields row 4, then dies too. Conn 3's skip must be
+    THREE (total delivered: 2,3,4) — the pre-fix code forgot the original
+    prefix and set it to 1 (rows yielded since the last reconnect),
+    re-yielding rows 3 and 4 as duplicates."""
+    _GtidDoubleFailReader.script = [
+        (RECORDED_GR2_OLD, "3"),
+        (_gr2_reserve("binlog.000001"), "4"),
+        (_gr2_reserve("binlog.000002"), None),
+    ]
+    got = _gr_range(_gr_client())
+    assert _gr2_ids(got) == [
+        ("mysql-bin.000030", "1"),
+        ("mysql-bin.000030", "2"),
+        ("mysql-bin.000030", "3"),
+        ("binlog.000001", "4"),
+        ("binlog.000002", "5"),  # exactly once: 2,3,4 all skipped on conn 3
+        ("binlog.000002", "6"),
+    ]
+    assert len(_GtidDoubleFailReader.connections) == 3
+    # both re-handshakes carry the same delivered set (:32 still open)
+    assert (
+        _GtidDoubleFailReader.last_kwargs["auto_position"]
+        == f"{_GR_UUID}:1-31"
+    )
+
+
+def test_gtid_reconnect_double_failure_mid_skip(gtid_doublefail_session):
+    """Conn 2 dies DURING the replay skip (row 2 consumed silently, never
+    re-yielded): the delivered total is unchanged, so conn 3 must still
+    skip both originally-delivered rows — the pre-fix counter (yields
+    since reconnect = 0) dropped the skip entirely."""
+    _GtidDoubleFailReader.script = [
+        (RECORDED_GR2_OLD, "3"),
+        (_gr2_reserve("binlog.000001")[:2], None),  # Gtid :32 + row 2, ends
+        (_gr2_reserve("binlog.000002"), None),
+    ]
+    # conn 2's recording ENDS mid-skip (stream exhaustion ends the range
+    # cleanly) — use a dying variant instead so the client reconnects:
+    _GtidDoubleFailReader.script[1] = (
+        _gr2_reserve("binlog.000001"),
+        "2",
+    )
+    got = _gr_range(_gr_client())
+    assert _gr2_ids(got) == [
+        ("mysql-bin.000030", "1"),
+        ("mysql-bin.000030", "2"),
+        ("mysql-bin.000030", "3"),
+        ("binlog.000002", "4"),
+        ("binlog.000002", "5"),
+        ("binlog.000002", "6"),
+    ]
+
+
+def test_gtid_reconnect_failure_before_any_event_keeps_skip(
+    gtid_doublefail_session,
+):
+    """Conn 2 is unreachable (dies before serving anything): the
+    interrupted state must survive the no-progress reconnect — the
+    pre-fix code overwrote interrupted_gtid with None and re-yielded
+    the delivered prefix."""
+    _GtidDoubleFailReader.script = [
+        (RECORDED_GR2_OLD, "3"),
+        ([], "immediate"),
+        (_gr2_reserve("binlog.000002"), None),
+    ]
+    got = _gr_range(_gr_client())
+    assert _gr2_ids(got) == [
+        ("mysql-bin.000030", "1"),
+        ("mysql-bin.000030", "2"),
+        ("mysql-bin.000030", "3"),
+        ("binlog.000002", "4"),
+        ("binlog.000002", "5"),
+        ("binlog.000002", "6"),
+    ]
+
+
+@pytest.fixture
+def gtid_no_event_class_session(fake_pymysqlreplication, monkeypatch):
+    """pymysqlreplication generation WITHOUT GtidEvent: the from-import in
+    read_range must fail so gtidReconnect degrades to positional."""
+    _GtidDoubleFailReader.connections = []
+    fake_pymysqlreplication.BinLogStreamReader = _GtidDoubleFailReader
+    event_mod = types.ModuleType("pymysqlreplication.event")  # no GtidEvent
+    fake_pymysqlreplication.event = event_mod
+    monkeypatch.setitem(sys.modules, "pymysqlreplication.event", event_mod)
+    yield fake_pymysqlreplication
+
+
+def test_gtid_reconnect_without_gtid_event_class_falls_back_positional(
+    gtid_no_event_class_session,
+):
+    """ADVICE r11 #4: gtidReconnect + GTID start but no GtidEvent class —
+    delivered_gs could never grow and the skip could never arm, so a
+    re-handshake with the stale START set would duplicate everything
+    since the range start. The client must take the positional reconnect
+    path instead (no auto_position on the retry handshake)."""
+    rec = [r for r in RECORDED_GR2_OLD if not isinstance(r[2], _GtidEvent)]
+    _GtidDoubleFailReader.script = [
+        (rec, "2"),
+        (rec, None),
+        (rec, None),
+    ]
+    got = _gr_range(_gr_client())
+    # positional resume: rows 1,2 once from conn 1; conn 2 resumes past
+    # the cursor (loc <= cursor guard) and serves rows 3..5 once
+    assert [r["rows"][0]["id"] for r in got] == ["1", "2", "3", "4", "5"]
+    kw = _GtidDoubleFailReader.last_kwargs
+    assert "auto_position" not in kw
