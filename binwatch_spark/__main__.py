@@ -63,12 +63,32 @@ def _sync(args: argparse.Namespace) -> int:
                 spark, cfg, available_now=args.available_now
             )
             failed: list[str] = []
-            for name, q in queries.items():
-                try:
-                    q.awaitTermination()
-                except Exception as exc:
-                    print(f"route {name} failed: {exc}", file=sys.stderr)
-                    failed.append(name)
+            if args.available_now:
+                # Bounded drain: await each route to completion — failures
+                # surface after ALL routes are awaited, so a healthy route
+                # finishes its drain even when a sibling dies mid-run.
+                for name, q in queries.items():
+                    try:
+                        q.awaitTermination()
+                    except Exception as exc:
+                        print(f"route {name} failed: {exc}", file=sys.stderr)
+                        failed.append(name)
+            else:
+                # Continuous: supervise all routes — failures surface and
+                # restart promptly instead of waiting behind the first
+                # never-terminating sibling (pipeline.supervise_routes).
+                from binwatch_spark.streaming.pipeline import (
+                    supervise_routes,
+                )
+
+                failed = supervise_routes(
+                    spark,
+                    cfg,
+                    queries,
+                    on_failure=lambda name, exc: print(
+                        f"route {name} failed: {exc}", file=sys.stderr
+                    ),
+                )
             if failed:
                 return 1
         else:

@@ -180,6 +180,11 @@ class RouteConfig:
     # rejecting it at compile — replay-safe migration for reference
     # templates that use those functions (templates.compile_template).
     seeded_random: bool = False
+    # Per-route replica server id for --per-route on a LIVE master: each
+    # concurrent route is its own binlog dump connection and MySQL kills
+    # the previous dump when a duplicate server id registers. 0 = derive
+    # (source.serverID + route position); set explicitly to pin.
+    server_id: int = 0
 
 
 @dataclass
@@ -307,6 +312,7 @@ def parse(doc: dict) -> JobConfig:
             db_table=r.get("dbTable", ""),
             template=r.get("template", ""),
             seeded_random=bool(r.get("seededRandom", False)),
+            server_id=int(r.get("serverID", 0)),
         )
         for r in doc.get("routes", []) or []
     ]

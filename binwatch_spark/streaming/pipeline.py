@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from binwatch_spark.config import JobConfig
+from binwatch_spark.config import ConfigError, JobConfig
 from binwatch_spark.operators import cdc
 from binwatch_spark.operators.sharding import make_shard_key_udf, make_shard_udf
 from binwatch_spark.sinks.connectors import make_connector
@@ -358,21 +358,48 @@ def run_routes_concurrent(
 
     Trade stated: the source is consumed once PER ROUTE. Replay/file
     sources are free to re-read; on a live master each query is its own
-    replica connection — give each route a distinct ``serverid`` (MySQL
-    rejects duplicate server ids on concurrent dumps) and budget one
-    binlog read per route, which is how real fan-out replicas are
-    deployed. Ordering within a route follows its own query's
-    senderWorkers=1 sort exactly as in the shared form.
+    replica connection with its own DISTINCT server id (MySQL kills the
+    prior dump when a duplicate id registers, so shared ids would make
+    concurrent routes disconnect each other in a loop). Each route's id
+    is ``route.serverID`` if set, else ``source.serverID + position`` in
+    the config's route list — position in the FULL list, so a subset
+    restart (``route_names``) keeps the same id it had. Budget one binlog
+    read per route, which is how real fan-out replicas are deployed.
+    Ordering within a route follows its own query's senderWorkers=1 sort
+    exactly as in the shared form.
 
     ``route_names`` restarts a subset (e.g. just the failed route) against
     the same per-route checkpoints. Returns {route_name: StreamingQuery}.
     """
-    routes = compile_routes(cfg)
+    from dataclasses import replace as _dc_replace
+
+    all_routes = compile_routes(cfg)
+    by_name = {r.name: i for i, r in enumerate(all_routes)}
+    route_ids = {
+        r.name: (r_cfg.server_id or cfg.source.server_id + by_name[r.name])
+        for r, r_cfg in zip(all_routes, cfg.routes)
+    }
+    if not cfg.source.replay_dir and len(set(route_ids.values())) != len(
+        route_ids
+    ):
+        raise ConfigError(
+            "per-route on a live source needs distinct replica server ids; "
+            f"explicit route serverID overrides collide: {route_ids}"
+        )
+    routes = all_routes
     if route_names is not None:
         routes = [r for r in routes if r.name in route_names]
     queries = {}
     for route in routes:
-        stream = envelope_transform(source_stream(spark, cfg), cfg)
+        route_cfg = cfg
+        if not cfg.source.replay_dir:
+            route_cfg = _dc_replace(
+                cfg,
+                source=_dc_replace(
+                    cfg.source, server_id=route_ids[route.name]
+                ),
+            )
+        stream = envelope_transform(source_stream(spark, route_cfg), cfg)
         writer = (
             stream.writeStream.foreachBatch(
                 make_batch_processor(cfg, routes=[route])
@@ -387,6 +414,55 @@ def run_routes_concurrent(
             writer = writer.trigger(availableNow=True)
         queries[route.name] = writer.start()
     return queries
+
+
+def supervise_routes(
+    spark: SparkSession,
+    cfg: JobConfig,
+    queries: dict,
+    max_restarts: int = 10,
+    restart: Callable[[str], dict] | None = None,
+    on_failure: Callable[[str, Exception], None] | None = None,
+) -> list[str]:
+    """Continuous-mode supervisor for ``run_routes_concurrent``: a
+    sequential ``awaitTermination`` would block on the first
+    never-terminating query and mask a sibling's failure indefinitely
+    (ADVICE r11). ``awaitAnyTermination`` wakes on ANY route ending; a
+    failed route is reported promptly via ``on_failure`` and — when
+    ``restartSyncerOnError`` is set — restarted ALONE against its own
+    checkpoint (run_supervised semantics, per route). Returns the names
+    of terminally-failed routes once no queries remain active; a poison
+    route is bounded by ``max_restarts`` like run_supervised."""
+    if restart is None:
+        restart = lambda name: run_routes_concurrent(  # noqa: E731
+            spark, cfg, route_names=[name]
+        )
+    queries = dict(queries)
+    restarts: dict[str, int] = {}
+    failed: list[str] = []
+    spark.streams.resetTerminated()
+    while queries:
+        spark.streams.awaitAnyTermination()
+        spark.streams.resetTerminated()
+        for name, q in list(queries.items()):
+            if q.isActive:
+                continue
+            exc = q.exception()
+            if exc is None:  # clean stop()
+                queries.pop(name)
+                continue
+            if on_failure is not None:
+                on_failure(name, exc)
+            if (
+                cfg.server.restart_syncer_on_error
+                and restarts.get(name, 0) < max_restarts
+            ):
+                restarts[name] = restarts.get(name, 0) + 1
+                queries.update(restart(name))
+            else:
+                failed.append(name)
+                queries.pop(name)
+    return failed
 
 
 def run_supervised(

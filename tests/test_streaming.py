@@ -1286,3 +1286,144 @@ def test_cli_sync_per_route_end_to_end(tmp_path):
         "all-ops",
         "inserts-only",
     ]
+
+
+def test_per_route_server_ids_distinct_on_live_source(spark, tmp_path, monkeypatch):
+    """ADVICE r11 #2: concurrent routes on a LIVE master must not share
+    cfg.source.serverID (MySQL kills the prior dump when a duplicate id
+    registers). Each route's stream is built from a per-route source
+    config: route.serverID if set, else base + position in the FULL route
+    list — stable across subset restarts."""
+    from binwatch_spark.streaming import pipeline as pl
+
+    tmp = str(tmp_path)
+    write_replay(f"{tmp}/replay", EVENTS)
+    doc = make_cfg(tmp)
+    replay_dir = doc["source"].pop("replayDir")  # live-source shape
+    doc["source"]["serverID"] = 500
+    cfg = parse(doc)
+
+    seen: list[int] = []
+
+    def fake_source(spark_, route_cfg):
+        seen.append(route_cfg.source.server_id)
+        from binwatch_spark.sources.envelope import read_envelope_stream
+
+        return read_envelope_stream(spark_, replay_dir)
+
+    monkeypatch.setattr(pl, "source_stream", fake_source)
+    queries = pl.run_routes_concurrent(spark, cfg, available_now=True)
+    for q in queries.values():
+        q.awaitTermination(120)
+    assert sorted(seen) == [500, 501]  # distinct, base + position
+
+    # subset restart keeps the SAME id the route had in the full list
+    seen.clear()
+    (q2,) = pl.run_routes_concurrent(
+        spark, cfg, available_now=True, route_names=["all-ops"]
+    ).values()
+    q2.awaitTermination(120)
+    assert seen == [501]
+
+    # explicit per-route override wins
+    doc["routes"][0]["serverID"] = 900
+    cfg2 = parse(doc)
+    seen.clear()
+    qs = pl.run_routes_concurrent(spark, cfg2, available_now=True)
+    for q in qs.values():
+        q.awaitTermination(120)
+    assert sorted(seen) == [501, 900]
+
+
+def test_per_route_colliding_server_ids_refused(spark, tmp_path):
+    """Explicit overrides that collide on a live source are a config
+    error BEFORE any query starts — not a disconnect loop at runtime."""
+    from binwatch_spark.config import ConfigError
+    from binwatch_spark.streaming.pipeline import run_routes_concurrent
+
+    tmp = str(tmp_path)
+    doc = make_cfg(tmp)
+    doc["source"].pop("replayDir")
+    doc["routes"][0]["serverID"] = 7
+    doc["routes"][1]["serverID"] = 7
+    cfg = parse(doc)
+    with pytest.raises(ConfigError, match="distinct replica server ids"):
+        run_routes_concurrent(spark, cfg, available_now=True)
+
+
+class _FakeStreams:
+    def awaitAnyTermination(self):
+        pass
+
+    def resetTerminated(self):
+        pass
+
+
+class _FakeSparkForSupervise:
+    streams = _FakeStreams()
+
+
+class _ScriptedQuery:
+    """isActive until its script is exhausted; then terminates with the
+    scripted exception (None = clean stop)."""
+
+    def __init__(self, lifetimes: list):
+        self._script = list(lifetimes)
+
+    @property
+    def isActive(self):
+        return bool(self._script) and self._script[0] == "tick"
+
+    def exception(self):
+        return self._script[0] if self._script else None
+
+    def advance(self):
+        if self._script:
+            self._script.pop(0)
+
+
+def test_supervise_routes_restarts_failed_route_alone(tmp_path):
+    """ADVICE r11 #3: in continuous mode the supervisor must surface a
+    failed route promptly (not behind a never-terminating sibling) and —
+    with restartSyncerOnError — restart ONLY that route; a poison route
+    is bounded by max_restarts and reported."""
+    from binwatch_spark.streaming.pipeline import supervise_routes
+
+    doc = make_cfg(str(tmp_path))
+    doc["server"]["restartSyncerOnError"] = True
+    cfg = parse(doc)
+
+    healthy = _ScriptedQuery(["tick", "tick", None])  # stops clean later
+    poison = _ScriptedQuery([RuntimeError("sink down")])
+    queries = {"all-ops": healthy, "inserts-only": poison}
+
+    failures: list[str] = []
+    restart_log: list[str] = []
+
+    def restart(name):
+        restart_log.append(name)
+        return {name: _ScriptedQuery([RuntimeError("sink still down")])}
+
+    spark = _FakeSparkForSupervise()
+    orig_wait = _FakeStreams.awaitAnyTermination
+
+    def tick(self):
+        healthy.advance()
+
+    _FakeStreams.awaitAnyTermination = tick
+    try:
+        failed = supervise_routes(
+            spark,
+            cfg,
+            queries,
+            max_restarts=2,
+            restart=restart,
+            on_failure=lambda n, e: failures.append(n),
+        )
+    finally:
+        _FakeStreams.awaitAnyTermination = orig_wait
+    # the poison route was restarted alone, twice, then reported failed;
+    # the healthy route was never restarted and exited clean
+    assert restart_log == ["inserts-only", "inserts-only"]
+    assert failed == ["inserts-only"]
+    assert failures == ["inserts-only"] * 3
