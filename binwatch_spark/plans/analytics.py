@@ -10,6 +10,8 @@ sides) come from plans/registry.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -242,13 +244,37 @@ def q57_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q42_SQL = f"""
-WITH RECURSIVE s AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
-pairs AS (
+# q42's exact pair rung is Θ(n²/B) within metadata blocks BY ALGORITHM —
+# past this corpus size the registered query gates itself onto the banded
+# MinHash-LSH rung (the q23 pair generator), the same in-plan cutover
+# pattern as WIDE_DIM_CUTOVER and the jaccard_pairs hot-block gate. The
+# ORACLE spells the identical gate (both branches in one statement, the
+# dead branch's base CTE filtered empty by the same count), so the query
+# stays hash-exact on WHICHEVER side of the gate the data lands.
+Q42_EXACT_MAX_DOCS = int(
+    os.environ.get("BINWATCH_Q42_EXACT_MAX_DOCS", "20000")
+)
+
+
+def _q42_sql(gate: int) -> str:
+    from binwatch_spark.plans.dedup_queries import _minhash_lsh_sql
+
+    banded = _minhash_lsh_sql(
+        "(SELECT * FROM documents"
+        f" WHERE (SELECT count(*) FROM documents) > {gate})"
+    )
+    return f"""
+WITH RECURSIVE s AS (
+  SELECT doc_id, source, {_TOKS} AS toks FROM documents
+  WHERE (SELECT count(*) FROM documents) <= {gate}),
+exact_pairs AS (
   SELECT i, j FROM (
     SELECT x.doc_id AS i, y.doc_id AS j, {_JAC} AS jac
     FROM s x JOIN s y ON x.source = y.source AND x.doc_id < y.doc_id)
   WHERE jac >= {JACCARD_THRESHOLD}),
+banded_pairs AS ({banded}),
+pairs AS (SELECT i, j FROM exact_pairs
+          UNION ALL SELECT i, j FROM banded_pairs),
 edges AS (SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs),
 comp(node, label) AS (
   SELECT u, u FROM edges
@@ -259,6 +285,35 @@ SELECT node AS doc_id, min(label) AS cluster_id FROM comp GROUP BY node
 """
 
 
+_Q42_SQL = _q42_sql(Q42_EXACT_MAX_DOCS)
+
+
+def _q42_pairs(docs: DataFrame) -> DataFrame:
+    """The gated pair rung shared by q42/q71: exact source-blocked Jaccard
+    below Q42_EXACT_MAX_DOCS (hash-exact recall within blocks), the q23
+    banded MinHash-LSH generator above it (candidates bounded by true
+    similarity — measured 1.53× for 10× data on the Heaps-vocabulary
+    decade vs 13.2× for the exact rung, BENCH_sf1_heaps.json). The count
+    that decides the gate is one metadata-only scan; the oracle embeds
+    the same count so both engines take the same branch."""
+    n = docs.count()
+    if n <= Q42_EXACT_MAX_DOCS:
+        return dedup.jaccard_pairs(
+            docs, "text", "doc_id", "source", JACCARD_THRESHOLD
+        )
+    from binwatch_spark.functions.texthash import make_minhash_band_udf
+    from binwatch_spark.operators.text import distinct_tokens
+
+    band_udf = make_minhash_band_udf()
+    return dedup.minhash_lsh_pairs(
+        docs,
+        "text",
+        "doc_id",
+        JACCARD_THRESHOLD,
+        band_fn=lambda c: band_udf(distinct_tokens(c)),
+    )
+
+
 @register("q42_dedup_clusters", oracle=_Q42_SQL)
 def q42_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs collapsed into clusters (connected components, label =
@@ -266,9 +321,10 @@ def q42_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup pipeline. Spark side: Pregel-style min-label propagation over the
     pair graph (operators.dedup.connected_components — one shuffle per
     round, rounds ~ graph diameter); oracle side: the same components via a
-    recursive CTE, so even the iterative operator is hash-checked."""
+    recursive CTE, so even the iterative operator is hash-checked. The
+    pair rung self-protects past Q42_EXACT_MAX_DOCS (see _q42_pairs)."""
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(docs, "text", "doc_id", "source", JACCARD_THRESHOLD)
+    pairs = _q42_pairs(docs)
     return dedup.connected_components(pairs.select("i", "j"))
 
 
@@ -278,9 +334,10 @@ def q71_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm (Kiveris et al., operators.dedup.connected_components_star) —
     the O(log² n)-rounds-on-ANY-shape variant for path-like dup graphs
     where pointer jumping's diameter dependence bites. Same oracle as q42:
-    both algorithms must produce the identical (doc_id, cluster_id) map."""
+    both algorithms must produce the identical (doc_id, cluster_id) map,
+    through the same Q42_EXACT_MAX_DOCS gate."""
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(docs, "text", "doc_id", "source", JACCARD_THRESHOLD)
+    pairs = _q42_pairs(docs)
     return dedup.connected_components_star(pairs.select("i", "j"))
 
 

@@ -290,3 +290,49 @@ def test_hot_bucket_cap_suppresses_degenerate_candidates(spark, monkeypatch):
         20: ("drop_near", 4),
         30: ("drop_exact", 1),
     }
+
+
+def test_q42_gate_exact_below_banded_above(spark, monkeypatch):
+    """VERDICT r11 #4: q42_dedup_clusters self-protects — below
+    Q42_EXACT_MAX_DOCS it runs the exact source-blocked rung, above it
+    the banded q23 generator, and the ORACLE spells the identical gate,
+    so the registered (query, oracle) pair stays hash-exact on BOTH
+    sides. Checked by running the same corpus through both gate settings
+    against the gate-matched oracle."""
+    from binwatch_spark.plans import analytics
+    from binwatch_spark.testing import compare
+
+    sf_dir = "/root/testdata/sf0.001"
+    # default gate: corpus far below it -> exact rung, oracle exact branch
+    assert analytics.Q42_EXACT_MAX_DOCS > 100
+    problems = compare(
+        spark,
+        sf_dir,
+        "q42",
+        analytics.q42_dedup_clusters,
+        analytics._q42_sql(analytics.Q42_EXACT_MAX_DOCS),
+    )
+    assert problems == []
+
+    # forced gate 0: every doc counts as "too many" -> banded rung both
+    # engines; the pair sets (and so the clusters) must still hash-match
+    monkeypatch.setattr(analytics, "Q42_EXACT_MAX_DOCS", 0)
+    for fn in (analytics.q42_dedup_clusters, analytics.q71_dedup_clusters_star):
+        problems = compare(spark, sf_dir, fn.__name__, fn, analytics._q42_sql(0))
+        assert problems == [], problems
+
+
+def test_q42_rung_equality_below_gate(spark):
+    """On a corpus where every true near-dup pair shares a source AND
+    collides in >=1 band, the two rungs agree exactly — the gate changes
+    the algorithm, not the answer, for within-recall pairs."""
+    from binwatch_spark.plans import analytics
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "source", "text"])
+    exact = dedup.jaccard_pairs(docs, "text", "doc_id", "source", 0.8)
+    banded = dedup.minhash_lsh_pairs(docs, "text", "doc_id", 0.8)
+    assert _pairs(exact) == _pairs(banded)
+    # and the clusters built from either pair set are identical
+    cc_e = sorted(map(tuple, dedup.connected_components(exact.select("i", "j")).collect()))
+    cc_b = sorted(map(tuple, dedup.connected_components(banded.select("i", "j")).collect()))
+    assert cc_e == cc_b
