@@ -651,6 +651,14 @@ def _semi_hard_tail(pairs: DataFrame) -> DataFrame:
 # tables). L=2 r=3 is the chosen knee: recall clears 0.8 while candidate
 # work stays ~60% of the exact cross join's.
 NEG_PROBE_RADIUS = 3
+# Before raising Q117_TABLES past ~4: the first-table-collision
+# exclusivity filter is a per-pair bit_count conjunction that grows
+# LINEARLY in the table index (t filters on table t's candidates — see
+# the in-plan comment at the join below), so total filter work grows
+# ~L²/2. At L=2 it is two cheap codegen compares; past ~4 switch the
+# dedup strategy to one union + dropDuplicates((query_id, cand_id)) and
+# re-measure — identical output either way (the oracle's OR admits each
+# pair once no matter which table found it).
 Q117_TABLES = 2
 
 

@@ -982,7 +982,7 @@ class MySQLBinlogClient:
                         txn_events_yielded += 1
                     cursor = loc
                 return
-            except retriable:
+            except retriable as reconnect_exc:
                 attempts += 1
                 if attempts > self._max_reconnects():
                     raise
@@ -1008,6 +1008,32 @@ class MySQLBinlogClient:
                     # served at the tip (drop fresh transactions when the
                     # stale gtid is in the start set, re-yield re-served
                     # ones when it is not) until the next GtidEvent.
+                    current_gtid = None
+                elif (
+                    gtid_reconnect
+                    and cursor.gtid_set
+                    and cursor.file
+                    and _is_anonymous_auto_position_refusal(reconnect_exc)
+                ):
+                    # gtid_mode migration window: the master carries
+                    # ANONYMOUS transactions in its log (OFF →
+                    # OFF_PERMISSIVE → ON_PERMISSIVE) and refuses
+                    # auto_position dumps outright (ER_SOURCE_FATAL_ERROR
+                    # 1236 "...anonymous..."). Re-handshaking with the set
+                    # again would loop on the same refusal until attempts
+                    # exhaust — fall back to POSITIONAL resume against the
+                    # same primary for this reconnect: the cursor is the
+                    # last yielded location in this primary's own file
+                    # namespace, so the loc <= cursor bound dedupes and
+                    # the interrupted transaction's remainder (loc >
+                    # cursor) flows without a replay skip. (Needs a real
+                    # file cursor — a GTID-only start that fails its
+                    # FIRST handshake has nowhere positional to fall back
+                    # to and stays on the GTID path toward the attempt
+                    # bound.)
+                    cursor = BinlogLocation(cursor.file, cursor.position)
+                    replay_skip = 0
+                    interrupted_gtid = None
                     current_gtid = None
                 elif gtid_reconnect:
                     # Failover-safe resume: re-handshake with the
@@ -1036,6 +1062,22 @@ class MySQLBinlogClient:
                     current_gtid = None
             finally:
                 stream.close()
+
+
+def _is_anonymous_auto_position_refusal(exc: BaseException) -> bool:
+    """ER_SOURCE_FATAL_ERROR_READING_BINLOG (1236) refusing an
+    auto_position dump because the log contains anonymous transactions —
+    the signature of a primary mid gtid_mode migration. Matched by code
+    1236 plus the word "anonymous" in the message (pymysql surfaces the
+    server error as OperationalError(code, message)), or by the message
+    alone when the wrapper loses the code."""
+    text = str(exc).lower()
+    if "anonymous" not in text:
+        return False
+    args = getattr(exc, "args", ())
+    if args and isinstance(args[0], int):
+        return args[0] == 1236
+    return "auto_position" in text or "gtid" in text or "1236" in text
 
 
 def _make_client(options: dict[str, str]):

@@ -2221,3 +2221,298 @@ def test_gtid_reconnect_without_gtid_event_class_falls_back_positional(
     assert [r["rows"][0]["id"] for r in got] == ["1", "2", "3", "4", "5"]
     kw = _GtidDoubleFailReader.last_kwargs
     assert "auto_position" not in kw
+
+
+# ---------------------------------------------------------------------------
+# Round-12 recorded soaks (VERDICT r11 #5): PARTIAL_JSON inside a compressed
+# transaction, a FORMAT_DESCRIPTION boundary at a 5.7→8.0 upgrade, and a
+# mid-migration gtid_mode primary refusing auto_position dumps.
+
+
+def test_partial_json_inside_compressed_transaction(
+    compressed_session, monkeypatch
+):
+    """binlog_row_value_options=PARTIAL_JSON *combined with*
+    binlog_transaction_compression=ON: the partial-JSON shapes arrive as
+    INNER events of a Transaction_payload wrapper, and the two features
+    must compose — the unwrap layer hands each inner row event to the
+    same column-typed canonicalization as the plain path, so dict
+    delivery and raw-bytes delivery inside the payload still produce the
+    SAME wire text, and an untouched-column NULL stays null."""
+    inner = _UpdateRowsEvent(
+        "shop",
+        "profiles",
+        [
+            {
+                "before_values": {"id": 1},
+                "after_values": {"id": 1, "prefs": {"b": 2, "a": 1}},
+            },
+            {
+                "before_values": {"id": 2},
+                "after_values": {"id": 2, "prefs": b'{"b": 2, "a": 1}'},
+            },
+            {
+                "before_values": {"id": 3},
+                "after_values": {"id": 3, "prefs": None},
+            },
+        ],
+    )
+    inner.columns = [
+        types.SimpleNamespace(name="id", character_set_name=None, type=3),
+        types.SimpleNamespace(
+            name="prefs", character_set_name=None, type=245
+        ),
+    ]
+    monkeypatch.setitem(
+        globals(),
+        "RECORDED_COMPRESSED",
+        [
+            (
+                "mysql-bin.000040",
+                300,
+                _TransactionPayloadEvent(
+                    [_QueryEvent("BEGIN"), inner, _XidEvent()]
+                ),
+            )
+        ],
+    )
+    got = list(
+        _client().read_range(
+            BinlogLocation("mysql-bin.000040", 4),
+            BinlogLocation("mysql-bin.000040", 300),
+        )
+    )
+    assert len(got) == 1 and got[0]["operation"] == "UPDATE"
+    rows = got[0]["rows"]
+    assert rows[0]["prefs"] == '{"a":1,"b":2}'
+    assert rows[1]["prefs"] == rows[0]["prefs"]  # bytes == dict, canonical
+    assert rows[2]["prefs"] is None
+    assert got[0]["binlog_position"] == 300  # payload end-offset contract
+
+
+class _PreviousGtidsEvent:
+    """New-in-8.0 file-header event the client never subscribes to."""
+
+
+RECORDED_UPGRADE_BOUNDARY = [
+    # 5.7 primary: two row events, CRC32, pre-upgrade FDE
+    (
+        "mysql-bin.000010",
+        220,
+        "5.7.44-log",
+        _WriteRowsEvent("shop", "users", [{"values": {"id": 1}}]),
+    ),
+    (
+        "mysql-bin.000010",
+        500,
+        "5.7.44-log",
+        _UpdateRowsEvent(
+            "shop",
+            "users",
+            [{"before_values": {"id": 1}, "after_values": {"id": 1}}],
+        ),
+    ),
+    # in-place upgrade: server restarts as 8.0, rotates, the new file's
+    # FORMAT_DESCRIPTION declares new event sizes + post-header layouts
+    # and starts with new-in-8.0 artifacts: Previous_gtids and a
+    # compressed transaction
+    ("mysql-bin.000011", 4, "8.0.36", _PreviousGtidsEvent()),
+    (
+        "mysql-bin.000011",
+        400,
+        "8.0.36",
+        _TransactionPayloadEvent(
+            [
+                _QueryEvent("BEGIN"),
+                _WriteRowsEvent("shop", "users", [{"values": {"id": 2}}]),
+                _XidEvent(),
+            ]
+        ),
+    ),
+    (
+        "mysql-bin.000011",
+        600,
+        "8.0.36",
+        _DeleteRowsEvent("shop", "users", [{"values": {"id": 1}}]),
+    ),
+]
+
+
+class _UpgradeBoundaryReader(_FakeBinLogStreamReader):
+    """Positions advance for EVERY parsed event (including unsubscribed
+    types — the library parses them to track offsets, then filters), and
+    the advertised server version / FDE generation flips at the rotate,
+    exactly as a 5.7→8.0 in-place upgrade surfaces."""
+
+    seen_versions: list = []
+
+    def __init__(self, **kwargs):
+        type(self).last_kwargs = kwargs
+        type(self).last_instance = self
+        self.log_file = "mysql-bin.000010"
+        self.log_pos = 4
+        self.closed = False
+        self._only = kwargs.get("only_events") or []
+
+    def __iter__(self):
+        for f, p, ver, e in RECORDED_UPGRADE_BOUNDARY:
+            self.log_file = f
+            self.log_pos = p
+            type(self).seen_versions.append((f, p, ver))
+            if not any(isinstance(e, cls) for cls in self._only):
+                continue
+            yield e
+
+
+@pytest.fixture
+def upgrade_boundary_session(fake_pymysqlreplication, monkeypatch):
+    _UpgradeBoundaryReader.seen_versions = []
+    fake_pymysqlreplication.BinLogStreamReader = _UpgradeBoundaryReader
+    event_mod = types.ModuleType("pymysqlreplication.event")
+    event_mod.TransactionPayloadEvent = _TransactionPayloadEvent
+    fake_pymysqlreplication.event = event_mod
+    monkeypatch.setitem(sys.modules, "pymysqlreplication.event", event_mod)
+    yield fake_pymysqlreplication
+
+
+def test_format_description_5_7_to_8_0_file_boundary(
+    upgrade_boundary_session,
+):
+    """FORMAT_DESCRIPTION change across a 5.7→8.0 upgrade boundary: the
+    rotate lands in a file whose FDE declares a DIFFERENT event-size
+    table and whose first entries are new-in-8.0 event types. The client
+    is FDE-transparent (sizing is the library's job below the event API):
+    every row event flows exactly once with exact positions — including
+    the compressed transaction the 5.7 side could never contain — and
+    the unsubscribed Previous_gtids header neither surfaces nor skews
+    position accounting."""
+    got = list(
+        _client().read_range(
+            BinlogLocation("mysql-bin.000010", 4),
+            BinlogLocation("mysql-bin.000011", 600),
+        )
+    )
+    assert [
+        (r["binlog_file"], r["binlog_position"], r["operation"]) for r in got
+    ] == [
+        ("mysql-bin.000010", 220, "INSERT"),
+        ("mysql-bin.000010", 500, "UPDATE"),
+        ("mysql-bin.000011", 400, "INSERT"),  # payload inner, end offset
+        ("mysql-bin.000011", 600, "DELETE"),
+    ]
+    # the upgrade boundary really happened inside the served range
+    vers = {f: v for f, _, v in _UpgradeBoundaryReader.seen_versions}
+    assert vers["mysql-bin.000010"].startswith("5.7")
+    assert vers["mysql-bin.000011"].startswith("8.0")
+
+
+# gtid_mode migration: the primary still carries anonymous transactions,
+# so the auto_position re-handshake is REFUSED with ER 1236 — the client
+# must fall back to positional resume instead of looping on the refusal.
+
+RECORDED_ANON_MIGRATION = [
+    ("mysql-bin.000050", 120, _GtidEvent(f"{_GR_UUID}:31")),
+    (
+        "mysql-bin.000050",
+        180,
+        _WriteRowsEvent("shop", "t", [{"values": {"id": "1"}}]),
+    ),
+    ("mysql-bin.000050", 240, _GtidEvent(f"{_GR_UUID}:32")),
+    (
+        "mysql-bin.000050",
+        300,
+        _WriteRowsEvent("shop", "t", [{"values": {"id": "2"}}]),
+    ),
+    # ANONYMOUS transaction (gtid_mode OFF_PERMISSIVE window): row events
+    # with no GtidEvent boundary
+    (
+        "mysql-bin.000050",
+        420,
+        _WriteRowsEvent("shop", "t", [{"values": {"id": "3"}}]),
+    ),
+    ("mysql-bin.000050", 480, _GtidEvent(f"{_GR_UUID}:33")),
+    (
+        "mysql-bin.000050",
+        540,
+        _WriteRowsEvent("shop", "t", [{"values": {"id": "4"}}]),
+    ),
+]
+
+
+class _AnonRefusalReader(_FakeBinLogStreamReader):
+    """Conn 1 (GTID start): serves through row 2, dies. Conn 2 (the
+    auto_position re-handshake): refused outright with ER 1236. Conn 3
+    (positional fallback): re-serves the whole file; the client's
+    loc <= cursor bound must dedupe rows 1-2."""
+
+    connections: list = []
+
+    def __init__(self, **kwargs):
+        type(self).last_kwargs = kwargs
+        type(self).connections.append(kwargs)
+        self._n = len(type(self).connections)
+        self.log_file = "mysql-bin.000050"
+        self.log_pos = 4
+        self.closed = False
+        self._only = kwargs.get("only_events") or []
+
+    def __iter__(self):
+        if self._n == 2:
+            assert "auto_position" in type(self).connections[1]
+            raise OSError(
+                1236,
+                "Cannot replicate anonymous transaction when "
+                "AUTO_POSITION = 1, at file mysql-bin.000050, position 300.",
+            )
+        for f, p, e in RECORDED_ANON_MIGRATION:
+            self.log_file = f
+            self.log_pos = p
+            if not any(isinstance(e, cls) for cls in self._only):
+                continue
+            if (
+                self._n == 1
+                and isinstance(e, _WriteRowsEvent)
+                and e.rows[0]["values"]["id"] == "2"
+            ):
+                yield e
+                raise TimeoutError("primary dropped the connection")
+            yield e
+
+    def close(self):
+        self.closed = True
+
+
+@pytest.fixture
+def anon_refusal_session(fake_pymysqlreplication, monkeypatch):
+    _AnonRefusalReader.connections = []
+    fake_pymysqlreplication.BinLogStreamReader = _AnonRefusalReader
+    event_mod = types.ModuleType("pymysqlreplication.event")
+    event_mod.GtidEvent = _GtidEvent
+    fake_pymysqlreplication.event = event_mod
+    monkeypatch.setitem(sys.modules, "pymysqlreplication.event", event_mod)
+    yield fake_pymysqlreplication
+
+
+def test_gtid_mode_migration_refusal_falls_back_positional(
+    anon_refusal_session,
+):
+    """SET gtid_mode mid-migration: the log mixes tagged and ANONYMOUS
+    transactions and the primary refuses auto_position dumps (ER 1236).
+    After the refusal the client resumes POSITIONALLY from its cursor —
+    same primary, same file namespace — so rows 1-2 dedupe by position,
+    the anonymous row flows exactly once (it could never be protected by
+    a GTID set), and the tagged :33 follows. No refusal loop, no
+    duplicates, no loss."""
+    got = _gr_range(_gr_client())
+    assert [(r["binlog_position"], r["rows"][0]["id"]) for r in got] == [
+        (180, "1"),
+        (300, "2"),
+        (420, "3"),  # anonymous txn, exactly once
+        (540, "4"),
+    ]
+    conns = _AnonRefusalReader.connections
+    assert len(conns) == 3
+    assert "auto_position" in conns[1]  # the refused GTID re-handshake
+    assert "auto_position" not in conns[2]  # the positional fallback
+    assert conns[2].get("log_file") == "mysql-bin.000050"
+    assert conns[2].get("log_pos") == 300  # cursor = last yielded loc

@@ -360,3 +360,164 @@ def test_pillow_output_read_back_by_our_decoder():
         gw, gh, gc, gpx = png_decode(buf.getvalue())
         assert (gw, gh, gc) == (w, h, c)
         assert gpx == px
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r11 #6: a SECOND, independent pure-stdlib PNG codec (below) gives
+# the PNG family the same both-directions cross-validation the WAV family
+# has from stdlib `wave` — no Pillow needed, so it runs in EVERY round, not
+# only the env-gated ones. The reference codec here is written deliberately
+# differently from operators.multimodal (streamed inflate via decompressobj,
+# binascii CRC, candidate-sort Paeth, adaptive minimum-sum filter selection,
+# multi-IDAT output with ancillary chunks) so agreement is evidence, not an
+# echo.
+# ---------------------------------------------------------------------------
+
+
+def _ref_paeth(a, b, c):
+    # different formulation: pick the candidate minimizing |p - cand|,
+    # stable order (a, b, c) — equivalent to spec §9.4 by construction
+    p = a + b - c
+    return min(((abs(p - a), 0, a), (abs(p - b), 1, b), (abs(p - c), 2, c)))[2]
+
+
+def _ref_png_decode(data: bytes):
+    """Independent minimal PNG reader: memoryview chunk walk, binascii
+    CRC, streamed zlib, per-row unfilter with the sort-based Paeth."""
+    import binascii
+    import struct as st
+    import zlib as zl
+
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "magic"
+    mv = memoryview(data)
+    ofs = 8
+    hdr = None
+    dec = zl.decompressobj()
+    raw = bytearray()
+    while ofs < len(data):
+        ln = st.unpack_from(">I", mv, ofs)[0]
+        tag = bytes(mv[ofs + 4 : ofs + 8])
+        body = mv[ofs + 8 : ofs + 8 + ln]
+        crc = st.unpack_from(">I", mv, ofs + 8 + ln)[0]
+        assert binascii.crc32(tag + bytes(body)) & 0xFFFFFFFF == crc, tag
+        if tag == b"IHDR":
+            hdr = st.unpack(">IIBBBBB", bytes(body))
+        elif tag == b"IDAT":
+            raw += dec.decompress(bytes(body))
+        elif tag == b"IEND":
+            raw += dec.flush()
+            break
+        ofs += 12 + ln
+    w, h, depth, ct, _, _, _ = hdr
+    assert depth == 8 and ct in (0, 2)
+    ch = 1 if ct == 0 else 3
+    stride = w * ch
+    px = []
+    prev = [0] * stride
+    for y in range(h):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ft, row = row[0], list(row[1:])
+        cur = []
+        for x in range(stride):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            add = (0, a, b, (a + b) >> 1, _ref_paeth(a, b, c))[ft]
+            cur.append((row[x] + add) & 0xFF)
+        px.extend(cur)
+        prev = cur
+    return w, h, ch, bytes(px)
+
+
+def _ref_png_encode(px: bytes, w: int, h: int, ch: int) -> bytes:
+    """Independent minimal PNG writer exercising spec shapes OUR encoder
+    never emits: adaptive per-row filter choice (minimum absolute-sum
+    heuristic, like real encoders), level-0 stored-block zlib, the IDAT
+    stream split into 7-byte chunks, and ancillary chunks (gAMA before,
+    tEXt after) that a decoder must skip."""
+    import struct as st
+    import zlib as zl
+
+    stride = w * ch
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = px[y * stride : (y + 1) * stride]
+        best = None
+        for ft in range(5):
+            enc = bytearray()
+            for x in range(stride):
+                a = row[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                pred = (0, a, b, (a + b) >> 1, _ref_paeth(a, b, c))[ft]
+                enc.append((row[x] - pred) & 0xFF)
+            cost = sum(v if v < 128 else 256 - v for v in enc)
+            if best is None or cost < best[0]:
+                best = (cost, ft, enc)
+        raw.append(best[1])
+        raw += best[2]
+        prev = row
+
+    def chunk(tag, body):
+        return (
+            st.pack(">I", len(body))
+            + tag
+            + body
+            + st.pack(">I", zl.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    z = zl.compress(bytes(raw), 0)  # stored blocks — no real compression
+    idats = b"".join(
+        chunk(b"IDAT", z[i : i + 7]) for i in range(0, len(z), 7)
+    )
+    ihdr = st.pack(">IIBBBBB", w, h, 8, 0 if ch == 1 else 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"gAMA", st.pack(">I", 45455))
+        + idats
+        + chunk(b"tEXt", b"Software\x00ref-codec")
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_encode_read_back_by_independent_stdlib_decoder():
+    """Direction 1 without Pillow: every (size, channels, filter-policy)
+    case from _png_cases decodes identically under the independent
+    reference reader."""
+    from binwatch_spark.operators.multimodal import png_encode
+
+    for w, h, c, px, ft in _png_cases():
+        got = _ref_png_decode(png_encode(px, w, h, c, row_filter=ft))
+        assert got == (w, h, c, px), (w, h, c)
+
+
+def test_independent_encoder_output_read_back_by_our_decoder():
+    """Direction 2 without Pillow: multi-IDAT (7-byte splits), level-0
+    zlib, adaptive filters, and skippable ancillary chunks — shapes our
+    encoder never produces — must decode exactly through png_decode."""
+    from binwatch_spark.operators.multimodal import png_decode
+
+    for w, h, c, px, _ in _png_cases():
+        payload = _ref_png_encode(px, w, h, c)
+        assert payload.count(b"IDAT") > 1 or w * h * c < 6  # split proof
+        got = png_decode(payload)
+        assert got == (w, h, c, px), (w, h, c)
+
+
+def test_codecs_agree_on_filter_reconstruction_per_type():
+    """Pin each filter type through BOTH decoders: our encoder fixes the
+    row filter, both decoders must reconstruct the same pixels."""
+    from binwatch_spark.operators.multimodal import png_decode, png_encode
+
+    w, h, c = 9, 6, 3
+    px = bytes(((x * 7 + 13) % 256) for x in range(w * h * c))
+    for ft in range(5):
+        payload = png_encode(px, w, h, c, row_filter=lambda y: ft)
+        assert png_decode(payload) == _ref_png_decode(payload) == (
+            w,
+            h,
+            c,
+            px,
+        ), ft
