@@ -137,6 +137,12 @@ def main():
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.driver.memory", "8g")
+        # large-SF sweeps hash FULL result sets; pair-family outputs can
+        # exceed the 1g default collect budget long before they exceed RAM
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("ORACLE_CHECK_MAXRESULT", "4g"),
+        )
         .appName("oracle-check")
         .getOrCreate()
     )
