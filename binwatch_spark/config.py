@@ -183,7 +183,9 @@ class RouteConfig:
     # Per-route replica server id for --per-route on a LIVE master: each
     # concurrent route is its own binlog dump connection and MySQL kills
     # the previous dump when a duplicate server id registers. 0 = derive
-    # (source.serverID + route position); set explicitly to pin.
+    # (source.serverID + 1 + route position — never serverID itself, so
+    # derived ids can't collide with the shared single-query pipeline
+    # reading the same config); set explicitly to pin.
     server_id: int = 0
 
 

@@ -876,6 +876,19 @@ class MySQLBinlogClient:
                         # the row events that follow; the cursor stays at
                         # the last YIELDED location (resume must not land
                         # on a GTID entry).
+                        if not cursor.gtid_set and BinlogLocation(
+                            stream.log_file, int(stream.log_pos)
+                        ) <= cursor:
+                            # Stale boundary below a positional cursor
+                            # (a server re-serving earlier events than the
+                            # requested offset — defense-in-depth mirroring
+                            # the row-event loc bound). Processing it would
+                            # fold the still-open current_gtid into
+                            # delivered_gs PREMATURELY — its next GtidEvent
+                            # hasn't arrived — so the open transaction's
+                            # remaining rows would be dropped as
+                            # already-delivered (ADVICE r12).
+                            continue
                         if gtid_reconnect and current_gtid is not None:
                             delivered_gs = delivered_gs.with_gtid(
                                 current_gtid
@@ -1031,10 +1044,34 @@ class MySQLBinlogClient:
                     # FIRST handshake has nowhere positional to fall back
                     # to and stays on the GTID path toward the attempt
                     # bound.)
+                    #
+                    # The in-flight transaction's gtid is KEPT as
+                    # current_gtid (ADVICE r12). On the usual entry path
+                    # the preceding gtid-reconnect already moved it into
+                    # interrupted_gtid and cleared current_gtid, so
+                    # restore from there (a live current_gtid — a fresh
+                    # boundary served between the re-handshake and this
+                    # refusal — wins). The positional resume continues
+                    # that transaction in the same file namespace — the
+                    # loc <= cursor bound dedupes any re-served prefix
+                    # and the stale-boundary guard above ignores
+                    # re-served GtidEvents — so its NEXT GtidEvent folds
+                    # it into delivered_gs like any completed
+                    # transaction. Dropping it would leave the
+                    # transaction out of the delivered set forever: once
+                    # gtid_mode reaches ON, a later auto_position
+                    # re-handshake would re-serve the whole transaction
+                    # (duplicate rows) and its GtidEvent would wipe the
+                    # replay skip armed for the genuinely interrupted
+                    # one. The replay skip itself is NOT needed here:
+                    # positional resume serves only past the cursor, so
+                    # the already-yielded prefix is never re-served —
+                    # but txn_events_yielded keeps counting so a LATER
+                    # gtid reconnect still skips the full prefix.
                     cursor = BinlogLocation(cursor.file, cursor.position)
+                    current_gtid = current_gtid or interrupted_gtid
                     replay_skip = 0
                     interrupted_gtid = None
-                    current_gtid = None
                 elif gtid_reconnect:
                     # Failover-safe resume: re-handshake with the
                     # delivered set — the new primary serves exactly the

@@ -361,10 +361,17 @@ def run_routes_concurrent(
     replica connection with its own DISTINCT server id (MySQL kills the
     prior dump when a duplicate id registers, so shared ids would make
     concurrent routes disconnect each other in a loop). Each route's id
-    is ``route.serverID`` if set, else ``source.serverID + position`` in
-    the config's route list — position in the FULL list, so a subset
-    restart (``route_names``) keeps the same id it had. Budget one binlog
-    read per route, which is how real fan-out replicas are deployed.
+    is ``route.serverID`` if set, else ``source.serverID + 1 + position``
+    in the config's route list — position in the FULL list, so a subset
+    restart (``route_names``) keeps the same id it had. The +1 keeps
+    every derived id distinct from ``source.serverID`` itself, which the
+    shared single-query pipeline (or any other consumer of the same
+    config) uses — without it, per-route mode running concurrently with
+    the shared form would share route-0's id and the two dumps would
+    kill each other in a registration loop (ADVICE r12). The collision
+    check below can only see ids within THIS invocation. Budget one
+    binlog read per route, which is how real fan-out replicas are
+    deployed.
     Ordering within a route follows its own query's senderWorkers=1 sort
     exactly as in the shared form.
 
@@ -376,7 +383,9 @@ def run_routes_concurrent(
     all_routes = compile_routes(cfg)
     by_name = {r.name: i for i, r in enumerate(all_routes)}
     route_ids = {
-        r.name: (r_cfg.server_id or cfg.source.server_id + by_name[r.name])
+        r.name: (
+            r_cfg.server_id or cfg.source.server_id + 1 + by_name[r.name]
+        )
         for r, r_cfg in zip(all_routes, cfg.routes)
     }
     if not cfg.source.replay_dir and len(set(route_ids.values())) != len(
@@ -432,7 +441,18 @@ def supervise_routes(
     ``restartSyncerOnError`` is set — restarted ALONE against its own
     checkpoint (run_supervised semantics, per route). Returns the names
     of terminally-failed routes once no queries remain active; a poison
-    route is bounded by ``max_restarts`` like run_supervised."""
+    route is bounded by ``max_restarts`` like run_supervised.
+
+    Ordering matters (ADVICE r12): ``resetTerminated`` runs FIRST each
+    iteration, then the ``isActive`` sweep, and ``awaitAnyTermination``
+    only when every tracked query is still active. A route that died
+    between ``writer.start()`` and supervisor entry (or between two
+    wake-ups) is caught by the sweep — termination STATE persists across
+    the reset even though the termination SIGNAL does not — while a route
+    dying after the reset raises a fresh signal for the await. The r11
+    ordering (reset after the await) could wipe a fast failure's signal
+    and then block on ``awaitAnyTermination`` forever in continuous
+    mode."""
     if restart is None:
         restart = lambda name: run_routes_concurrent(  # noqa: E731
             spark, cfg, route_names=[name]
@@ -440,10 +460,10 @@ def supervise_routes(
     queries = dict(queries)
     restarts: dict[str, int] = {}
     failed: list[str] = []
-    spark.streams.resetTerminated()
     while queries:
-        spark.streams.awaitAnyTermination()
         spark.streams.resetTerminated()
+        if all(q.isActive for q in queries.values()):
+            spark.streams.awaitAnyTermination()
         for name, q in list(queries.items()):
             if q.isActive:
                 continue

@@ -2516,3 +2516,164 @@ def test_gtid_mode_migration_refusal_falls_back_positional(
     assert "auto_position" not in conns[2]  # the positional fallback
     assert conns[2].get("log_file") == "mysql-bin.000050"
     assert conns[2].get("log_pos") == 300  # cursor = last yielded loc
+
+
+# ADVICE r12: the transaction that was IN FLIGHT when the ER-1236
+# fallback fired must still fold into the delivered set at its next
+# GtidEvent — clearing current_gtid at the fallback left it out forever,
+# so once gtid_mode reached ON, the next auto_position re-handshake
+# re-served the whole transaction (duplicate rows) and its GtidEvent
+# wiped the replay skip armed for the genuinely interrupted one.
+
+RECORDED_MIGRATION_FULL = [
+    ("mysql-bin.000060", 120, _GtidEvent(f"{_GR_UUID}:41")),
+    (
+        "mysql-bin.000060",
+        180,
+        _WriteRowsEvent("shop", "t", [{"values": {"id": "1"}}]),
+    ),
+    ("mysql-bin.000060", 240, _GtidEvent(f"{_GR_UUID}:42")),
+    (
+        "mysql-bin.000060",
+        300,
+        _WriteRowsEvent("shop", "t", [{"values": {"id": "2"}}]),
+    ),
+    (
+        "mysql-bin.000060",
+        360,
+        _WriteRowsEvent("shop", "t", [{"values": {"id": "3"}}]),
+    ),
+    ("mysql-bin.000060", 420, _GtidEvent(f"{_GR_UUID}:43")),
+    (
+        "mysql-bin.000060",
+        480,
+        _WriteRowsEvent("shop", "t", [{"values": {"id": "4"}}]),
+    ),
+    (
+        "mysql-bin.000060",
+        540,
+        _WriteRowsEvent("shop", "t", [{"values": {"id": "5"}}]),
+    ),
+    ("mysql-bin.000060", 600, _GtidEvent(f"{_GR_UUID}:44")),
+    (
+        "mysql-bin.000060",
+        660,
+        _WriteRowsEvent("shop", "t", [{"values": {"id": "6"}}]),
+    ),
+]
+
+
+class _MigrationThenGtidOnReader(_FakeBinLogStreamReader):
+    """Conn 1 (GTID start): dies after row 2, mid-:42. Conn 2
+    (auto_position re-handshake): ER-1236 refused (anonymous txns still
+    in the log). Conn 3 (positional fallback): a REAL positional dump —
+    serves strictly past the requested offset — and dies after row 4,
+    mid-:43, by which time gtid_mode has reached ON. Conn 4
+    (auto_position again, now accepted): serves like a real primary —
+    every transaction NOT in the handshake set, in full. A client that
+    lost :42 across the fallback sends :1-41 here and gets rows 2-3
+    again as duplicates."""
+
+    connections: list = []
+
+    def __init__(self, **kwargs):
+        type(self).last_kwargs = kwargs
+        type(self).connections.append(kwargs)
+        self._kwargs = kwargs
+        self._n = len(type(self).connections)
+        self.log_file = "mysql-bin.000060"
+        self.log_pos = 4
+        self.closed = False
+        self._only = kwargs.get("only_events") or []
+
+    def _serve(self, records):
+        for f, p, e in records:
+            self.log_file = f
+            self.log_pos = p
+            if not any(isinstance(e, cls) for cls in self._only):
+                continue
+            yield e
+
+    def __iter__(self):
+        if self._n == 1:
+            for e in self._serve(RECORDED_MIGRATION_FULL):
+                yield e
+                if (
+                    isinstance(e, _WriteRowsEvent)
+                    and e.rows[0]["values"]["id"] == "2"
+                ):
+                    raise TimeoutError("dropped mid-:42")
+        elif self._n == 2:
+            raise OSError(
+                1236,
+                "Cannot replicate anonymous transaction when "
+                "AUTO_POSITION = 1, at file mysql-bin.000060, position 300.",
+            )
+        elif self._n == 3:
+            pos = self._kwargs["log_pos"]
+            served = [
+                r for r in RECORDED_MIGRATION_FULL if r[1] > pos
+            ]
+            for e in self._serve(served):
+                yield e
+                if (
+                    isinstance(e, _WriteRowsEvent)
+                    and e.rows[0]["values"]["id"] == "4"
+                ):
+                    raise TimeoutError("dropped mid-:43, gtid_mode now ON")
+        else:
+            gset = self._kwargs["auto_position"]
+            # real-primary GTID filtering at transaction granularity:
+            # everything through :42 delivered → serve from :43; a set
+            # missing :42 gets :42 re-served in full (the duplicates the
+            # r12 bug produced)
+            start = 5 if gset.endswith("-42") else 2
+            for e in self._serve(RECORDED_MIGRATION_FULL[start:]):
+                yield e
+
+    def close(self):
+        self.closed = True
+
+
+@pytest.fixture
+def migration_then_gtid_on_session(fake_pymysqlreplication, monkeypatch):
+    _MigrationThenGtidOnReader.connections = []
+    fake_pymysqlreplication.BinLogStreamReader = _MigrationThenGtidOnReader
+    event_mod = types.ModuleType("pymysqlreplication.event")
+    event_mod.GtidEvent = _GtidEvent
+    fake_pymysqlreplication.event = event_mod
+    monkeypatch.setitem(sys.modules, "pymysqlreplication.event", event_mod)
+    yield fake_pymysqlreplication
+
+
+def test_fallback_transaction_folds_into_delivered_set(
+    migration_then_gtid_on_session,
+):
+    """ADVICE r12: :42 is in flight when the ER-1236 positional fallback
+    fires; its remainder (row 3) flows positionally and its NEXT
+    GtidEvent (:43) must fold it into the delivered set. When gtid_mode
+    later reaches ON and the client re-handshakes with auto_position
+    after a second mid-:43 disconnect, the set must read :1-42 — so the
+    primary re-serves only the interrupted :43 (replay skip drops row
+    4's duplicate) and every row arrives exactly once end-to-end."""
+    got = list(
+        _gr_client().read_range(
+            BinlogLocation("", 0, gtid_set=f"{_GR_UUID}:1-40"),
+            BinlogLocation("mysql-bin.999999", 10**9),
+        )
+    )
+    assert [(r["binlog_position"], r["rows"][0]["id"]) for r in got] == [
+        (180, "1"),
+        (300, "2"),
+        (360, "3"),  # :42's remainder, positional fallback
+        (480, "4"),
+        (540, "5"),  # :43 re-served; row 4's duplicate replay-skipped
+        (660, "6"),
+    ]
+    conns = _MigrationThenGtidOnReader.connections
+    assert len(conns) == 4
+    assert "auto_position" in conns[1]  # refused mid-migration
+    assert "auto_position" not in conns[2]  # positional fallback
+    assert conns[2].get("log_pos") == 300
+    # THE fix: :42 completed across the fallback and is in the set
+    assert conns[3]["auto_position"] == f"{_GR_UUID}:1-42"

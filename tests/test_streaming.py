@@ -1292,8 +1292,11 @@ def test_per_route_server_ids_distinct_on_live_source(spark, tmp_path, monkeypat
     """ADVICE r11 #2: concurrent routes on a LIVE master must not share
     cfg.source.serverID (MySQL kills the prior dump when a duplicate id
     registers). Each route's stream is built from a per-route source
-    config: route.serverID if set, else base + position in the FULL route
-    list — stable across subset restarts."""
+    config: route.serverID if set, else base + 1 + position in the FULL
+    route list — stable across subset restarts, and never the base id
+    itself (ADVICE r12: the shared single-query pipeline uses the base,
+    so a derived id equal to it would kill a concurrently running shared
+    consumer of the same config)."""
     from binwatch_spark.streaming import pipeline as pl
 
     tmp = str(tmp_path)
@@ -1315,7 +1318,8 @@ def test_per_route_server_ids_distinct_on_live_source(spark, tmp_path, monkeypat
     queries = pl.run_routes_concurrent(spark, cfg, available_now=True)
     for q in queries.values():
         q.awaitTermination(120)
-    assert sorted(seen) == [500, 501]  # distinct, base + position
+    # distinct, base + 1 + position — and neither equals the base 500
+    assert sorted(seen) == [501, 502]
 
     # subset restart keeps the SAME id the route had in the full list
     seen.clear()
@@ -1323,7 +1327,7 @@ def test_per_route_server_ids_distinct_on_live_source(spark, tmp_path, monkeypat
         spark, cfg, available_now=True, route_names=["all-ops"]
     ).values()
     q2.awaitTermination(120)
-    assert seen == [501]
+    assert seen == [502]
 
     # explicit per-route override wins
     doc["routes"][0]["serverID"] = 900
@@ -1332,7 +1336,7 @@ def test_per_route_server_ids_distinct_on_live_source(spark, tmp_path, monkeypat
     qs = pl.run_routes_concurrent(spark, cfg2, available_now=True)
     for q in qs.values():
         q.awaitTermination(120)
-    assert sorted(seen) == [501, 900]
+    assert sorted(seen) == [502, 900]
 
 
 def test_per_route_colliding_server_ids_refused(spark, tmp_path):
@@ -1427,3 +1431,55 @@ def test_supervise_routes_restarts_failed_route_alone(tmp_path):
     assert restart_log == ["inserts-only", "inserts-only"]
     assert failed == ["inserts-only"]
     assert failures == ["inserts-only"] * 3
+
+
+def test_supervise_routes_catches_failure_before_entry(tmp_path):
+    """ADVICE r12 (medium): a route that fails between writer.start() and
+    supervisor entry must be handled IMMEDIATELY — the r11 ordering
+    called resetTerminated() after the queries had started, wiping the
+    fast failure's termination signal and then blocking forever in
+    awaitAnyTermination behind a never-terminating sibling. The fix
+    sweeps isActive each iteration (termination STATE survives the
+    reset) and only awaits when every tracked query is still active; to
+    prove it, awaitAnyTermination here RAISES — any call while a dead
+    query is tracked is the regression."""
+    from binwatch_spark.streaming.pipeline import supervise_routes
+
+    doc = make_cfg(str(tmp_path))
+    doc["server"]["restartSyncerOnError"] = False
+    cfg = parse(doc)
+
+    dead_on_entry = _ScriptedQuery([RuntimeError("died before supervise")])
+    # a continuous-mode sibling that never terminates on its own: the
+    # only way this test finishes is the supervisor handling the dead
+    # route WITHOUT waiting, then the sibling stopping clean on the one
+    # permitted await.
+    sibling = _ScriptedQuery(["tick", None])
+    failures: list[str] = []
+
+    spark = _FakeSparkForSupervise()
+    orig_wait = _FakeStreams.awaitAnyTermination
+
+    def guarded_wait(self):
+        # supervise pops handled routes from its own copy; promptness is
+        # observable as: by the FIRST await, the dead-on-entry route has
+        # already been reported failed.
+        assert failures == [
+            "fast-fail"
+        ], "awaitAnyTermination called before the fast failure was handled"
+        sibling.advance()
+
+    queries = {"fast-fail": dead_on_entry, "sibling": sibling}
+    _FakeStreams.awaitAnyTermination = guarded_wait
+    try:
+        failed = supervise_routes(
+            spark,
+            cfg,
+            queries,
+            restart=lambda name: {},
+            on_failure=lambda n, e: failures.append(n),
+        )
+    finally:
+        _FakeStreams.awaitAnyTermination = orig_wait
+    assert failed == ["fast-fail"]
+    assert failures == ["fast-fail"]
