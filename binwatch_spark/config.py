@@ -59,6 +59,10 @@ class Location:
 @dataclass
 class SourceConfig:
     flavor: str = "mysql"
+    # Live-client backend: "" = python-mysql-replication (default),
+    # "wire" = the repo's pure-stdlib wire-protocol client
+    # (sources/binlog_wire.py, MySQL flavor only).
+    driver: str = ""
     server_id: int = 100
     host: str = "127.0.0.1"
     port: int = 3306
@@ -338,6 +342,7 @@ def parse(doc: dict) -> JobConfig:
         ),
         source=SourceConfig(
             flavor=source_d.get("flavor", "mysql"),
+            driver=str(source_d.get("driver", "") or ""),
             server_id=int(source_d.get("serverID", 100)),
             host=source_d.get("host", "127.0.0.1"),
             port=int(source_d.get("port", 3306)),

@@ -447,16 +447,28 @@ Q104_PROBE_RADIUS = 3  # hamming radius at the fixture's LOOSE 0.4 threshold
 
 @register(
     "q104_semantic_dedup_blocked",
+    # The blocking rule is stated as a BUCKET-KEY EQUI-JOIN (VERDICT r12
+    # #5): bit_count(xor(a.bucket, b.bucket)) <= R is equivalent to
+    # "b.bucket = xor(a.bucket, m) for the single mask m with
+    # bit_count(m) <= R" — exactly the probe expansion the Spark side
+    # runs — so DuckDB hash-joins candidates instead of planning an
+    # all-pairs theta join, and the oracle survives sf1.0. Each (i, j)
+    # appears once (one xor value → one mask), no dedup step needed.
     oracle=f"""
 WITH RECURSIVE e AS (
   SELECT vec_id, embedding, {lsh_bucket_sql("embedding")} AS bucket
   FROM embeddings WHERE embedding IS NOT NULL
+), masks AS (
+  SELECT CAST(range AS BIGINT) AS m FROM range(256)
+  WHERE bit_count(range) <= {Q104_PROBE_RADIUS}
+), cand AS (
+  SELECT p.vec_id AS i, b.vec_id AS j
+  FROM (SELECT e.vec_id, xor(e.bucket, masks.m) AS pb FROM e, masks) p
+  JOIN e b ON b.bucket = p.pb AND p.vec_id < b.vec_id
 ), pairs AS (
   SELECT i, j FROM (
-    SELECT a.vec_id AS i, b.vec_id AS j, {_COS} AS sim
-    FROM e a JOIN e b
-      ON a.vec_id < b.vec_id
-      AND bit_count(xor(a.bucket, b.bucket)) <= {Q104_PROBE_RADIUS})
+    SELECT c.i, c.j, {_COS} AS sim
+    FROM cand c JOIN e a ON a.vec_id = c.i JOIN e b ON b.vec_id = c.j)
   WHERE sim >= {COSINE_NEARDUP_THRESHOLD}),
 edges AS (SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs),
 comp(node, label) AS (
@@ -512,22 +524,34 @@ Q120_RADIUS = 1
 
 
 def _multitable_oracle() -> str:
+    """Bucket-key equi-join restatement (VERDICT r12 #5, same rewrite as
+    q104): per table t, candidates are an equi-join of probe keys
+    xor(b{t}, m) with bit_count(m) <= radius against exact b{t}; the
+    OR-of-tables rule becomes a UNION (which also dedupes pairs that
+    collide in more than one table — the OR form yielded each pair
+    once, so UNION keeps the semantics identical)."""
     buckets = ", ".join(
         f"{lsh_bucket_sql('embedding', t)} AS b{t}" for t in range(Q120_TABLES)
     )
-    any_table = " OR ".join(
-        f"bit_count(xor(a.b{t}, b.b{t})) <= {Q120_RADIUS}"
+    per_table = "\n    UNION\n".join(
+        f"""    SELECT p.vec_id AS i, b.vec_id AS j
+    FROM (SELECT e.vec_id, xor(e.b{t}, masks.m) AS pb FROM e, masks) p
+    JOIN e b ON b.b{t} = p.pb AND p.vec_id < b.vec_id"""
         for t in range(Q120_TABLES)
     )
     return f"""
 WITH RECURSIVE e AS (
   SELECT vec_id, embedding, {buckets}
   FROM embeddings WHERE embedding IS NOT NULL
+), masks AS (
+  SELECT CAST(range AS BIGINT) AS m FROM range(256)
+  WHERE bit_count(range) <= {Q120_RADIUS}
+), cand AS (
+{per_table}
 ), pairs AS (
   SELECT i, j FROM (
-    SELECT a.vec_id AS i, b.vec_id AS j, {_COS} AS sim
-    FROM e a JOIN e b
-      ON a.vec_id < b.vec_id AND ({any_table}))
+    SELECT c.i, c.j, {_COS} AS sim
+    FROM cand c JOIN e a ON a.vec_id = c.i JOIN e b ON b.vec_id = c.j)
   WHERE sim >= {COSINE_NEARDUP_THRESHOLD}),
 edges AS (SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs),
 comp(node, label) AS (

@@ -561,20 +561,41 @@ def _wire_value(
 class MySQLBinlogClient:
     """Live replication client. ROW binlog format only.
 
-    Exercised by tests/test_binlog_client.py against a recorded binlog
-    session (rotate + UPDATE before/after images) through a fixture
-    pymysqlreplication module — same API surface a live server drives."""
+    Two backends behind the same serve loop:
+    - default: the public ``python-mysql-replication`` package.
+      Exercised by tests/test_binlog_client.py against recorded binlog
+      sessions through a fixture pymysqlreplication module — same API
+      surface a live server drives.
+    - ``driver: wire``: the repo's pure-stdlib wire-protocol client
+      (:mod:`binwatch_spark.sources.binlog_wire`) — real TCP handshake,
+      auth, COM_BINLOG_DUMP[_GTID], and binlog event parsing with CRC32
+      verification. Exercised by tests/test_binlog_wire.py against a
+      scripted SOCKET server speaking real wire bytes, so the reconnect
+      / GTID machinery here runs over genuine network teardown, not
+      injected exceptions. MySQL flavor only."""
 
     def __init__(self, options: dict[str, str]):
+        self._options = options
+        if self._is_wire():
+            if self._is_mariadb():
+                raise ValueError(
+                    "driver: wire speaks MySQL flavor only — MariaDB's "
+                    "GTID handshake differs; use the default "
+                    "python-mysql-replication backend for flavor: mariadb"
+                )
+            return  # stdlib backend: nothing to import
         try:
             from pymysqlreplication import BinLogStreamReader  # noqa: F401
         except ImportError as exc:
             raise ImportError(
                 "MySQL binlog source requires the 'python-mysql-replication'"
                 " package (not available in this environment); use the"
-                " replayDir option for a recorded stream instead"
+                " replayDir option for a recorded stream, or 'driver: wire'"
+                " for the stdlib wire-protocol backend (MySQL flavor only)"
             ) from exc
-        self._options = options
+
+    def _is_wire(self) -> bool:
+        return (self._options.get("driver") or "").lower() == "wire"
 
     def _connection_settings(self) -> dict:
         settings = {
@@ -600,6 +621,13 @@ class MySQLBinlogClient:
         primary (different binlog file namespace) makes the checkpointed
         file/pos meaningless. Pre-GTID servers return an empty column →
         gtid_set=None, identical to the old behavior."""
+        if self._is_wire():
+            from binwatch_spark.sources import binlog_wire
+
+            f, p, gtid = binlog_wire.master_status(
+                self._connection_settings()
+            )
+            return BinlogLocation(f, p, gtid_set=gtid)
         import pymysql
 
         conn = pymysql.connect(**self._connection_settings())
@@ -695,7 +723,12 @@ class MySQLBinlogClient:
         return (self._options.get("flavor") or "mysql").lower() == "mariadb"
 
     def _open_stream(self, resume_from: BinlogLocation, only_events: list):
-        from pymysqlreplication import BinLogStreamReader
+        if self._is_wire():
+            from binwatch_spark.sources.binlog_wire import (
+                WireBinLogStreamReader as BinLogStreamReader,
+            )
+        else:
+            from pymysqlreplication import BinLogStreamReader
 
         flavor_kw = {"is_mariadb": True} if self._is_mariadb() else {}
         if resume_from.gtid_set:
@@ -792,17 +825,28 @@ class MySQLBinlogClient:
         through the identical op/row/location rules (all inner events
         carry the payload event's end position — one transaction, one
         offset, same at-least-once contract)."""
-        from pymysqlreplication.row_event import (
-            DeleteRowsEvent,
-            UpdateRowsEvent,
-            WriteRowsEvent,
-        )
+        if self._is_wire():
+            from binwatch_spark.sources.binlog_wire import (
+                DeleteRowsEvent,
+                UpdateRowsEvent,
+                WriteRowsEvent,
+            )
+        else:
+            from pymysqlreplication.row_event import (
+                DeleteRowsEvent,
+                UpdateRowsEvent,
+                WriteRowsEvent,
+            )
 
         gtid_event_cls = None
         start_gs = (
             parse_gtid_set(start.gtid_set) if start.gtid_set else None
         )
-        if start_gs is not None:
+        if start_gs is not None and self._is_wire():
+            from binwatch_spark.sources.binlog_wire import GtidEvent
+
+            gtid_event_cls = GtidEvent
+        elif start_gs is not None:
             try:
                 if self._is_mariadb():
                     from pymysqlreplication.event import MariadbGtidEvent
@@ -815,12 +859,15 @@ class MySQLBinlogClient:
             except ImportError:  # pragma: no cover - fixture environments
                 pass
         payload_cls = None
-        try:  # only newer library generations define the wrapper
-            from pymysqlreplication.event import TransactionPayloadEvent
+        if not self._is_wire():
+            try:  # only newer library generations define the wrapper
+                from pymysqlreplication.event import (
+                    TransactionPayloadEvent,
+                )
 
-            payload_cls = TransactionPayloadEvent
-        except ImportError:
-            pass
+                payload_cls = TransactionPayloadEvent
+            except ImportError:
+                pass
 
         op_of = {
             WriteRowsEvent: ("WriteRowsEventV2", "INSERT"),

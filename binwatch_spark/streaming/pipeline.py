@@ -94,6 +94,8 @@ def source_stream(spark: SparkSession, cfg: JobConfig) -> DataFrame:
         heartbeatPeriod=cfg.source.heartbeat_period,
         flavor=cfg.source.flavor,
     )
+    if cfg.source.driver:
+        reader = reader.options(driver=cfg.source.driver)
     if cfg.source.skip_ahead_on_error:
         reader = reader.options(skipAheadOnError="true")
     if cfg.source.max_bytes_per_batch:

@@ -2677,3 +2677,271 @@ def test_fallback_transaction_folds_into_delivered_set(
     assert conns[2].get("log_pos") == 300
     # THE fix: :42 completed across the fallback and is in the set
     assert conns[3]["auto_position"] == f"{_GR_UUID}:1-42"
+
+
+# ---------------------------------------------------------------------------
+# Round-13 recorded soaks (VERDICT r12 #6): checksum transition under GTID
+# tagging, out-of-order gnos (binlog_transaction_dependency_tracking /
+# intermediate-replica MTA binlogs), and the MariaDB-flavor-on-MySQL-server
+# misconfiguration failure mode.
+
+
+def _w(pos, rid, file="mysql-bin.000070"):
+    return (
+        file,
+        pos,
+        _WriteRowsEvent("shop", "t", [{"values": {"id": rid}}]),
+    )
+
+
+RECORDED_CHECKSUM_FLIP = [
+    ("mysql-bin.000070", 120, _GtidEvent(f"{_GR_UUID}:51")),
+    _w(180, "A"),
+    ("mysql-bin.000070", 240, _GtidEvent(f"{_GR_UUID}:52")),
+    _w(300, "B"),
+    _w(360, "B2"),
+    ("mysql-bin.000070", 420, _GtidEvent(f"{_GR_UUID}:53")),
+    _w(480, "C"),
+]
+
+
+class _ChecksumFlipGtidReader(_FakeBinLogStreamReader):
+    """SET GLOBAL binlog_checksum=CRC32 lands mid-dump: the running dump
+    aborts with the 1236 checksum-mismatch error (MySQL terminates dumps
+    whose negotiated checksum no longer matches). Under gtidReconnect
+    the re-handshake must carry the delivered set — :51 complete, :52
+    interrupted after one row — and the re-serve of :52 must replay-skip
+    exactly the delivered prefix."""
+
+    connections: list = []
+
+    def __init__(self, **kwargs):
+        type(self).last_kwargs = kwargs
+        type(self).connections.append(kwargs)
+        self._n = len(type(self).connections)
+        self.log_file = "mysql-bin.000070"
+        self.log_pos = 4
+        self.closed = False
+        self._only = kwargs.get("only_events") or []
+
+    def __iter__(self):
+        # conn 2 behaves like a real primary honoring auto_position
+        # :1-51 — it serves only transactions OUTSIDE the set, i.e.
+        # from :52's boundary (index 2)
+        served = (
+            RECORDED_CHECKSUM_FLIP
+            if self._n == 1
+            else RECORDED_CHECKSUM_FLIP[2:]
+        )
+        for f, p, e in served:
+            self.log_file = f
+            self.log_pos = p
+            if not any(isinstance(e, cls) for cls in self._only):
+                continue
+            if (
+                self._n == 1
+                and isinstance(e, _WriteRowsEvent)
+                and e.rows[0]["values"]["id"] == "B"
+            ):
+                yield e
+                raise OSError(
+                    "error 1236: binlog checksum mismatch reading event "
+                    "at mysql-bin.000070:300 — master checksum changed "
+                    "to CRC32 (simulated SET GLOBAL binlog_checksum)"
+                )
+            yield e
+
+    def close(self):
+        self.closed = True
+
+
+@pytest.fixture
+def checksum_flip_session(fake_pymysqlreplication, monkeypatch):
+    _ChecksumFlipGtidReader.connections = []
+    fake_pymysqlreplication.BinLogStreamReader = _ChecksumFlipGtidReader
+    event_mod = types.ModuleType("pymysqlreplication.event")
+    event_mod.GtidEvent = _GtidEvent
+    fake_pymysqlreplication.event = event_mod
+    monkeypatch.setitem(sys.modules, "pymysqlreplication.event", event_mod)
+    yield fake_pymysqlreplication
+
+
+def test_checksum_transition_under_gtid_reconnect(checksum_flip_session):
+    """Checksum transition × gtidReconnect interplay: the abort hits
+    mid-:52 (one of two rows yielded). The re-handshake (which will
+    renegotiate the NEW checksum — below the event API) carries
+    delivered :1-51; the master re-serves :52 in full and the replay
+    skip drops exactly row B's duplicate. Every row exactly once."""
+    got = list(
+        _gr_client().read_range(
+            BinlogLocation("", 0, gtid_set=f"{_GR_UUID}:1-50"),
+            BinlogLocation("mysql-bin.999999", 10**9),
+        )
+    )
+    assert [(r["binlog_position"], r["rows"][0]["id"]) for r in got] == [
+        (180, "A"),
+        (300, "B"),
+        (360, "B2"),  # :52's remainder after the re-serve, no B duplicate
+        (480, "C"),
+    ]
+    conns = _ChecksumFlipGtidReader.connections
+    assert len(conns) == 2
+    assert conns[1]["auto_position"] == f"{_GR_UUID}:1-51"
+
+
+RECORDED_OOO_GNOS = [
+    # Intermediate-replica binlog (log_replica_updates + multi-threaded
+    # applier, binlog_transaction_dependency_tracking=WRITESET upstream):
+    # commit order on the relay differs from gno order, so the dump sees
+    # :53 before :51 and :55 while :52/:54 are still in flight.
+    ("mysql-bin.000080", 120, _GtidEvent(f"{_GR_UUID}:53")),
+    _w(180, "A", "mysql-bin.000080"),
+    ("mysql-bin.000080", 240, _GtidEvent(f"{_GR_UUID}:51")),
+    _w(300, "B", "mysql-bin.000080"),
+    ("mysql-bin.000080", 360, _GtidEvent(f"{_GR_UUID}:55")),
+    _w(420, "C", "mysql-bin.000080"),
+    _w(480, "C2", "mysql-bin.000080"),
+    ("mysql-bin.000080", 540, _GtidEvent(f"{_GR_UUID}:52")),
+    _w(600, "D", "mysql-bin.000080"),
+    ("mysql-bin.000080", 660, _GtidEvent(f"{_GR_UUID}:54")),
+    _w(720, "E", "mysql-bin.000080"),
+]
+
+
+class _OutOfOrderGnoReader(_FakeBinLogStreamReader):
+    connections: list = []
+
+    def __init__(self, **kwargs):
+        type(self).last_kwargs = kwargs
+        type(self).connections.append(kwargs)
+        self._n = len(type(self).connections)
+        self.log_file = "mysql-bin.000080"
+        self.log_pos = 4
+        self.closed = False
+        self._only = kwargs.get("only_events") or []
+
+    def __iter__(self):
+        if self._n == 1:
+            served = RECORDED_OOO_GNOS
+        else:
+            # the re-handshake set excludes :52, :54, :55 — a real
+            # primary re-serves exactly those, in relay commit order
+            gset = self._kwargs_set()
+            assert gset == f"{_GR_UUID}:1-51:53"
+            served = RECORDED_OOO_GNOS[4:]
+        for f, p, e in served:
+            self.log_file = f
+            self.log_pos = p
+            if not any(isinstance(e, cls) for cls in self._only):
+                continue
+            if (
+                self._n == 1
+                and isinstance(e, _WriteRowsEvent)
+                and e.rows[0]["values"]["id"] == "C"
+            ):
+                yield e
+                raise TimeoutError("relay dropped mid-:55")
+            yield e
+
+    def _kwargs_set(self):
+        return type(self).connections[self._n - 1].get("auto_position")
+
+    def close(self):
+        self.closed = True
+
+
+@pytest.fixture
+def ooo_gno_session(fake_pymysqlreplication, monkeypatch):
+    _OutOfOrderGnoReader.connections = []
+    fake_pymysqlreplication.BinLogStreamReader = _OutOfOrderGnoReader
+    event_mod = types.ModuleType("pymysqlreplication.event")
+    event_mod.GtidEvent = _GtidEvent
+    fake_pymysqlreplication.event = event_mod
+    monkeypatch.setitem(sys.modules, "pymysqlreplication.event", event_mod)
+    yield fake_pymysqlreplication
+
+
+def test_out_of_order_gnos_encode_holes_in_delivered_set(ooo_gno_session):
+    """Out-of-order gnos with transient holes: after :53, :51 complete
+    and :55 is interrupted, the delivered set must normalize to
+    ``1-51:53`` (merged span + hole — GtidSet merges on construction),
+    the re-handshake must carry exactly that, and the re-served :55
+    must replay-skip its one delivered row. No transaction is lost in
+    the holes, none duplicates."""
+    got = list(
+        _gr_client().read_range(
+            BinlogLocation("", 0, gtid_set=f"{_GR_UUID}:1-50"),
+            BinlogLocation("mysql-bin.999999", 10**9),
+        )
+    )
+    assert [(r["binlog_position"], r["rows"][0]["id"]) for r in got] == [
+        (180, "A"),   # :53
+        (300, "B"),   # :51
+        (420, "C"),   # :55 first serving
+        (480, "C2"),  # :55 re-serve remainder (C replay-skipped)
+        (600, "D"),   # :52 — the hole was NOT claimed as delivered
+        (720, "E"),   # :54
+    ]
+    conns = _OutOfOrderGnoReader.connections
+    assert len(conns) == 2
+    assert conns[1]["auto_position"] == f"{_GR_UUID}:1-51:53"
+
+
+class _MySQLServerRejectsMariaDbReader(_FakeBinLogStreamReader):
+    """flavor: mariadb pointed at a MySQL server: the MariaDB GTID
+    handshake sets @slave_connect_state, which MySQL does not define —
+    the server rejects the connection outright (ER 1193)."""
+
+    connections: list = []
+
+    def __init__(self, **kwargs):
+        type(self).connections.append(kwargs)
+        assert kwargs.get("is_mariadb") is True
+        raise OSError(
+            1193, "Unknown system variable 'slave_connect_state'"
+        )
+
+
+@pytest.fixture
+def flavor_misconfig_session(fake_pymysqlreplication, monkeypatch):
+    _MySQLServerRejectsMariaDbReader.connections = []
+    fake_pymysqlreplication.BinLogStreamReader = (
+        _MySQLServerRejectsMariaDbReader
+    )
+    event_mod = types.ModuleType("pymysqlreplication.event")
+    event_mod.GtidEvent = _GtidEvent
+    event_mod.MariadbGtidEvent = _GtidEvent
+    fake_pymysqlreplication.event = event_mod
+    monkeypatch.setitem(sys.modules, "pymysqlreplication.event", event_mod)
+    yield fake_pymysqlreplication
+
+
+def test_mariadb_flavor_against_mysql_server_fails_fast(
+    flavor_misconfig_session,
+):
+    """Flavor misconfiguration (flavor: mariadb, server: MySQL) fails
+    FAST with the server's own message — connect-time errors raise
+    outside the reconnect loop by design (a config error must not be
+    retried into a reconnect storm), so exactly ONE connection attempt
+    happens and nothing is silently dropped."""
+    from binwatch_spark.sources.binlog import MySQLBinlogClient
+
+    client = MySQLBinlogClient(
+        {
+            "host": "127.0.0.1",
+            "port": "3306",
+            "user": "repl",
+            "password": "x",
+            "serverid": "42",
+            "flavor": "mariadb",
+            "gtidReconnect": "true",
+        }
+    )
+    with pytest.raises(OSError, match="slave_connect_state"):
+        list(
+            client.read_range(
+                BinlogLocation("", 0, gtid_set="0-1-100"),
+                BinlogLocation("mysql-bin.999999", 10**9),
+            )
+        )
+    assert len(_MySQLServerRejectsMariaDbReader.connections) == 1
