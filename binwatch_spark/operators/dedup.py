@@ -771,7 +771,12 @@ def connected_components(
     union-find (gated by one count on the persisted pair stream): at that
     size every distributed round is scheduling overhead, not compute.
     Pass driver_max_edges=0 to force the distributed loop (tests do)."""
+    from binwatch_spark import plancap
+
     pairs = pairs.select("i", "j").persist()
+    # the pair-GENERATION plan is where a dedup pipeline's cost lives —
+    # record it before the gate count collapses the audit to ExistingRDD
+    plancap.capture("connected_components.pairs_input", pairs)
     if driver_max_edges and pairs.count() <= driver_max_edges:
         out = _driver_union_find(pairs)
         pairs.unpersist()
@@ -804,13 +809,14 @@ def connected_components(
             .join(labels.alias("b"), F.col("a.label") == F.col("b.node"))
             .select(F.col("a.node").alias("node"), F.col("b.label").alias("label"))
         )
-        new_labels = (
+        round_df = (
             labels.unionByName(nbr_min)
             .unionByName(jump)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
+        plancap.capture("connected_components.round", round_df)
+        new_labels = round_df.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -859,7 +865,10 @@ def connected_components_star(
     property-tested to identical labelings on random graphs
     (tests/test_graph.py). Same bounded driver union-find gate as
     ``connected_components`` (driver_max_edges=0 forces distributed)."""
+    from binwatch_spark import plancap
+
     pairs = pairs.select("i", "j").persist()
+    plancap.capture("connected_components_star.pairs_input", pairs)
     if driver_max_edges and pairs.count() <= driver_max_edges:
         out = _driver_union_find(pairs)
         pairs.unpersist()
@@ -909,7 +918,7 @@ def connected_components_star(
         # smaller neighbors onto m(u). Edges are canonical (u > v) so the
         # grouped min IS the closed-neighborhood min below u.
         mins2 = edges.groupBy("u").agg(F.min("v").alias("_m"))
-        new_edges = (
+        round_df = (
             edges.join(mins2, "u")
             .select(F.col("v").alias("a"), F.col("_m").alias("b"))
             .union(mins2.select(F.col("u").alias("a"), F.col("_m").alias("b")))
@@ -918,8 +927,9 @@ def connected_components_star(
                 F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
             )
             .distinct()
-            .localCheckpoint()
         )
+        plancap.capture("connected_components_star.round", round_df)
+        new_edges = round_df.localCheckpoint()
         n_new = new_edges.count()
         # Fixed point of the FULL round (large∘small): set equality vs the
         # round's input. Count equality gates the anti-join so the extra

@@ -719,15 +719,18 @@ def kmeans_lloyd_rounds(
             # round(avg, 6) is the identical contract quantization, so the
             # different partial-summation grouping is absorbed exactly as
             # the unrolled rung's is (test_wide_dim pins rung equality).
-            long_rows = (
+            update_df = (
                 assigned.select(
                     F.col("_a.cell_id").alias("_cid"),
                     F.posexplode(F.col("_e")).alias("_pos", "_xv"),
                 )
                 .groupBy("_cid", "_pos")
                 .agg(F.round(F.avg("_xv"), 6).alias("_c"))
-                .collect()
             )
+            from binwatch_spark import plancap
+
+            plancap.capture("kmeans.update_round", update_df)
+            long_rows = update_df.collect()
             by_cid: dict = {}
             for lr in long_rows:
                 by_cid.setdefault(lr["_cid"], {})[lr["_pos"]] = lr["_c"]
@@ -736,20 +739,21 @@ def kmeans_lloyd_rounds(
                 for cid, m in by_cid.items()
             )
         else:
+            update_df = assigned.groupBy(
+                F.col("_a.cell_id").alias("_cid")
+            ).agg(
+                F.array(
+                    *[
+                        F.round(F.avg(F.element_at(F.col("_e"), i + 1)), 6)
+                        for i in range(dim)
+                    ]
+                ).alias("_c")
+            )
+            from binwatch_spark import plancap
+
+            plancap.capture("kmeans.update_round", update_df)
             cent_rows = sorted(
-                (r[0], r[1])
-                for r in assigned.groupBy(
-                    F.col("_a.cell_id").alias("_cid")
-                )
-                .agg(
-                    F.array(
-                        *[
-                            F.round(F.avg(F.element_at(F.col("_e"), i + 1)), 6)
-                            for i in range(dim)
-                        ]
-                    ).alias("_c")
-                )
-                .collect()
+                (r[0], r[1]) for r in update_df.collect()
             )
     return assigned.select(
         F.col(id_col),
@@ -804,7 +808,7 @@ def power_iteration_rounds(
                 F.lit(0.0),
                 lambda acc, t: acc + t,
             )
-            long_rows = (
+            round_df = (
                 emb.select(
                     s.alias("_s"),
                     F.posexplode(F.col(vec_col)).alias("_pos", "_xv"),
@@ -817,8 +821,11 @@ def power_iteration_rounds(
                         )
                     ).alias("_u")
                 )
-                .collect()
             )
+            from binwatch_spark import plancap
+
+            plancap.capture("pca_power.round", round_df)
+            long_rows = round_df.collect()
             by_pos = {lr["_pos"]: lr["_u"] for lr in long_rows}
             u = [float(by_pos[i]) for i in range(dim)]
         else:
@@ -829,7 +836,7 @@ def power_iteration_rounds(
                 ) * F.lit(v[i])
                 dot = term if dot is None else dot + term
             proj = emb.select(dot.alias("_s"), F.col(vec_col).alias("_x"))
-            sums = proj.agg(
+            sums_df = proj.agg(
                 *[
                     F.sum(
                         (
@@ -839,7 +846,11 @@ def power_iteration_rounds(
                     ).alias(f"u{i}")
                     for i in range(dim)
                 ]
-            ).first()
+            )
+            from binwatch_spark import plancap
+
+            plancap.capture("pca_power.round", sums_df)
+            sums = sums_df.first()
             u = [float(sums[f"u{i}"]) for i in range(dim)]
         nrm_sq = 0.0
         for i in range(dim):

@@ -1293,17 +1293,20 @@ def _bpe_train_merges(freq: DataFrame) -> list[tuple[int, str, int]]:
     (applies it to the corpus). Returns [(rank, raw sentinel-coded pair,
     count)]; the winner collect per round is the q98/q145 O(model)
     driver pattern."""
+    from binwatch_spark import plancap
+
     cur = freq.select(F.col("word").alias("sym"), "freq")
     merges: list[tuple[int, str, int]] = []
     for r in range(1, BPE_MERGES + 1):
-        win = (
+        win_df = (
             _sym_pairs(cur, "sym")
             .groupBy("pair")
             .agg(F.sum("freq").cast("bigint").alias("cnt"))
             .orderBy(F.col("cnt").desc(), "pair")
             .limit(1)
-            .first()
         )
+        plancap.capture("bpe_train.round", win_df)
+        win = win_df.first()
         merges.append((r, win["pair"], int(win["cnt"])))
         if r < BPE_MERGES:
             cur = cur.select(
@@ -1472,11 +1475,15 @@ def _gd_train_weights(feat: DataFrame) -> list[tuple[int, float, float, float]]:
             + F.lit(w3) * F.col("x3")
             - F.col("y")
         )
-        sums = feat.agg(
+        sums_df = feat.agg(
             F.sum(err.cast("decimal(28,10)")).alias("s1"),
             F.sum((err * F.col("x2")).cast("decimal(28,10)")).alias("s2"),
             F.sum((err * F.col("x3")).cast("decimal(28,10)")).alias("s3"),
-        ).first()
+        )
+        from binwatch_spark import plancap
+
+        plancap.capture("gd_train.round", sums_df)
+        sums = sums_df.first()
         w1 = w1 - GD_LR * (2.0 * float(sums["s1"]) / n)
         w2 = w2 - GD_LR * (2.0 * float(sums["s2"]) / n)
         w3 = w3 - GD_LR * (2.0 * float(sums["s3"]) / n)

@@ -53,12 +53,26 @@ def main() -> None:
         "streaming micro-batch plans are pinned by harness tests.",
         "",
     ]
+    from binwatch_spark import plancap
+
     for name, sec in top:
-        df = qs[name](spark, args.sf)
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain("simple")
+        # capture inner-round kernels (VERDICT r12 #3): iterative queries
+        # otherwise show only the driver-assembled ExistingRDD result
+        with plancap.capturing() as inner:
+            df = qs[name](spark, args.sf)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("simple")
         lines += [f"## {name} — {sec} s", "", "```", buf.getvalue().rstrip(), "```", ""]
+        for tag in sorted(inner):
+            lines += [
+                f"### {name} inner kernel: `{tag}` (round-1 representative)",
+                "",
+                "```",
+                inner[tag],
+                "```",
+                "",
+            ]
     out = os.path.join(REPO, "docs", f"PLANS_r{args.round:02d}.md")
     with open(out, "w") as fh:
         fh.write("\n".join(lines) + "\n")
