@@ -454,9 +454,16 @@ Q104_PROBE_RADIUS = 3  # hamming radius at the fixture's LOOSE 0.4 threshold
     # runs — so DuckDB hash-joins candidates instead of planning an
     # all-pairs theta join, and the oracle survives sf1.0. Each (i, j)
     # appears once (one xor value → one mask), no dedup step needed.
+    # The DOUBLE[] cast and the norm are computed ONCE per vector in e
+    # (same doubles as _COS's per-pair recompute — sqrt of the identical
+    # dot, multiplied in the identical order — so the hash is unchanged;
+    # per-pair recompute was pure waste at millions of candidates).
     oracle=f"""
 WITH RECURSIVE e AS (
-  SELECT vec_id, embedding, {lsh_bucket_sql("embedding")} AS bucket
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm,
+         {lsh_bucket_sql("embedding")} AS bucket
   FROM embeddings WHERE embedding IS NOT NULL
 ), masks AS (
   SELECT CAST(range AS BIGINT) AS m FROM range(256)
@@ -467,7 +474,8 @@ WITH RECURSIVE e AS (
   JOIN e b ON b.bucket = p.pb AND p.vec_id < b.vec_id
 ), pairs AS (
   SELECT i, j FROM (
-    SELECT c.i, c.j, {_COS} AS sim
+    SELECT c.i, c.j,
+           list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
     FROM cand c JOIN e a ON a.vec_id = c.i JOIN e b ON b.vec_id = c.j)
   WHERE sim >= {COSINE_NEARDUP_THRESHOLD}),
 edges AS (SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs),
@@ -541,7 +549,10 @@ def _multitable_oracle() -> str:
     )
     return f"""
 WITH RECURSIVE e AS (
-  SELECT vec_id, embedding, {buckets}
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm,
+         {buckets}
   FROM embeddings WHERE embedding IS NOT NULL
 ), masks AS (
   SELECT CAST(range AS BIGINT) AS m FROM range(256)
@@ -550,7 +561,8 @@ WITH RECURSIVE e AS (
 {per_table}
 ), pairs AS (
   SELECT i, j FROM (
-    SELECT c.i, c.j, {_COS} AS sim
+    SELECT c.i, c.j,
+           list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
     FROM cand c JOIN e a ON a.vec_id = c.i JOIN e b ON b.vec_id = c.j)
   WHERE sim >= {COSINE_NEARDUP_THRESHOLD}),
 edges AS (SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs),
