@@ -445,6 +445,72 @@ def q85_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q104_PROBE_RADIUS = 3  # hamming radius at the fixture's LOOSE 0.4 threshold
 
 
+def _cc_contract_sql(rounds: int = 10) -> str:
+    """Connected components over a ``pairs(i, j)`` CTE as unrolled
+    min-contraction rounds + a remnant recursion — the DuckDB-side twin
+    of the Kiveris star contraction (VERDICT r12 #5 follow-through).
+
+    The naive recursive CTE (``comp`` accumulating every (node,
+    reachable-smaller-label) pair) is Θ(Σ component²) rows — measured as
+    the ENTIRE sf1.0 wall for q104/q120 once the pair stage was
+    equi-joined (pairs: 4.1 s; comp over the 0.4-threshold giant
+    component: >75 min, unfinished). Each contraction round maps every
+    node to the min of its closed neighborhood (one GROUP BY + one join
+    over the EDGE LIST, never node×label pairs) and rewrites edges
+    between representatives; components shrink geometrically, the
+    remnant recursion runs on whatever survives ``rounds`` rounds.
+
+    Exactness (same output as the naive comp CTE): map(u) = min(closed
+    nbhd) never increases, a component's global min maps to itself
+    forever, and the min stays CONNECTED until its whole component has
+    contracted onto it — an edge with exactly one endpoint mapping to m
+    survives as (m, other), so m is isolated only when rep⁻¹(m) has no
+    boundary, i.e. the component is done and rep IS the min. Hence
+    label(node) = remnant-min of rep(node) when the remnant still has
+    its edges, else rep(node) itself — identical to min-reachable-label.
+    """
+    parts = [
+        "edges0 AS MATERIALIZED (SELECT i AS u, j AS v FROM pairs"
+        " UNION SELECT j, i FROM pairs)",
+        "nodes0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM edges0)",
+        "rep0 AS MATERIALIZED (SELECT node, node AS rep FROM nodes0)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"map{r} AS MATERIALIZED (SELECT u AS node, least(u, min(v)) AS rep"
+            f" FROM edges{p} GROUP BY u)"
+        )
+        parts.append(
+            f"edges{r} AS MATERIALIZED (SELECT DISTINCT m1.rep AS u, m2.rep AS v"
+            f" FROM edges{p} e"
+            f" JOIN map{r} m1 ON m1.node = e.u"
+            f" JOIN map{r} m2 ON m2.node = e.v"
+            f" WHERE m1.rep <> m2.rep)"
+        )
+        parts.append(
+            f"rep{r} AS MATERIALIZED (SELECT rp.node, coalesce(m.rep, rp.rep) AS rep"
+            f" FROM rep{p} rp"
+            f" LEFT JOIN map{r} m ON m.node = rp.rep)"
+        )
+    parts.append(
+        f"comp(node, label) AS (SELECT u, u FROM edges{rounds} UNION"
+        f" SELECT e.v, c.label FROM comp c"
+        f" JOIN edges{rounds} e ON e.u = c.node WHERE c.label <= e.v)"
+    )
+    parts.append(
+        "small AS (SELECT node, min(label) AS label FROM comp"
+        " GROUP BY node)"
+    )
+    body = ",\n".join(parts)
+    return (
+        body
+        + f"""
+SELECT rp.node AS vec_id, coalesce(s.label, rp.rep) AS cluster_id
+FROM rep{rounds} rp LEFT JOIN small s ON s.node = rp.rep"""
+    )
+
+
 @register(
     "q104_semantic_dedup_blocked",
     # The blocking rule is stated as a BUCKET-KEY EQUI-JOIN (VERDICT r12
@@ -459,7 +525,7 @@ Q104_PROBE_RADIUS = 3  # hamming radius at the fixture's LOOSE 0.4 threshold
     # dot, multiplied in the identical order — so the hash is unchanged;
     # per-pair recompute was pure waste at millions of candidates).
     oracle=f"""
-WITH RECURSIVE e AS (
+WITH RECURSIVE e AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                CAST(embedding AS DOUBLE[]))) AS nrm,
@@ -468,23 +534,17 @@ WITH RECURSIVE e AS (
 ), masks AS (
   SELECT CAST(range AS BIGINT) AS m FROM range(256)
   WHERE bit_count(range) <= {Q104_PROBE_RADIUS}
-), cand AS (
+), cand AS MATERIALIZED (
   SELECT p.vec_id AS i, b.vec_id AS j
   FROM (SELECT e.vec_id, xor(e.bucket, masks.m) AS pb FROM e, masks) p
   JOIN e b ON b.bucket = p.pb AND p.vec_id < b.vec_id
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT i, j FROM (
     SELECT c.i, c.j,
            list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
     FROM cand c JOIN e a ON a.vec_id = c.i JOIN e b ON b.vec_id = c.j)
   WHERE sim >= {COSINE_NEARDUP_THRESHOLD}),
-edges AS (SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs),
-comp(node, label) AS (
-  SELECT u, u FROM edges
-  UNION
-  SELECT e.v, c.label FROM comp c JOIN edges e ON e.u = c.node
-  WHERE c.label <= e.v)
-SELECT node AS vec_id, min(label) AS cluster_id FROM comp GROUP BY node
+{_cc_contract_sql()}
 """,
 )
 def q104_semantic_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,7 +608,7 @@ def _multitable_oracle() -> str:
         for t in range(Q120_TABLES)
     )
     return f"""
-WITH RECURSIVE e AS (
+WITH RECURSIVE e AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                CAST(embedding AS DOUBLE[]))) AS nrm,
@@ -557,21 +617,15 @@ WITH RECURSIVE e AS (
 ), masks AS (
   SELECT CAST(range AS BIGINT) AS m FROM range(256)
   WHERE bit_count(range) <= {Q120_RADIUS}
-), cand AS (
+), cand AS MATERIALIZED (
 {per_table}
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT i, j FROM (
     SELECT c.i, c.j,
            list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
     FROM cand c JOIN e a ON a.vec_id = c.i JOIN e b ON b.vec_id = c.j)
   WHERE sim >= {COSINE_NEARDUP_THRESHOLD}),
-edges AS (SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs),
-comp(node, label) AS (
-  SELECT u, u FROM edges
-  UNION
-  SELECT e.v, c.label FROM comp c JOIN edges e ON e.u = c.node
-  WHERE c.label <= e.v)
-SELECT node AS vec_id, min(label) AS cluster_id FROM comp GROUP BY node
+{_cc_contract_sql()}
 """
 
 
