@@ -34,8 +34,17 @@ FEATURE_DIM = 8
 
 def with_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Model a multimodal asset: raw bytes + typed metadata columns. The
-    fixture has no real media, so document text stands in as the payload."""
-    return df.select(
+    fixture has no real media, so document text stands in as the payload.
+
+    The input is spread to session parallelism first (tables.spread): every
+    consumer of a payload frame is a compute-heavy Python decode stage, and
+    the single-row-group fixture parquet otherwise scans as ONE task, so the
+    whole decode family ran single-threaded (r13 profile: q119 = one 2.45 s
+    task on a 32-core session). No-op at cluster scale where scans arrive
+    with enough splits."""
+    from binwatch_spark.tables import spread
+
+    return spread(df, id_col).select(
         F.col(id_col),
         F.encode(F.col(text_col), "UTF-8").alias("content"),
         F.octet_length(F.col(text_col)).cast("bigint").alias("byte_len"),
@@ -249,12 +258,17 @@ def synthesize_png_payloads(
     math) is the real path."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         n = width * height * 3
+        ks = np.arange(n, dtype=np.int64)  # once per task, reused per batch
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
             contents = [
                 png_encode(
-                    bytes((int(did) * 7 + k) % 256 for k in range(n)),
+                    # closed-form pixel rule vectorized: identical bytes to
+                    # the per-k Python loop (int64 mod 256 → uint8)
+                    ((int(did) * 7 + ks) % 256).astype(np.uint8).tobytes(),
                     width,
                     height,
                     3,
@@ -263,7 +277,12 @@ def synthesize_png_payloads(
             ]
             yield pd.DataFrame({id_col: ids, "content": contents})
 
-    return df.select(id_col).mapInPandas(
+    from binwatch_spark.tables import spread
+
+    # spread: the synthesis + downstream decode are per-row Python kernels;
+    # a single-row-group fixture scan would run them as ONE task (r13
+    # profile). Shuffles only the id column.
+    return spread(df.select(id_col), id_col).mapInPandas(
         gen, schema=f"{id_col} bigint, content binary"
     )
 
@@ -278,20 +297,24 @@ def synthesize_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     path."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ks7 = np.arange(WAV_N, dtype=np.int64) * 7
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
             contents = [
                 wav_encode(
-                    [
-                        ((int(did) * 31 + k * 7) % 4096) - 2048
-                        for k in range(WAV_N)
-                    ]
+                    # closed-form sample rule vectorized: same ints as the
+                    # per-k loop (int64 mod then shift; range fits int16)
+                    (((int(did) * 31 + ks7) % 4096) - 2048).tolist()
                 )
                 for did in ids
             ]
             yield pd.DataFrame({id_col: ids, "content": contents})
 
-    return df.select(id_col).mapInPandas(
+    from binwatch_spark.tables import spread
+
+    return spread(df.select(id_col), id_col).mapInPandas(
         gen, schema=f"{id_col} bigint, content binary"
     )
 
@@ -673,17 +696,19 @@ def synthesize_video_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFram
     exercises all five reconstruction rules."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         n = VID_W * VID_H * 3
+        ks = np.arange(n, dtype=np.int64)
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
             contents = [
                 video_encode(
                     [
                         png_encode(
-                            bytes(
-                                (int(did) * 7 + f * 13 + k) % 256
-                                for k in range(n)
-                            ),
+                            ((int(did) * 7 + f * 13 + ks) % 256)
+                            .astype(np.uint8)
+                            .tobytes(),
                             VID_W,
                             VID_H,
                             3,
@@ -695,7 +720,9 @@ def synthesize_video_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFram
             ]
             yield pd.DataFrame({id_col: ids, "content": contents})
 
-    return df.select(id_col).mapInPandas(
+    from binwatch_spark.tables import spread
+
+    return spread(df.select(id_col), id_col).mapInPandas(
         gen, schema=f"{id_col} bigint, content binary"
     )
 

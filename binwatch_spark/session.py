@@ -67,4 +67,15 @@ def get_spark(app_name: str = "binwatch-spark", master: str | None = None) -> Sp
         # worker demand exceeds the warm pool.
         .config("spark.python.daemon.module", "binwatch_spark.worker_daemon")
     )
+    # Opt-in event logging for tools/profile_query.py (guide §1/§7: the UI
+    # is disabled here, so the event log is the per-stage measurement
+    # surface). Off unless the env var names a directory.
+    evdir = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
+    if evdir:
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", f"file://{evdir}")
+            .config("spark.eventLog.compress", "false")
+            .config("spark.eventLog.rolling.enabled", "false")
+        )
     return builder.getOrCreate()
