@@ -125,6 +125,17 @@ def probe_masks(radius: int, n_planes: int) -> list[int]:
     return masks
 
 
+def probe_array(bucket_col: str, masks: list[int]) -> Column:
+    """``array(CAST((bucket ^ m) AS BIGINT), ...)`` over the probe masks,
+    built as ONE parsed SQL expression. The per-mask Column loop costs ~3
+    py4j round trips per mask — pure driver time, ~0.4 s at radius 3's 93
+    masks (r13 profiling: expression CONSTRUCTION, not planning, dominated
+    the multi-probe queries' wall) — while the string form is a single
+    parse. The parsed tree is the same xor + cast per element."""
+    body = ",".join(f"CAST(({bucket_col} ^ {m}) AS BIGINT)" for m in masks)
+    return F.expr(f"array({body})")
+
+
 def _topk(pairs: DataFrame, sim: Column, k: int, query_id: str, cand_id: str) -> DataFrame:
     w = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col(cand_id))
     return (
@@ -186,12 +197,7 @@ def lsh_knn(
     q = _prep(queries, q_emb, with_bucket=True)
     radius = int(multiprobe)
     if radius:
-        probes = F.array(
-            *[
-                F.col("_bucket").bitwiseXOR(F.lit(m)).cast("bigint")
-                for m in probe_masks(radius, N_PLANES)
-            ]
-        )
+        probes = probe_array("_bucket", probe_masks(radius, N_PLANES))
         q = q.withColumn("_bucket", F.explode(probes))
     c = _prep(candidates, c_emb, with_bucket=True)
     pairs = c.join(F.broadcast(q), on="_bucket")
@@ -446,12 +452,7 @@ def neardup_pairs_lsh(
         F.col(f"_norm_{emb_col}").alias("_norm"),
         "_bucket",
     )
-    probes = F.array(
-        *[
-            F.col("_bucket").bitwiseXOR(F.lit(m)).cast("bigint")
-            for m in probe_masks(int(radius), n_planes)
-        ]
-    )
+    probes = probe_array("_bucket", probe_masks(int(radius), n_planes))
     left = base.select(F.col("_id").alias("i"), F.explode(probes).alias("_bucket"))
     right = base.select(F.col("_id").alias("j"), "_bucket")
     cands = left.join(right, "_bucket").filter(F.col("i") < F.col("j")).select(
@@ -536,12 +537,7 @@ def neardup_pairs_lsh_multitable(
     bcols = [f"_b{t}" for t in range(L)]
     cands = None
     for t in range(L):
-        probes = F.array(
-            *[
-                F.col(f"_b{t}").bitwiseXOR(F.lit(m)).cast("bigint")
-                for m in probe_masks(int(radius), N_PLANES)
-            ]
-        )
+        probes = probe_array(f"_b{t}", probe_masks(int(radius), N_PLANES))
         left = base.select(
             F.col("_id").alias("i"),
             *[F.col(b).alias(f"{b}_i") for b in bcols[:t]],
@@ -829,21 +825,28 @@ def power_iteration_rounds(
             by_pos = {lr["_pos"]: lr["_u"] for lr in long_rows}
             u = [float(by_pos[i]) for i in range(dim)]
         else:
-            dot = None
-            for i in range(dim):
-                term = F.element_at(F.col(vec_col), i + 1).cast(
-                    "double"
-                ) * F.lit(v[i])
-                dot = term if dot is None else dot + term
-            proj = emb.select(dot.alias("_s"), F.col(vec_col).alias("_x"))
-            sums_df = proj.agg(
+            # Both round stages are built as SQL strings (ONE selectExpr
+            # py4j call each) instead of 64 Column-object loops: profiling
+            # the r13 round showed ~1.0 s per round of pure DRIVER-PYTHON
+            # expression construction (hundreds of py4j round trips for the
+            # 64-term dot + 64 aggregates) against 0.02 s of Catalyst
+            # planning and ~0.6 s of execution; the string build is ~0.05 s.
+            # The parsed expression trees are identical — element_at cast to
+            # double times a double literal (repr() is shortest-round-trip,
+            # and Spark's `<repr>D` literal parses back to the exact same
+            # IEEE double), summed in the same ascending order — so every
+            # emitted round stays bit-identical.
+            dot_sql = " + ".join(
+                f"CAST(element_at({vec_col}, {i + 1}) AS DOUBLE) * {v[i]!r}D"
+                for i in range(dim)
+            )
+            proj = emb.selectExpr(
+                f"({dot_sql}) AS _s", f"{vec_col} AS _x"
+            )
+            sums_df = proj.selectExpr(
                 *[
-                    F.sum(
-                        (
-                            F.col("_s")
-                            * F.element_at(F.col("_x"), i + 1).cast("double")
-                        ).cast("decimal(28,10)")
-                    ).alias(f"u{i}")
+                    "sum(CAST((_s * CAST(element_at(_x, "
+                    f"{i + 1}) AS DOUBLE)) AS DECIMAL(28,10))) AS u{i}"
                     for i in range(dim)
                 ]
             )

@@ -729,12 +729,9 @@ def q117_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     masks = probe_masks(NEG_PROBE_RADIUS, N_PLANES)
     out = None
     for t in range(Q117_TABLES):
-        probes = F.array(
-            *[
-                F.col(f"_b{t}").bitwiseXOR(F.lit(m)).cast("bigint")
-                for m in masks
-            ]
-        )
+        from binwatch_spark.operators.similarity import probe_array
+
+        probes = probe_array(f"_b{t}", masks)
         qt = q.select(
             "query_id",
             "q_emb",

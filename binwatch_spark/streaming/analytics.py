@@ -154,18 +154,30 @@ def budget_fill_stream(df: DataFrame, budget: int) -> DataFrame:
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         (source,) = key
-        batch = pd.concat(list(pdfs)).sort_values("doc_id")
+        chunks = list(pdfs)
+        batch = (chunks[0] if len(chunks) == 1 else pd.concat(chunks)).sort_values(
+            "doc_id"
+        )
         (cum,) = state.get if state.exists else (0,)
-        out = []
-        for doc_id, n in zip(batch["doc_id"], batch["n_tokens"]):
-            if cum < budget:
-                out.append((int(doc_id), source, int(n), cum + int(n)))
-            cum += int(n)
-        state.update((cum,))
-        if out:
+        # Vectorized admission (was a per-row Python loop): a doc is
+        # admitted iff the source's cumulative total BEFORE it is under
+        # budget; cum_tokens emitted is the total AFTER it. Integer math
+        # throughout — identical admissions and totals.
+        ns = batch["n_tokens"].to_numpy(dtype=np.int64)
+        after = cum + np.cumsum(ns)
+        admit = (after - ns) < budget
+        state.update((int(cum + ns.sum()),))
+        if admit.any():
             yield pd.DataFrame(
-                out, columns=["doc_id", "source", "n_tokens", "cum_tokens"]
+                {
+                    "doc_id": batch["doc_id"].to_numpy(dtype=np.int64)[admit],
+                    "source": source,
+                    "n_tokens": ns[admit],
+                    "cum_tokens": after[admit],
+                }
             )
 
     return df.groupBy("source").applyInPandasWithState(
@@ -206,24 +218,43 @@ def scd2_stream(df: DataFrame) -> DataFrame:
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         (user_id,) = key
-        batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        chunks = list(pdfs)
+        batch = (chunks[0] if len(chunks) == 1 else pd.concat(chunks)).sort_values(
+            ["ts", "event_id"]
+        )
         open_type, open_from = state.get if state.exists else (None, None)
         closed = []
-        for etype, ts in zip(batch["event_type"], batch["ts"]):
-            ts_us = int(ts.value // 1_000)  # pandas ns -> micros
+        # Vectorized change scan (was a per-row Python loop): only rows
+        # whose type differs from their predecessor (with the open state
+        # prepended) are version boundaries; consecutive no-change events
+        # fold away without per-row work. Same micros math at the (few)
+        # boundaries, so emitted rows and stored state are identical.
+        # object dtype: a fixed-width '<U' array would silently truncate a
+        # longer open_type when prepended, corrupting the comparison
+        etypes = batch["event_type"].astype(str).to_numpy(dtype=object)
+        ts_us = pd.DatetimeIndex(batch["ts"]).asi8 // 1_000
+        if len(etypes):
+            prev = np.empty_like(etypes)
+            prev[1:] = etypes[:-1]
+            prev[0] = etypes[0] if open_type is None else open_type
+            change = etypes != prev
             if open_type is None:
-                open_type, open_from = str(etype), ts_us
-            elif str(etype) != open_type:
-                closed.append(
-                    (
-                        int(user_id),
-                        open_type,
-                        pd.Timestamp(open_from * 1_000),
-                        pd.Timestamp(ts_us * 1_000),
+                change[0] = True  # no open version: row 0 always opens one
+            for pos in np.flatnonzero(change):
+                ts_u = int(ts_us[pos])
+                if open_type is not None:
+                    closed.append(
+                        (
+                            int(user_id),
+                            open_type,
+                            pd.Timestamp(open_from * 1_000),
+                            pd.Timestamp(ts_u * 1_000),
+                        )
                     )
-                )
-                open_type, open_from = str(etype), ts_us
+                open_type, open_from = str(etypes[pos]), ts_u
         state.update((open_type, open_from))
         if closed:
             yield pd.DataFrame(
