@@ -1339,15 +1339,23 @@ def build_dedup_index(
     t0 = time.perf_counter()
     digest, exploded = _index_frames(docs, text_col, id_col)
     # clear_stale_location: the index namespace is owned by this builder
-    # and rebuilt wholesale — safe to clear a leftover from a dead session
-    write_bucketed(
-        digest, f"{prefix}_digest", "digest", num_buckets,
-        clear_stale_location=True,
-    )
-    write_bucketed(
-        exploded, f"{prefix}_bands", "band_key", num_buckets,
-        clear_stale_location=True,
-    )
+    # and rebuilt wholesale — safe to clear a leftover from a dead session.
+    # The two table writes are independent jobs over different shuffles —
+    # submitted concurrently (guide §2.6) so the second write's scan/
+    # shuffle back-fills the first's task tail instead of waiting for it.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fd = pool.submit(
+            write_bucketed, digest, f"{prefix}_digest", "digest",
+            num_buckets, clear_stale_location=True,
+        )
+        fb = pool.submit(
+            write_bucketed, exploded, f"{prefix}_bands", "band_key",
+            num_buckets, clear_stale_location=True,
+        )
+        fd.result()
+        fb.result()
     INDEX_BUILD_SECONDS[0] += time.perf_counter() - t0
     return f"{prefix}_digest", f"{prefix}_bands"
 
@@ -1405,13 +1413,28 @@ def update_dedup_index(
     from binwatch_spark.operators.storage import write_bucketed
 
     t0 = time.perf_counter()
-    digest, exploded = _index_frames(new_docs, text_col, id_col)
-    write_bucketed(
-        digest, f"{prefix}_digest", "digest", num_buckets, mode="append"
-    )
-    write_bucketed(
-        exploded, f"{prefix}_bands", "band_key", num_buckets, mode="append"
-    )
+    # same persist + concurrent-write shape as build_dedup_index: the two
+    # appends otherwise each recompute the delta's upstream join/tokenize
+    src = new_docs.persist()
+    if eager_enabled():
+        src.count()
+    try:
+        digest, exploded = _index_frames(src, text_col, id_col)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fd = pool.submit(
+                write_bucketed, digest, f"{prefix}_digest", "digest",
+                num_buckets, mode="append",
+            )
+            fb = pool.submit(
+                write_bucketed, exploded, f"{prefix}_bands", "band_key",
+                num_buckets, mode="append",
+            )
+            fd.result()
+            fb.result()
+    finally:
+        src.unpersist()
     INDEX_BUILD_SECONDS[0] += time.perf_counter() - t0
 
 

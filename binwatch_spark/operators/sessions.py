@@ -83,8 +83,6 @@ def sessionize_stream(
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         (user_id,) = key
         closed: list[dict[str, Any]] = []
         if state.hasTimedOut:
@@ -99,49 +97,31 @@ def sessionize_stream(
             )
             state.remove()
         else:
+            # A numpy gap scan was tried here (r13) and REVERTED: per-key
+            # batches are ~20 rows in this workload, so the per-group
+            # ndarray/DatetimeIndex setup cost more than the row loop it
+            # replaced (measured ~+0.5 s on q99). The cheap wins stay:
+            # skip the concat for the common single-chunk case, and skip
+            # building an output frame when nothing closed.
             chunks = list(pdfs)
             events = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
             events = events.sort_values("ts")
             start, last, n = state.get if state.exists else (None, None, 0)
-            # Gap scan vectorized (was a per-row Python loop — the dominant
-            # micro-batch cost at 1.5k keys): find the boundary rows where
-            # the inter-event gap exceeds the threshold, then walk only the
-            # (few) segments. Timestamps at the closure/state boundaries
-            # still come from the SAME pandas values the row loop used, so
-            # emitted rows and stored state are identical.
-            # asi8: epoch-ns int64 for both tz-naive and tz-aware series
-            tsv = pd.DatetimeIndex(events["ts"]).asi8
-            gap_ns = int(gap.total_seconds() * 1_000_000_000)
-            py_ts = events["ts"]
-
-            def close(s, e, cnt):
-                closed.append(
-                    {
-                        "user_id": user_id,
-                        "session_start": s,
-                        "session_end": e,
-                        "n_events": cnt,
-                    }
-                )
-
-            # segment starts: row 0 plus every row whose gap to its
-            # predecessor exceeds the threshold
-            bounds = np.flatnonzero(np.diff(tsv) > gap_ns) + 1
-            seg_starts = np.concatenate(([0], bounds)) if len(tsv) else []
-            seg_ends = np.concatenate((bounds, [len(tsv)])) if len(tsv) else []
-            for k in range(len(seg_starts)):
-                s_i, e_i = int(seg_starts[k]), int(seg_ends[k])
-                first_ts = py_ts.iloc[s_i].to_pydatetime()
-                if k == 0 and last is not None and first_ts - last <= gap:
-                    # batch continues the open session
-                    last = py_ts.iloc[e_i - 1].to_pydatetime()
-                    n += e_i - s_i
-                    continue
-                if last is not None:
-                    close(start, last, n)  # previous session ends here
-                start = first_ts
-                last = py_ts.iloc[e_i - 1].to_pydatetime()
-                n = e_i - s_i
+            for ts in events["ts"]:
+                ts = ts.to_pydatetime()
+                if last is not None and ts - last > gap:
+                    closed.append(
+                        {
+                            "user_id": user_id,
+                            "session_start": start,
+                            "session_end": last,
+                            "n_events": n,
+                        }
+                    )
+                    start, last, n = None, None, 0
+                if start is None:
+                    start = ts
+                last, n = ts, n + 1
             state.update((start, last, n))
             state.setTimeoutTimestamp(
                 int(last.timestamp() * 1000) + int(gap.total_seconds() * 1000)

@@ -735,16 +735,16 @@ def kmeans_lloyd_rounds(
                 for cid, m in by_cid.items()
             )
         else:
+            # centroid update built as ONE parsed SQL aggregate: the
+            # per-dimension Column loop cost ~0.3 s of driver py4j time per
+            # round (r13 profiling — same pathology as the PCA rounds);
+            # round(avg(element_at(..)), 6) is the identical expression.
+            arr = ",".join(
+                f"round(avg(element_at(_e, {i + 1})), 6)" for i in range(dim)
+            )
             update_df = assigned.groupBy(
                 F.col("_a.cell_id").alias("_cid")
-            ).agg(
-                F.array(
-                    *[
-                        F.round(F.avg(F.element_at(F.col("_e"), i + 1)), 6)
-                        for i in range(dim)
-                    ]
-                ).alias("_c")
-            )
+            ).agg(F.expr(f"array({arr})").alias("_c"))
             from binwatch_spark import plancap
 
             plancap.capture("kmeans.update_round", update_df)

@@ -484,12 +484,26 @@ def _stream_shuffle_partitions(spark: SparkSession, n: int = 8):
     planning unaffected.
     """
     key = "spark.sql.shuffle.partitions"
+    nodata = "spark.sql.streaming.noDataMicroBatches.enabled"
     old = spark.conf.get(key)
+    old_nodata = spark.conf.get(nodata, "true")
     spark.conf.set(key, str(n))
+    # Trailing no-data micro-batches exist to advance the watermark and
+    # flush state when no new data arrives. The bounded harness already
+    # guarantees that by construction — the DOUBLE sentinel tail (the
+    # second sentinel's batch carries the first's timestamp as watermark,
+    # stated in _sentinel_frames and relied on by every stateful query's
+    # docstring "regardless of whether a trailing empty commit batch
+    # runs") — so the extra empty batch is one full stateful-stage pass
+    # (state-store load + commit across every partition) that emits
+    # nothing. Skipping it saves one micro-batch per bounded run; every
+    # streaming query re-verified hash-exact under this setting.
+    spark.conf.set(nodata, "false")
     try:
         yield
     finally:
         spark.conf.set(key, old)
+        spark.conf.set(nodata, old_nodata)
 
 
 def _run_bounded_stream(spark, prefix, stages, build_output) -> DataFrame:
@@ -568,8 +582,34 @@ def _bounded_stream_core(spark, prefix, stages, start) -> DataFrame:
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
     try:
-        for name, df in stages:
-            df.coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+        # Stage the frames CONCURRENTLY (independent writes — guide §2.6),
+        # then pin each stage's file mtimes to strictly increasing values
+        # in list order. The file-stream source replays files oldest-first
+        # by modification time, so the explicit stamps make batch order a
+        # stated invariant instead of a side effect of sequential writes
+        # (serial writes could in principle even collide within a
+        # millisecond); semantics are unchanged and every streaming query
+        # re-verified hash-exact.
+        import time as _time
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(stages))) as pool:
+            futs = [
+                pool.submit(
+                    lambda df=df, name=name: df.coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(f"{src}/{name}")
+                )
+                for name, df in stages
+            ]
+            for f in futs:
+                f.result()
+        t_base = _time.time()
+        for k, (name, _) in enumerate(stages):
+            d = f"{src}/{name}"
+            for fn in os.listdir(d):
+                os.utime(os.path.join(d, fn), (t_base + k, t_base + k))
         stream = (
             spark.readStream.schema(stages[0][1].schema)
             .option("maxFilesPerTrigger", 1)
@@ -1317,6 +1357,20 @@ def q131_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from binwatch_spark.plans.text_queries import q64_quality_filter
 
     docs = load(spark, sf_dir, "documents")
+    # The embedding-space thinning stage (q126: k-means rounds + quota
+    # gate) only reads the embeddings table — it is INDEPENDENT of the
+    # quality/dedup chain over documents, but its k-means rounds collect
+    # eagerly while being BUILT. Build it on a worker thread so its rounds
+    # overlap the dedup chain's jobs (guide §2.6) instead of serializing
+    # after them; the result frame is joined exactly as before.
+    from concurrent.futures import ThreadPoolExecutor
+
+    _thin_pool = ThreadPoolExecutor(max_workers=1)
+    thin_future = _thin_pool.submit(
+        lambda: q126_cluster_balanced_sample(spark, sf_dir).select(
+            F.col("vec_id").alias("doc_id")
+        )
+    )
     passing = q64_quality_filter(spark, sf_dir).filter(F.col("passes")).select(
         "doc_id"
     )
@@ -1342,9 +1396,8 @@ def q131_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id"
     )
     nkeep = ekeep.join(near_drop, "doc_id", "left_anti")
-    thin = q126_cluster_balanced_sample(spark, sf_dir).select(
-        F.col("vec_id").alias("doc_id")
-    )
+    thin = thin_future.result()
+    _thin_pool.shutdown(wait=False)
     tkeep = nkeep.join(thin, "doc_id", "left_semi")
     t = tkeep.select(
         "doc_id",

@@ -218,43 +218,31 @@ def scd2_stream(df: DataFrame) -> DataFrame:
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         (user_id,) = key
+        # A numpy change scan was tried here (r13) and REVERTED: per-key
+        # batches are ~20 rows in this workload, so the per-group ndarray
+        # setup cost more than the row loop (same finding as sessionize).
+        # Kept: single-chunk concat skip and conditional output yield.
         chunks = list(pdfs)
         batch = (chunks[0] if len(chunks) == 1 else pd.concat(chunks)).sort_values(
             ["ts", "event_id"]
         )
         open_type, open_from = state.get if state.exists else (None, None)
         closed = []
-        # Vectorized change scan (was a per-row Python loop): only rows
-        # whose type differs from their predecessor (with the open state
-        # prepended) are version boundaries; consecutive no-change events
-        # fold away without per-row work. Same micros math at the (few)
-        # boundaries, so emitted rows and stored state are identical.
-        # object dtype: a fixed-width '<U' array would silently truncate a
-        # longer open_type when prepended, corrupting the comparison
-        etypes = batch["event_type"].astype(str).to_numpy(dtype=object)
-        ts_us = pd.DatetimeIndex(batch["ts"]).asi8 // 1_000
-        if len(etypes):
-            prev = np.empty_like(etypes)
-            prev[1:] = etypes[:-1]
-            prev[0] = etypes[0] if open_type is None else open_type
-            change = etypes != prev
+        for etype, ts in zip(batch["event_type"], batch["ts"]):
+            ts_us = int(ts.value // 1_000)  # pandas ns -> micros
             if open_type is None:
-                change[0] = True  # no open version: row 0 always opens one
-            for pos in np.flatnonzero(change):
-                ts_u = int(ts_us[pos])
-                if open_type is not None:
-                    closed.append(
-                        (
-                            int(user_id),
-                            open_type,
-                            pd.Timestamp(open_from * 1_000),
-                            pd.Timestamp(ts_u * 1_000),
-                        )
+                open_type, open_from = str(etype), ts_us
+            elif str(etype) != open_type:
+                closed.append(
+                    (
+                        int(user_id),
+                        open_type,
+                        pd.Timestamp(open_from * 1_000),
+                        pd.Timestamp(ts_us * 1_000),
                     )
-                open_type, open_from = str(etypes[pos]), ts_u
+                )
+                open_type, open_from = str(etype), ts_us
         state.update((open_type, open_from))
         if closed:
             yield pd.DataFrame(
