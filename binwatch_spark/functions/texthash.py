@@ -454,23 +454,36 @@ def _plane_lit(j: int, table: int = 0) -> Column:
     return F.array(*[F.lit(v) for v in HYPERPLANE_TABLES[table][j]])
 
 
-def lsh_bucket(embedding: Column, table: int = 0) -> Column:
+def lsh_bucket(embedding: Column | str, table: int = 0) -> Column:
     """Sign-bit bucket id of an array<float|double> embedding: bit j set iff
     dot(embedding, plane_j) >= 0. Pure zip_with/aggregate — JVM-side, and the
     sequential fold matches DuckDB's list_dot_product associativity.
     ``table`` selects one of the N_TABLES independent plane sets (0 = the
-    historical single-table planes)."""
-    bucket = F.lit(0).cast("bigint")
-    for j in range(N_PLANES):
-        dot = F.aggregate(
-            F.zip_with(
-                embedding, _plane_lit(j, table), lambda x, p: x.cast("double") * p
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    historical single-table planes).
+
+    Built as ONE parsed Spark-SQL expression instead of per-plane Column
+    calls: the literal-at-a-time form cost ~650 py4j round trips (~0.5 s of
+    driver wall per call site — q120 paid it three times), while parsing the
+    identical tree is ~20 ms. ``repr(float)`` literals with the ``D`` suffix
+    round-trip to the exact same IEEE doubles as ``F.lit``, the fold order
+    is unchanged, so the result is bit-identical (oracle-checked)."""
+    if not isinstance(embedding, str):
+        raise TypeError(
+            "lsh_bucket takes the embedding COLUMN NAME (the expression is "
+            "built as one parsed SQL string; a Column object has no stable "
+            "SQL form in Spark 4)"
         )
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket
+    emb_sql = f"`{embedding}`"
+    parts = ["CAST(0 AS BIGINT)"]
+    for j, row in enumerate(HYPERPLANE_TABLES[table]):
+        arr = "array(" + ",".join(f"{v!r}D" for v in row) + ")"
+        dot = (
+            f"aggregate(zip_with({emb_sql}, {arr},"
+            " (x, p) -> CAST(x AS DOUBLE) * p),"
+            " 0.0D, (acc, v) -> acc + v)"
+        )
+        parts.append(f"(CASE WHEN {dot} >= 0.0D THEN {1 << j} ELSE 0 END)")
+    return F.expr(" + ".join(parts))
 
 
 def lsh_bucket_sql(

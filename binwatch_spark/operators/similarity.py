@@ -101,7 +101,7 @@ def _prep(df: DataFrame, emb_col: str, with_bucket: bool = False) -> DataFrame:
         f"_norm_{emb_col}", F.sqrt(_dot(F.col(emb_col), F.col(emb_col)))
     )
     if with_bucket:
-        out = out.withColumn("_bucket", lsh_bucket(F.col(emb_col)))
+        out = out.withColumn("_bucket", lsh_bucket(emb_col))
     return out
 
 
@@ -527,7 +527,7 @@ def neardup_pairs_lsh_multitable(
     L = int(n_tables or N_TABLES)
     base = _prep(df.filter(F.col(emb_col).isNotNull()), emb_col)
     for t in range(L):
-        base = base.withColumn("_b%d" % t, lsh_bucket(F.col(emb_col), t))
+        base = base.withColumn("_b%d" % t, lsh_bucket(emb_col, t))
     base = base.select(
         F.col(id_col).alias("_id"),
         F.col(emb_col).alias("_emb"),

@@ -1105,7 +1105,7 @@ def q111_embed_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = (
         hashed.select(emb.alias("_emb"))
         .select(
-            lsh_bucket(F.col("_emb")).alias("bucket"),
+            lsh_bucket("_emb").alias("bucket"),
             F.round(F.sqrt(dot), 6).alias("_nrm"),
         )
     )

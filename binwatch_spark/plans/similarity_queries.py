@@ -724,8 +724,8 @@ def q117_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _prep(queries, "q_emb")
     c = _prep(cands, "c_emb")
     for t in range(Q117_TABLES):
-        q = q.withColumn(f"_b{t}", lsh_bucket(F.col("q_emb"), t))
-        c = c.withColumn(f"_b{t}", lsh_bucket(F.col("c_emb"), t))
+        q = q.withColumn(f"_b{t}", lsh_bucket("q_emb", t))
+        c = c.withColumn(f"_b{t}", lsh_bucket("c_emb", t))
     masks = probe_masks(NEG_PROBE_RADIUS, N_PLANES)
     out = None
     for t in range(Q117_TABLES):

@@ -39,6 +39,35 @@ for _mod in (
     except Exception:  # noqa: BLE001 — slim image: workers import lazily
         pass
 
+import sys  # noqa: E402
+import zipimport  # noqa: E402
+
+# pyspark's worker calls importlib.invalidate_caches() once PER TASK
+# (worker_util.setup_spark_files), and zipimporter.invalidate_caches()
+# re-reads the whole zip central directory each time. The Spark
+# distribution zips on the worker path (pyspark.zip, py4j-*.zip) are
+# immutable for the life of the application, so those re-reads are pure
+# per-task overhead (sampled as the largest ACTIVE cost of an identity
+# Arrow UDF stage: ~40% of worker CPU). Files added mid-run via
+# sc.addPyFile are unaffected: a new path entry gets a fresh zipimporter
+# that reads its directory on construction; invalidation only matters for
+# a zip that is REWRITTEN in place mid-job, which Spark's file-distribution
+# contract does not allow.
+zipimport.zipimporter.invalidate_caches = lambda self: None  # type: ignore[method-assign]
+
+import gc  # noqa: E402
+
+# Freeze the pre-imported object graph into CPython's permanent generation:
+# pyspark's reused-worker loop runs a FULL gc.collect() after every task
+# (pyspark/daemon.py), which walks every tracked object — ~17 ms per task
+# with the numpy/pandas/pyarrow stack loaded, paid by every worker after
+# every task of every ArrowEvalPython stage. Frozen objects are exempt from
+# collection (they are module-level and immortal anyway), so the per-task
+# collection only walks objects created since the fork. Freezing before the
+# fork also stops the collector from touching the shared pages' refcounts,
+# keeping them copy-on-write — the same reason the imports are here.
+gc.freeze()
+
 from pyspark.daemon import manager  # noqa: E402
 
 if __name__ == "__main__":

@@ -158,7 +158,7 @@ def test_arrow_bucket_udf_matches_fold_bucketer(spark):
     )
     udf = make_lsh_bucket_udf(hyperplanes_for(8))
     rows = emb.select(
-        lsh_bucket(F.col("embedding")).alias("jvm"),
+        lsh_bucket("embedding").alias("jvm"),
         udf(F.col("embedding")).alias("arrow"),
     ).collect()
     assert rows and all(r["jvm"] == r["arrow"] for r in rows)
