@@ -1259,7 +1259,10 @@ def q122_index_update_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     spill = tempfile.mkdtemp(prefix="q122_verd_b_")
     atexit.register(shutil.rmtree, spill, ignore_errors=True)
     verd_b_lazy.write.mode("overwrite").parquet(spill)
-    verd_b = spark.read.parquet(spill)
+    # re-read with the writer's own schema: skips the footer-inference job
+    # on a structure this function just built (same class as
+    # tables._SCHEMA_CACHE)
+    verd_b = spark.read.schema(verd_b_lazy.schema).parquet(spill)
 
     keep_b = docs.join(
         verd_b.filter(F.col("verdict") == "keep").select("doc_id"), "doc_id"

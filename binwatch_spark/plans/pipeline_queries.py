@@ -527,10 +527,18 @@ def _run_bounded_stream(spark, prefix, stages, build_output) -> DataFrame:
       sink must outlive the call (the returned DataFrame reads it lazily —
       the driver collects later), so it is the one dir intentionally kept.
     """
+    # The read-back schema is captured from the ALREADY-ANALYZED output
+    # plan (.schema is driver-local, no job) so the final
+    # spark.read.parquet(sink) skips footer re-inference — ~0.1-0.3 s of
+    # per-query fixed cost re-deriving a structure this function just
+    # built (same class as tables._SCHEMA_CACHE).
+    schema_cell: dict = {}
+
     def start(stream, sink, ckpt):
+        out = build_output(stream)
+        schema_cell["schema"] = out.schema
         return (
-            build_output(stream)
-            .writeStream.format("parquet")
+            out.writeStream.format("parquet")
             .option("path", sink)
             .option("checkpointLocation", ckpt)
             .outputMode("append")
@@ -538,7 +546,7 @@ def _run_bounded_stream(spark, prefix, stages, build_output) -> DataFrame:
             .start()
         )
 
-    return _bounded_stream_core(spark, prefix, stages, start)
+    return _bounded_stream_core(spark, prefix, stages, start, schema_cell)
 
 
 def _run_bounded_stream_foreach(spark, prefix, stages, probe) -> DataFrame:
@@ -552,9 +560,15 @@ def _run_bounded_stream_foreach(spark, prefix, stages, probe) -> DataFrame:
     dedup index tables); q99-q102/q110 use the plain writeStream form
     because their whole transform is stream-native."""
 
+    schema_cell: dict = {}
+
     def start(stream, sink, ckpt):
         def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
-            probe(batch_df).write.mode("append").parquet(sink)
+            out = probe(batch_df)
+            # capture once, from the first batch's analyzed plan (driver-
+            # local): the read-back then skips footer re-inference
+            schema_cell.setdefault("schema", out.schema)
+            out.write.mode("append").parquet(sink)
 
         return (
             stream.writeStream.foreachBatch(write_batch)
@@ -563,10 +577,10 @@ def _run_bounded_stream_foreach(spark, prefix, stages, probe) -> DataFrame:
             .start()
         )
 
-    return _bounded_stream_core(spark, prefix, stages, start)
+    return _bounded_stream_core(spark, prefix, stages, start, schema_cell)
 
 
-def _bounded_stream_core(spark, prefix, stages, start) -> DataFrame:
+def _bounded_stream_core(spark, prefix, stages, start, schema_cell=None) -> DataFrame:
     """One copy of the bounded-stream scaffolding (staging writes, one-file-
     per-trigger source, scoped shuffle partitions, 300s await, cleanup) —
     both harness variants differ only in ``start(stream, sink, ckpt)``, the
@@ -633,6 +647,9 @@ def _bounded_stream_core(spark, prefix, stages, start) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+    schema = (schema_cell or {}).get("schema")
+    if schema is not None:
+        return spark.read.schema(schema).parquet(sink)
     return spark.read.parquet(sink)
 
 
@@ -1721,13 +1738,21 @@ def q141_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("timestamp").alias("ts"),
         "event_id",
     )
-    # three ts-ranged arrival waves: exact tercile cut points (2 scalars
-    # driver-side); ties share a batch because the split is on ts value
+    # three ts-ranged arrival waves: equal-width cuts from one map-side
+    # min/max pass (2 scalars driver-side); ties share a batch because the
+    # split is on ts value. Wave BOUNDARIES don't affect the result — the
+    # emitted history is invariant to how the ts-ordered stream is split —
+    # so the exact-percentile cut used before r13 was paying a sort-based
+    # aggregation (buffers every value per partition) for balance the
+    # query doesn't need; min/max is a partial-aggregated single pass
+    # (guide §1.2: don't compute more precision than the job consumes).
     cuts = ev.agg(
-        F.percentile(F.col("ts").cast("double"), F.lit(1.0 / 3)).alias("c1"),
-        F.percentile(F.col("ts").cast("double"), F.lit(2.0 / 3)).alias("c2"),
+        F.min(F.col("ts").cast("double")).alias("mn"),
+        F.max(F.col("ts").cast("double")).alias("mx"),
     ).first()
-    c1, c2 = cuts["c1"], cuts["c2"]
+    mn, mx = cuts["mn"], cuts["mx"]
+    c1 = mn + (mx - mn) / 3.0
+    c2 = mn + 2.0 * (mx - mn) / 3.0
     tsd = F.col("ts").cast("double")
     stages = [
         ("b0", ev.filter(tsd <= c1)),
@@ -1799,12 +1824,18 @@ def q146_interval_join_outer_stream(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("ts").cast("timestamp").alias("ts"),
         "event_type",
     )
+    # equal-width wave cuts from the same map-side min/max pass that
+    # produces the sentinel anchor — see q141's cut comment: boundaries
+    # don't affect the joined result, so the former exact percentile was
+    # an unneeded sort-based pass over every ts.
     agg = ev.agg(
         F.max("ts").alias("m"),
-        F.percentile(F.col("ts").cast("double"), F.lit(1.0 / 3)).alias("c1"),
-        F.percentile(F.col("ts").cast("double"), F.lit(2.0 / 3)).alias("c2"),
+        F.min(F.col("ts").cast("double")).alias("mn"),
+        F.max(F.col("ts").cast("double")).alias("mx"),
     ).first()
-    max_ts, c1, c2 = agg["m"], agg["c1"], agg["c2"]
+    max_ts, mn, mx = agg["m"], agg["mn"], agg["mx"]
+    c1 = mn + (mx - mn) / 3.0
+    c2 = mn + 2.0 * (mx - mn) / 3.0
     tsd = F.col("ts").cast("double")
 
     import datetime as _dt

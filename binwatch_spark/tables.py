@@ -29,6 +29,17 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Inferred parquet schemas keyed by (absolute path, mtime): schema inference
+# costs ~90 ms of driver time PER spark.read.parquet call (file listing +
+# footer read + merge), and a full bench sweep calls load() ~700 times —
+# tens of seconds of pure metadata re-derivation for files that never
+# change. Caching the STRUCTURE (never data: the returned DataFrame is the
+# same lazy scan, every action re-reads the parquet) and passing it via
+# .schema() skips the footer pass. The mtime in the key invalidates the
+# entry if a fixture dir is regenerated mid-process.
+_SCHEMA_CACHE: dict = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -38,7 +49,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session.get_spark() having configured it is not enough. The conf is
     # runtime-settable and idempotent.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        key = (os.path.abspath(path), os.path.getmtime(path))
+    except OSError:
+        key = None
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        if key is not None:
+            _SCHEMA_CACHE[key] = schema
+    df = spark.read.schema(schema).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # Fixture generations differ: events.ts has shipped both as parquet
         # TIMESTAMP(NANOS,false) — which Spark only reads with nanosAsLong,
