@@ -731,8 +731,13 @@ def _driver_union_find(pairs: DataFrame) -> DataFrame:
             else:
                 parent[ri] = rj
     rows = [(v, find(v)) for v in parent]
-    return pairs.sparkSession.createDataFrame(
-        rows, "doc_id long, cluster_id long"
+    # Arrow-path local frame: this result feeds downstream joins in
+    # q96/q106/q131, so a pickled Python RDD here would re-fork Python
+    # workers on every consuming action (see tables.local_frame).
+    from binwatch_spark.tables import local_frame
+
+    return local_frame(
+        pairs.sparkSession, rows, "doc_id long, cluster_id long"
     )
 
 

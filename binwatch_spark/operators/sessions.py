@@ -12,8 +12,7 @@ Two execution shapes over the same semantics (gap > timeout ⇒ new session):
 
 from __future__ import annotations
 
-import datetime as dt
-from typing import Any, Iterator
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -60,7 +59,9 @@ def sessionize_batch(
     )
 
 
-SESSION_STATE_SCHEMA = "start timestamp, last timestamp, n bigint"
+SESSION_STATE_SCHEMA = (
+    "uids array<bigint>, starts array<bigint>, lasts array<bigint>, ns array<bigint>"
+)
 SESSION_OUTPUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
 )
@@ -69,70 +70,103 @@ SESSION_OUTPUT_SCHEMA = (
 def sessionize_stream(
     df: DataFrame,
     gap_minutes: int = DEFAULT_GAP_MINUTES,
+    state_buckets: int | None = None,
 ) -> DataFrame:
     """Streaming sessionization with applyInPandasWithState.
 
-    State per user: (session start, last event ts, count). A session closes
-    when the event-time watermark passes last+gap (state timeout), emitting
-    one row. Requires a watermark on the input's ``ts`` column.
+    State per user: (session start, last event ts, count) — epoch-micros
+    longs, laid out as per-bucket parallel arrays keyed by
+    pmod(xxhash64(user_id), B) so the per-group Arrow protocol cost
+    amortizes over ~#users/B users instead of being paid per user per
+    batch (see streaming.analytics.STATE_BUCKETS for the layout rationale
+    and production sizing). A session closes when the event-time
+    watermark passes last+gap, emitting one row — with bucketed keys the
+    engine timeout fires at the bucket's EARLIEST expiry and the kernel
+    closes every expired session in the bucket against the current
+    watermark (same sessions, same rows: a per-key timeout would have
+    fired for exactly the sessions whose expiry the watermark passed).
+    Requires a watermark on the input's ``ts`` column.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    gap = dt.timedelta(minutes=gap_minutes)
+    from binwatch_spark.streaming.analytics import STATE_BUCKETS, _bucketed
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60 * 1_000
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        (user_id,) = key
-        closed: list[dict[str, Any]] = []
-        if state.hasTimedOut:
-            start, last, n = state.get
+        open_st: dict[int, list] = {}
+        if state.exists:
+            uids, starts, lasts, ns = state.get
+            open_st = {
+                u: [s, l, n] for u, s, l, n in zip(uids, starts, lasts, ns)
+            }
+        closed: list[tuple] = []
+
+        def close(uid: int, s: list) -> None:
             closed.append(
-                {
-                    "user_id": user_id,
-                    "session_start": start,
-                    "session_end": last,
-                    "n_events": n,
-                }
+                (uid, pd.Timestamp(s[0] * 1_000), pd.Timestamp(s[1] * 1_000), s[2])
             )
-            state.remove()
-        else:
-            # A numpy gap scan was tried here (r13) and REVERTED: per-key
-            # batches are ~20 rows in this workload, so the per-group
-            # ndarray/DatetimeIndex setup cost more than the row loop it
-            # replaced (measured ~+0.5 s on q99). The cheap wins stay:
-            # skip the concat for the common single-chunk case, and skip
-            # building an output frame when nothing closed.
+
+        if not state.hasTimedOut:
+            # A numpy gap scan was tried here (r13) and REVERTED: per-KEY
+            # runs are ~20 rows in this workload, so per-key ndarray setup
+            # cost more than the row loop it replaced (measured ~+0.5 s on
+            # q99). The bucket sort below is one vectorized pandas sort per
+            # ~500-row bucket; the per-row gap loop is unchanged.
             chunks = list(pdfs)
             events = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
-            events = events.sort_values("ts")
-            start, last, n = state.get if state.exists else (None, None, 0)
-            for ts in events["ts"]:
-                ts = ts.to_pydatetime()
-                if last is not None and ts - last > gap:
-                    closed.append(
-                        {
-                            "user_id": user_id,
-                            "session_start": start,
-                            "session_end": last,
-                            "n_events": n,
-                        }
-                    )
-                    start, last, n = None, None, 0
-                if start is None:
-                    start = ts
-                last, n = ts, n + 1
-            state.update((start, last, n))
-            state.setTimeoutTimestamp(
-                int(last.timestamp() * 1000) + int(gap.total_seconds() * 1000)
+            events = events.sort_values(["user_id", "ts"])
+            ts_ns = events["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+            for uid, t in zip(events["user_id"].to_numpy(), ts_ns):
+                uid = int(uid)
+                ts_us = int(t) // 1_000
+                cur = open_st.get(uid)
+                if cur is not None and ts_us - cur[1] > gap_us:
+                    close(uid, cur)
+                    cur = None
+                    del open_st[uid]
+                if cur is None:
+                    open_st[uid] = [ts_us, ts_us, 1]
+                else:
+                    cur[1] = ts_us
+                    cur[2] += 1
+        # Watermark sweep (both paths): close every session whose expiry
+        # the watermark has passed. In the data path this covers bucket
+        # members WITHOUT new rows (their per-key timeout would have fired
+        # as a separate invocation under per-key grouping); in the timeout
+        # path it is the timeout handler itself.
+        wm_ms = state.getCurrentWatermarkMs()
+        if wm_ms > 0:
+            for uid in list(open_st):
+                if open_st[uid][1] // 1_000 + gap_ms <= wm_ms:
+                    close(uid, open_st.pop(uid))
+        if open_st:
+            state.update(
+                (
+                    list(open_st.keys()),
+                    [v[0] for v in open_st.values()],
+                    [v[1] for v in open_st.values()],
+                    [v[2] for v in open_st.values()],
+                )
             )
+            # re-arm at the bucket's earliest remaining expiry (all > wm
+            # after the sweep, so the engine's timestamp-vs-watermark
+            # validation always holds)
+            state.setTimeoutTimestamp(
+                min(v[1] for v in open_st.values()) // 1_000 + gap_ms
+            )
+        else:
+            state.remove()
         if closed:
             yield pd.DataFrame(
                 closed,
                 columns=["user_id", "session_start", "session_end", "n_events"],
             )
 
-    return df.groupBy("user_id").applyInPandasWithState(
+    return _bucketed(df, "user_id", state_buckets or STATE_BUCKETS).applyInPandasWithState(
         update,
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,

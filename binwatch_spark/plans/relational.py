@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from binwatch_spark.plans.registry import register
-from binwatch_spark.tables import load
+from binwatch_spark.tables import load, local_frame
 
 
 def dsum(col: Column) -> Column:
@@ -1032,7 +1032,7 @@ def q136_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = c.withColumn("cum", F.sum("c").over(wcum).cast("bigint"))
     n = c.groupBy("g").agg(F.sum("c").cast("bigint").alias("n"))
-    ps = spark.createDataFrame([(p,) for p in _HQ_PS], "p double")
+    ps = local_frame(spark, [(p,) for p in _HQ_PS], "p double")
     sel = (
         cum.join(n, "g")
         .crossJoin(F.broadcast(ps))

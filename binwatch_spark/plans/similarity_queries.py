@@ -9,7 +9,7 @@ from binwatch_spark.functions.texthash import lsh_bucket_sql, polyhash_sql
 from binwatch_spark.operators.similarity import lsh_knn
 from binwatch_spark.plans.registry import register
 from binwatch_spark.plans.text_queries import BM25_B, BM25_K1, BM25_TERMS
-from binwatch_spark.tables import load
+from binwatch_spark.tables import load, local_frame
 
 
 @register(
@@ -1140,7 +1140,8 @@ def q148_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         rows = power_iteration_rounds(emb, "x", PCA_ROUNDS, dim=EMBED_DIM)
-        return spark.createDataFrame(
+        return local_frame(
+            spark,
             rows,
             "round bigint, lambda_n double, c0 double, c1 double,"
             " c2 double, c3 double",
@@ -1263,8 +1264,8 @@ def q149_blocking_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("hamming_d")
             .collect()  # <= MAX_D+1 rows — the k-row driver pattern
         )
-        return spark.createDataFrame(
-            rows, "hamming_d bigint, n_pairs bigint, frac_of_all double"
+        return local_frame(
+            spark, rows, "hamming_d bigint, n_pairs bigint, frac_of_all double"
         )
     finally:
         h.unpersist()

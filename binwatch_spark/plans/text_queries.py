@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from binwatch_spark.functions.texthash import STOPWORDS, polyhash_sql
 from binwatch_spark.operators import multimodal, text
 from binwatch_spark.plans.registry import register
-from binwatch_spark.tables import load
+from binwatch_spark.tables import load, local_frame
 
 
 def _stop_list_sql(lang: str) -> str:
@@ -1365,8 +1365,8 @@ def q145_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     chr(j), "<" + merges[j - 1][1] + ">"
                 )
             rows.append((r, readable, cnt))
-        return spark.createDataFrame(
-            rows, "merge_rank bigint, pair string, cnt bigint"
+        return local_frame(
+            spark, rows, "merge_rank bigint, pair string, cnt bigint"
         )
     finally:
         freq.unpersist()
@@ -1522,8 +1522,8 @@ def q147_quality_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rounding runs through F.round (BigDecimal HALF_UP — away from
         # zero on ties, same as DuckDB's round), NOT python's round
         # (banker's half-even): the two disagree exactly on tie digits
-        return spark.createDataFrame(
-            rows, "round bigint, w1 double, w2 double, w3 double"
+        return local_frame(
+            spark, rows, "round bigint, w1 double, w2 double, w3 double"
         ).select(
             "round",
             F.round("w1", 8).alias("w1"),

@@ -193,10 +193,35 @@ SCD2_OUTPUT_SCHEMA = (
     "user_id long, event_type string, valid_from timestamp, "
     "valid_to timestamp"
 )
-SCD2_STATE_SCHEMA = "open_type string, open_from long"
+SCD2_STATE_SCHEMA = (
+    "uids array<long>, types array<string>, froms array<long>"
+)
+
+# applyInPandasWithState pays one Arrow round trip (plus state ser/de and a
+# pandas frame build) PER KEY PER BATCH — measured ~4-5 ms/key here, which
+# at 1 500 keys/batch made the protocol, not the row work, the stage
+# (guide §4: the boundary's fixed cost). The stateful kernels therefore
+# group on pmod(xxhash64(key), B) — B buckets, each holding the state of
+# every key that hashes into it as parallel arrays — so the per-group
+# protocol cost amortizes over ~#keys/B keys while the per-row logic (and
+# emitted rows) stay identical. B is env-tunable: it is a state-LAYOUT
+# constant in the same class as shuffle partitions, NOT a core-count fit —
+# production sizes it so one bucket's state row stays in the tens-of-KB
+# range (keys/bucket in the hundreds); the local default 64 keeps
+# 1 500-key fixtures at ~25 keys/bucket. Correctness does not depend on B
+# (tests pin B=1 and B=7 against the batch twin).
+import os as _os
+
+STATE_BUCKETS = int(_os.environ.get("SPARK_GRAFT_STATE_BUCKETS", "64"))
 
 
-def scd2_stream(df: DataFrame) -> DataFrame:
+def _bucketed(df: DataFrame, key: str, n_buckets: int):
+    return df.withColumn(
+        "__bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
+    ).groupBy("__bucket")
+
+
+def scd2_stream(df: DataFrame, state_buckets: int | None = None) -> DataFrame:
     """Streaming SCD2 maintenance (q139's streaming twin): per-key state
     holds the OPEN version (type + start); each arriving change CLOSES
     the previous version — one emitted row per closed version, open
@@ -205,7 +230,8 @@ def scd2_stream(df: DataFrame) -> DataFrame:
     no-change events fold into the open version, the SCD2 collapse rule.
 
     State is O(1) per key (a string + an epoch-micros long — the
-    timestamp rides the state store as int64 to stay timezone-exact);
+    timestamp rides the state store as int64 to stay timezone-exact),
+    laid out as per-bucket key/type/from arrays (see STATE_BUCKETS);
     arrival must be event-time ordered per key across micro-batches
     (the CDC pipeline's per-key ordering contract; the bounded harness
     stages ts-ranged batches). Input needs (user_id, event_type, ts,
@@ -218,39 +244,54 @@ def scd2_stream(df: DataFrame) -> DataFrame:
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        (user_id,) = key
-        # A numpy change scan was tried here (r13) and REVERTED: per-key
-        # batches are ~20 rows in this workload, so the per-group ndarray
-        # setup cost more than the row loop (same finding as sessionize).
-        # Kept: single-chunk concat skip and conditional output yield.
+        # A numpy change scan was tried here (r13) and REVERTED: per-KEY
+        # runs are ~20 rows in this workload, so per-key ndarray setup
+        # cost more than the row loop (same finding as sessionize). The
+        # bucket sort below is one vectorized pandas sort per ~500-row
+        # bucket; the per-row loop is unchanged from the per-key form.
         chunks = list(pdfs)
         batch = (chunks[0] if len(chunks) == 1 else pd.concat(chunks)).sort_values(
-            ["ts", "event_id"]
+            ["user_id", "ts", "event_id"]
         )
-        open_type, open_from = state.get if state.exists else (None, None)
+        open_st: dict[int, list] = {}
+        if state.exists:
+            uids, types, froms = state.get
+            open_st = {u: [t, f] for u, t, f in zip(uids, types, froms)}
         closed = []
-        for etype, ts in zip(batch["event_type"], batch["ts"]):
-            ts_us = int(ts.value // 1_000)  # pandas ns -> micros
-            if open_type is None:
-                open_type, open_from = str(etype), ts_us
-            elif str(etype) != open_type:
+        ts_ns = batch["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+        for uid, etype, t in zip(
+            batch["user_id"].to_numpy(), batch["event_type"], ts_ns
+        ):
+            uid = int(uid)
+            ts_us = int(t) // 1_000  # pandas ns -> micros
+            et = str(etype)
+            cur = open_st.get(uid)
+            if cur is None:
+                open_st[uid] = [et, ts_us]
+            elif et != cur[0]:
                 closed.append(
                     (
-                        int(user_id),
-                        open_type,
-                        pd.Timestamp(open_from * 1_000),
+                        uid,
+                        cur[0],
+                        pd.Timestamp(cur[1] * 1_000),
                         pd.Timestamp(ts_us * 1_000),
                     )
                 )
-                open_type, open_from = str(etype), ts_us
-        state.update((open_type, open_from))
+                cur[0], cur[1] = et, ts_us
+        state.update(
+            (
+                list(open_st.keys()),
+                [v[0] for v in open_st.values()],
+                [v[1] for v in open_st.values()],
+            )
+        )
         if closed:
             yield pd.DataFrame(
                 closed,
                 columns=["user_id", "event_type", "valid_from", "valid_to"],
             )
 
-    return df.groupBy("user_id").applyInPandasWithState(
+    return _bucketed(df, "user_id", state_buckets or STATE_BUCKETS).applyInPandasWithState(
         update,
         outputStructType=SCD2_OUTPUT_SCHEMA,
         stateStructType=SCD2_STATE_SCHEMA,

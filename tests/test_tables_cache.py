@@ -56,3 +56,13 @@ def test_schema_cache_invalidates_on_mtime_change(spark, tmp_path):
     df2 = load(spark, str(d), "region")
     assert "extra" in df2.columns
     assert df2.count() == n_before
+
+
+def test_df_handle_reused_within_app(spark):
+    # r14: load() returns the SAME immutable lazy-plan handle for an
+    # unchanged file within one application — pure metadata reuse (the
+    # mtime-invalidation test above proves a rewritten file gets a fresh
+    # plan, and the matches-uncached test proves actions re-read the file)
+    a = load(spark, SF_SMALL, "nation")
+    b = load(spark, SF_SMALL, "nation")
+    assert a is b
